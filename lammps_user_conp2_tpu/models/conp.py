@@ -1,0 +1,258 @@
+"""The constant-potential / constant-charge / constant-displacement solvers.
+
+Per-step math (reference: fix_conp.cpp:543-573 pre_force; 1120-1161
+update_charge; fix_conq.cpp:41-90; fix_cond.cpp:46-126):
+
+    b_i = -phi_i(electrolyte)        [k-space + real-space erfc + slab]
+    q_ele = A^-1 b + dV * A^-1 d  (+ q_init)
+
+with dV the applied potential (CONP), the feedback value
+-(Q_R - sum_R A^-1 b)/totsetq (CONQ), or the finite-field gain
+vmult*(Q_R - dipole/Lz - <zvec, A^-1 b>) (COND).
+
+Everything here is jit-compatible: the context is a pytree of device
+constants, the solve is two matmuls + elementwise updates.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ewald as ewald_ops
+from ..ops.erfc import ERFC_MAX, erfcr_sqrt
+from ..ops.pairs import min_image
+from ..utils.config import ConpConfig, FFMode, KSpaceStyle, MDConfig, Mode
+from .electrodes import (ConpContext, ElectrodeKernels, assemble_amatrix,
+                         build_d_vector, make_kernels, project_inverse)
+from .system import System
+
+
+@dataclasses.dataclass(frozen=True)
+class ConpSolver:
+    """Host wrapper holding static config + device context; the methods are
+    pure functions suitable for capture inside a jitted step."""
+    cfg: ConpConfig
+    ksp: ewald_ops.EwaldKSpace
+    kernels: ElectrodeKernels
+    ctx: ConpContext
+    ele_idx: np.ndarray          # (Ne,)
+    elyte_mask: np.ndarray       # (N,) bool — non-electrode atoms
+    type_idx: np.ndarray         # (N,)
+    box: tuple
+    periodic: tuple
+    cut_coulsq: float            # min(coul cut^2, ERFC_MAX^2/g^2)
+    qqr2e: float
+    evscale: float
+    ee_diag: float               # <e,e> diagnostic
+    solve_dtype: object = jnp.float64
+
+    @property
+    def ne(self) -> int:
+        return len(self.ele_idx)
+
+    # ----------------------------------------------------------------- b
+    def b_vector(self, x, q):
+        """Assemble b for the current electrolyte configuration.
+
+        k-space: b_i -= sum_k 2 ug_k (c_i ReS + s_i ImS)   [km_ewald.cpp:789-825]
+        real:    b_i -= sum_(elyte j in range) q_j (erfc(g r)/r + pot(r))
+                                                            [fix_conp.cpp:1281-1365]
+        slab:    b_i -= z_i * (4 pi / V) sum_elyte q_j z_j  [km_ewald.cpp:827-847]
+        """
+        dt = self.solve_dtype
+        x = x.astype(dt)
+        q = q.astype(dt)
+        xe = x[self.ele_idx]
+        elyte = jnp.asarray(self.elyte_mask)
+        q_elyte = jnp.where(elyte, q, 0.0)
+
+        kvecs = jnp.asarray(self.ksp.kvecs, dt)
+        ug = jnp.asarray(self.ksp.ug, dt)
+        sre, sim = ewald_ops.structure_factor(x, q_elyte, kvecs)
+        b = -ewald_ops.kspace_potential_on_points(xe, kvecs, ug, sre, sim)
+
+        # real-space rows over (Ne x N)
+        g = self.ksp.g_ewald
+        dx = min_image(xe[:, None, :] - x[None, :, :], jnp.asarray(self.box, dt),
+                       self.periodic)
+        rsq = jnp.sum(dx * dx, axis=-1)
+        mask = elyte[None, :] & (rsq < self.cut_coulsq)
+        rsq_safe = jnp.where(mask, rsq, 1.0)
+        te = self.type_idx[self.ele_idx]
+        dudq = erfcr_sqrt(g * g * rsq_safe) * g + self.kernels.potential(
+            rsq_safe, jnp.asarray(te)[:, None], jnp.asarray(self.type_idx)[None, :])
+        b = b - jnp.sum(jnp.where(mask, dudq, 0.0) * q_elyte[None, :], axis=1)
+
+        if self.ksp.slabflag:
+            slabcorr = (4.0 * math.pi / self.ksp.volume) * jnp.sum(
+                q_elyte * x[:, 2])
+            b = b - xe[:, 2] * slabcorr
+        return b
+
+    # ------------------------------------------------------------- solve
+    def solve(self, x, q, step):
+        """One charge update. Returns (q_new, scalar_output).
+
+        scalar: CONP induced charge dV*totsetq + sum_left(A^-1 b)
+        (fix_conp.cpp:1159); CONQ required potential (fix_conq.cpp:78);
+        COND dV (fix_cond.cpp:115).
+        """
+        ctx = self.ctx
+        cfg = self.cfg
+        b = self.b_vector(x, q)
+        eleallq = ctx.ainv @ b
+
+        target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
+            cfg.target, b.dtype)
+
+        left = (ctx.elecheck_ele == 1)
+        if cfg.mode is Mode.CONP:
+            potdiff = target
+            scalar = potdiff * ctx.totsetq + jnp.sum(jnp.where(left, eleallq, 0.0))
+        elif cfg.mode is Mode.CONQ:
+            netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
+            scalar = -(target - netcharge_right) / ctx.totsetq
+            potdiff = scalar
+        else:  # COND
+            elyte = jnp.asarray(self.elyte_mask)
+            lz = self.box[2]
+            dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])
+            potdiff = ctx.vmult * (
+                target - dipole / lz - jnp.sum(ctx.setzvec * eleallq))
+            scalar = potdiff
+
+        q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
+        q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
+        return q_new, scalar
+
+
+def setup_conp(
+    system: System,
+    md: MDConfig,
+    cfg: ConpConfig,
+    *,
+    x0: Optional[np.ndarray] = None,
+    q0: Optional[np.ndarray] = None,
+    g_ewald: Optional[float] = None,
+    solve_dtype=jnp.float64,
+) -> ConpSolver:
+    """One-time setup: k-space tables, A assembly, inverse + projection,
+    d vector, elesetq, cond gain.  Mirrors linalg_init/linalg_setup
+    (fix_conp.cpp:393-464)."""
+    units = system.units()
+    x0 = system.x0 if x0 is None else np.asarray(x0)
+    q0 = system.q0 if q0 is None else np.asarray(q0)
+    ele_idx = np.nonzero(system.ele_mask)[0]
+    if len(ele_idx) == 0:
+        raise ValueError("no electrode atoms")
+    one_electrode = not system.ele_right_mask.any()
+
+    # --- k-space setup (accuracy from the host kspace style, km_ewald.cpp:63-132)
+    natoms = system.natoms
+    qsqsum = float((q0 ** 2).sum())
+    q2 = qsqsum * units.qqr2e
+    acc_abs = md.kspace_accuracy * units.qqr2e  # two-charge force = qqr2e/1A^2
+    box = system.box
+    slabflag = (md.slab is not None) and (cfg.ff is FFMode.NORMAL)
+    slab_volfactor = md.slab if slabflag else 1.0
+    if g_ewald is None:
+        g_ewald = md.g_ewald
+    if g_ewald is None:
+        g_ewald = ewald_ops.determine_g_ewald_box(
+            acc_abs, md.cutoff, natoms, max(q2, 1e-10), *box)
+    ksp = ewald_ops.setup_ewald(
+        box=box, accuracy_abs=acc_abs, g_ewald=g_ewald, natoms=natoms,
+        q2=max(q2, 1e-10), slabflag=slabflag, slab_volfactor=slab_volfactor)
+
+    kernels = make_kernels(cfg, system)
+    cut_coulsq = min(md.cutoff ** 2, (ERFC_MAX / g_ewald) ** 2)
+
+    xe = jnp.asarray(x0[ele_idx], solve_dtype)
+    type_e = jnp.asarray(system.type[ele_idx])
+
+    # --- A matrix, inverse, projection
+    if cfg.ainv_file is not None:
+        from ..utils import matio
+        ainv = jnp.asarray(
+            matio.read_matrix(cfg.ainv_file, system.tag[ele_idx])[1], solve_dtype)
+        ee = float("nan")
+    else:
+        if cfg.a_file is not None:
+            from ..utils import matio
+            a = jnp.asarray(
+                matio.read_matrix(cfg.a_file, system.tag[ele_idx])[1], solve_dtype)
+        else:
+            a = assemble_amatrix(
+                xe, type_e, kernels.self_diag[ele_idx], ksp, kernels,
+                box=box, periodic=system.periodic, cut_coulsq=cut_coulsq,
+                dtype=solve_dtype)
+        if cfg.matout:
+            from ..utils import matio
+            matio.write_matrix("amatrix", system.tag[ele_idx], np.asarray(a))
+        ainv = jnp.linalg.inv(a)
+        zhalf = system.box_lo[2] + box[2] / 2
+        if not one_electrode:
+            ainv, ee = project_inverse(
+                ainv, nullneutral=not cfg.nonneutral, zneutr=cfg.zneutr,
+                z_e=xe[:, 2], zhalf=zhalf)
+            ee = float(ee)
+        else:
+            ee = float(jnp.sum(ainv))
+
+    # --- d vector and elesetq (b_setq_cal + get_setq)
+    d = build_d_vector(system, cfg, x0[ele_idx])
+    d_j = jnp.asarray(d, solve_dtype)
+    elesetq = ainv @ d_j
+    elecheck_ele = jnp.asarray(system.elecheck[ele_idx])
+    totsetq = jnp.sum(jnp.where(elecheck_ele == 1, elesetq, 0.0))
+
+    if one_electrode:
+        # projection deferred until after setq (fix_conp.cpp:958, 1115)
+        zhalf = system.box_lo[2] + box[2] / 2
+        ainv, ee = project_inverse(
+            ainv, nullneutral=not cfg.nonneutral, zneutr=cfg.zneutr,
+            z_e=xe[:, 2], zhalf=zhalf)
+        ee = float(ee)
+
+    if cfg.matout and cfg.ainv_file is None:
+        from ..utils import matio
+        matio.write_matrix("inv_a_matrix", system.tag[ele_idx], np.asarray(ainv))
+
+    eleinitq = (jnp.asarray(q0[ele_idx], solve_dtype) if cfg.qinit
+                else jnp.zeros(len(ele_idx), solve_dtype))
+
+    # --- cond feedback gain (fix_cond.cpp:46-68)
+    if cfg.mode is Mode.COND:
+        if cfg.ff is not FFMode.FFIELD:
+            raise ValueError("cond requires ffield mode")
+        setzvec = d_j / units.evscale
+        zOAz = jnp.sum(elesetq * setzvec)
+        lz = box[2]
+        axy = box[0] * box[1]
+        vmult = 4.0 * math.pi * zOAz * lz / (units.evscale * axy)
+        vmult = vmult / (1.0 + vmult)
+        vmult = vmult / zOAz
+    else:
+        setzvec = jnp.zeros(len(ele_idx), solve_dtype)
+        vmult = jnp.zeros((), solve_dtype)
+
+    ctx = ConpContext(
+        ainv=ainv, d=d_j, elesetq=elesetq, totsetq=totsetq,
+        eleinitq=eleinitq, elecheck_ele=elecheck_ele,
+        ele_idx=jnp.asarray(ele_idx), setzvec=setzvec,
+        vmult=jnp.asarray(vmult, solve_dtype),
+    )
+
+    return ConpSolver(
+        cfg=cfg, ksp=ksp, kernels=kernels, ctx=ctx,
+        ele_idx=ele_idx, elyte_mask=~system.ele_mask,
+        type_idx=system.type, box=box, periodic=system.periodic,
+        cut_coulsq=cut_coulsq, qqr2e=units.qqr2e, evscale=units.evscale,
+        ee_diag=ee, solve_dtype=solve_dtype,
+    )

@@ -1,0 +1,194 @@
+"""System (static topology/metadata) and MDState (dynamic pytree).
+
+The reference's per-atom bookkeeping (LAMMPS Atom class + the fix's index
+cross-maps ele2tag/eleall2tag/... fix_conp.h:164-188) collapses here into
+fixed index arrays computed once on the host: electrode membership is static
+(atoms never change identity), so all of post_neighbor()'s per-reneighbor
+rebuild work (fix_conp.cpp:468-539) disappears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import MDConfig
+from ..utils.data_io import LammpsData
+from ..utils.units import get_units
+
+
+class MDState(NamedTuple):
+    """Dynamic simulation state — a jax pytree carried through lax.scan."""
+    x: jnp.ndarray          # (N, 3) positions
+    v: jnp.ndarray          # (N, 3) velocities
+    q: jnp.ndarray          # (N,) charges (electrode entries re-solved per step)
+    f: jnp.ndarray          # (N, 3) forces of the current step
+    step: jnp.ndarray      # () int32
+    nhc_xi: jnp.ndarray     # (n_thermostats, tchain) thermostat positions
+    nhc_vxi: jnp.ndarray    # (n_thermostats, tchain) thermostat velocities
+    scalar_out: jnp.ndarray  # () the fix scalar f_e
+    energy: jnp.ndarray     # () potential energy of current configuration
+
+
+@dataclasses.dataclass(frozen=True)
+class Group:
+    name: str
+    mask: np.ndarray  # (N,) bool
+
+
+@dataclasses.dataclass
+class System:
+    """Host-side static description: topology, groups, coefficients.
+
+    Built from a LammpsData plus deck-level settings; all arrays numpy.
+    """
+    units_name: str
+    box_lo: np.ndarray
+    box_hi: np.ndarray
+    periodic: tuple            # (bool, bool, bool); z False for `boundary p p f`
+    tag: np.ndarray
+    mol: np.ndarray
+    type: np.ndarray           # (N,) 1-based
+    mass: np.ndarray           # (N,) per-atom mass
+    q0: np.ndarray             # (N,) initial charges
+    x0: np.ndarray
+    v0: np.ndarray
+    bonds: np.ndarray          # (NB, 3) [type, i, j]
+    angles: np.ndarray         # (NA, 4) [type, i, j, k]
+    bond_coeffs: np.ndarray
+    angle_coeffs: np.ndarray
+    lj_eps: np.ndarray         # (ntypes+1, ntypes+1) mixed tables
+    lj_sigma: np.ndarray
+    groups: dict               # name -> bool mask
+    # electrode definition
+    ele_left_mask: np.ndarray   # bool (N,)
+    ele_right_mask: np.ndarray  # bool (N,)
+    mobile_mask: np.ndarray     # atoms integrated (non-electrode typically)
+
+    @property
+    def natoms(self) -> int:
+        return len(self.tag)
+
+    @property
+    def ntypes(self) -> int:
+        return self.lj_eps.shape[0] - 1
+
+    @property
+    def box(self) -> tuple:
+        d = self.box_hi - self.box_lo
+        return (float(d[0]), float(d[1]), float(d[2]))
+
+    @property
+    def ele_mask(self) -> np.ndarray:
+        return self.ele_left_mask | self.ele_right_mask
+
+    @property
+    def elecheck(self) -> np.ndarray:
+        """+1 left electrode, -1 right, 0 electrolyte (fix_conp.cpp:599-605)."""
+        return (self.ele_left_mask.astype(np.int32)
+                - self.ele_right_mask.astype(np.int32))
+
+    def units(self):
+        return get_units(self.units_name)
+
+
+def mix_pair_coeffs(data: LammpsData, mix: str = "arithmetic"):
+    """Build (ntypes+1, ntypes+1) eps/sigma tables.
+
+    Explicit PairIJ-style coefficients (as in tests/dilute/input pair_coeff
+    lines) take precedence; otherwise per-type Pair Coeffs are mixed
+    (`pair_modify mix arithmetic`: geometric eps, arithmetic sigma)."""
+    nt = data.natomtypes
+    eps = np.zeros((nt + 1, nt + 1))
+    sig = np.zeros((nt + 1, nt + 1))
+    if data.pair_coeffs_ij is not None:
+        eps = data.pair_coeffs_ij[:, :, 0].copy()
+        sig = data.pair_coeffs_ij[:, :, 1].copy()
+    for i in range(1, nt + 1):
+        for j in range(1, nt + 1):
+            if eps[i, j] == 0.0 and sig[i, j] == 0.0:
+                ei, si = data.pair_coeffs[i]
+                ej, sj = data.pair_coeffs[j]
+                eps[i, j] = np.sqrt(ei * ej)
+                if mix == "arithmetic":
+                    sig[i, j] = 0.5 * (si + sj)
+                elif mix == "geometric":
+                    sig[i, j] = np.sqrt(si * sj)
+                else:
+                    raise ValueError(f"unknown mix {mix}")
+    return eps, sig
+
+
+def build_system(
+    data: LammpsData,
+    *,
+    units: str = "real",
+    periodic: tuple = (True, True, True),
+    mix: str = "arithmetic",
+    pair_coeff_overrides: Optional[list] = None,   # [(i, j, eps, sigma), ...]
+    ele_left: Optional[np.ndarray] = None,         # molecule-id list or mask
+    ele_right: Optional[np.ndarray] = None,
+    groups: Optional[dict] = None,
+) -> System:
+    eps, sig = mix_pair_coeffs(data, mix)
+    if pair_coeff_overrides:
+        for (i, j, e, s) in pair_coeff_overrides:
+            eps[i, j] = eps[j, i] = e
+            sig[i, j] = sig[j, i] = s
+
+    def as_mask(spec):
+        if spec is None:
+            return np.zeros(data.natoms, bool)
+        spec = np.asarray(spec)
+        if spec.dtype == bool:
+            return spec
+        return np.isin(data.mol, spec)
+
+    lmask = as_mask(ele_left)
+    rmask = as_mask(ele_right)
+    if (lmask & rmask).any():
+        raise ValueError("an atom is in both electrode groups")
+
+    return System(
+        units_name=units,
+        box_lo=data.box_lo.copy(),
+        box_hi=data.box_hi.copy(),
+        periodic=periodic,
+        tag=data.tag.copy(),
+        mol=data.mol.copy(),
+        type=data.type.copy(),
+        mass=data.mass_by_type[data.type],
+        q0=data.q.copy(),
+        x0=data.x.copy(),
+        v0=data.v.copy(),
+        bonds=data.bonds.copy(),
+        angles=data.angles.copy(),
+        bond_coeffs=data.bond_coeffs.copy(),
+        angle_coeffs=data.angle_coeffs.copy(),
+        lj_eps=eps,
+        lj_sigma=sig,
+        groups=dict(groups or {}),
+        ele_left_mask=lmask,
+        ele_right_mask=rmask,
+        mobile_mask=~(lmask | rmask),
+    )
+
+
+def exclusion_factors(system: System):
+    """Special-bond factor matrix: (N, N) float 0/1 with default LAMMPS
+    ``special_bonds`` 0,0,0 — 1-2 (bond) and 1-3 (angle end) pairs excluded.
+    Dense (N^2) on host; fine for the test-scale systems, and the dense pair
+    path consumes it as a static constant."""
+    n = system.natoms
+    fac = np.ones((n, n))
+    for (_, i, j) in system.bonds:
+        fac[i, j] = fac[j, i] = 0.0
+    for (_, i, j, k) in system.angles:
+        fac[i, k] = fac[k, i] = 0.0
+        fac[i, j] = fac[j, i] = 0.0
+        fac[j, k] = fac[k, j] = 0.0
+    np.fill_diagonal(fac, 0.0)
+    return fac

@@ -1,0 +1,235 @@
+"""The MD engine: jit-compiled velocity-Verlet loop with the charge solve fused in.
+
+This replaces the LAMMPS host runtime (SURVEY.md L0) for the workloads the
+reference targets.  Idiomatic-TPU shape: a pure step function over an MDState
+pytree, composed into lax.scan; the charge solve (ConpSolver.solve) runs in
+pre-force position exactly like FixConp::pre_force (fix_conp.cpp:543-573),
+the Gaussian correction + efield coupling in post-force position
+(fix_conp.cpp:577-580, 1163-1201).
+
+Step order (LAMMPS Verlet::run):
+  NHC half -> kick half -> drift (-> SHAKE) -> charge solve (every Nevery)
+  -> forces -> post-force corrections -> kick half (-> RATTLE) -> NHC half
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import ewald as ewald_ops
+from ..ops.bonded import angle_forces, bond_forces
+from ..ops.pairs import (conp_correction_forces, dense_pair_forces,
+                         make_pair_tables)
+from ..utils.config import MDConfig, PairMode
+from .conp import ConpSolver
+from .electrodes import MY_PIS
+from .integrate import Integrator, group_temperature, make_nhc_params
+from .shake import (ShakeConstraints, build_constraints, rattle_velocities,
+                    shake_positions)
+from .system import MDState, System, exclusion_factors
+
+
+@dataclasses.dataclass(frozen=True)
+class Engine:
+    system: System
+    md: MDConfig
+    conp: Optional[ConpSolver]
+    integrator: Integrator
+    cons: Optional[ShakeConstraints]
+    ksp_force: ewald_ops.EwaldKSpace
+    # device constants
+    type_idx: jnp.ndarray
+    special: jnp.ndarray
+    tables: object
+    elecheck: jnp.ndarray
+    dtype: object
+
+    # ------------------------------------------------------------- forces
+    def compute_forces(self, x, q, scalar_out):
+        """Returns (f, pe) for the current configuration."""
+        sys = self.system
+        u = sys.units()
+        box = self.ksp_force.box
+        f, evdwl, ecoul = dense_pair_forces(
+            x, q, self.type_idx, self.tables, self.special,
+            box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
+            g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
+        fb, eb = bond_forces(x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
+                             box=box, periodic=sys.periodic)
+        fa, ea = angle_forces(x, jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),
+                              box=box, periodic=sys.periodic)
+        ek, fk = ewald_ops.ewald_energy_forces(x, q, self.ksp_force)
+        ek = ek * u.qqr2e
+        fk = fk * u.qqr2e
+        g = self.ksp_force.g_ewald
+        eself = -u.qqr2e * g / MY_PIS * jnp.sum(q * q)
+        qsum = jnp.sum(q)
+        ebg = -u.qqr2e * math.pi / (2 * g * g * self.ksp_force.volume) * qsum * qsum
+        ek = ek + eself + ebg
+        f = f + fb + fa + fk
+        pe = evdwl + ecoul + eb + ea + ek
+
+        if self.ksp_force.slabflag:
+            es, fs = ewald_ops.slab_correction_energy_forces(
+                x, q, self.ksp_force.volume)
+            f = f + u.qqr2e * fs
+            pe = pe + u.qqr2e * es
+
+        # CONP post-force: Gaussian self energy + correction forces
+        if self.conp is not None:
+            kern = self.conp.kernels
+            fc, ecorr = conp_correction_forces(
+                x, q, self.elecheck, kern.force, kern.potential, self.type_idx,
+                box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
+                qqr2e=u.qqr2e)
+            f = f + fc
+            qsq_ele = jnp.sum(jnp.where(self.elecheck != 0,
+                                        jnp.asarray(kern.self_diag) * q * q, 0.0))
+            # ETA: qqr2e*eta*sum q^2/(sqrt2*sqrt(pi)) == qqr2e/2 * sum(self_diag q^2)
+            # EHGO: qqr2e*sum u0_i q^2 == qqr2e * sum(self_diag q^2)
+            fac = 0.5 if self.conp.cfg.pairmode is PairMode.ETA else 1.0
+            pe = pe + u.qqr2e * fac * qsq_ele + ecorr
+
+        # external / feedback uniform field (V/Angstrom): F = q E qe2f
+        if self.md.efield is not None:
+            e = jnp.asarray(self.md.efield, x.dtype)
+            f = f + u.qe2f * q[:, None] * e[None, :]
+        if self.md.efield_feedback:
+            lz = self.system.box[2]
+            ez = -scalar_out / lz
+            f = f.at[:, 2].add(u.qe2f * q * ez)
+        return f, pe
+
+    # --------------------------------------------------------------- step
+    def step(self, state: MDState) -> MDState:
+        itg = self.integrator
+        x, v, q = state.x, state.v, state.q
+        v, xi, vxi = itg.thermostat_half(v, state.nhc_xi, state.nhc_vxi, state.step)
+        v = itg.kick(v, state.f)
+        x_old = x
+        x = itg.drift(x_old, v)
+        if self.cons is not None:
+            x, dv = shake_positions(self.cons, x, x_old, itg.dt,
+                                    box=self.ksp_force.box,
+                                    periodic=self.system.periodic)
+            v = v + dv
+
+        scalar = state.scalar_out
+        if self.conp is not None:
+            nevery = self.conp.cfg.nevery
+            if nevery == 1:
+                q, scalar = self.conp.solve(x, q, state.step + 1)
+            else:
+                q, scalar = jax.lax.cond(
+                    (state.step + 1) % nevery == 0,
+                    lambda: self.conp.solve(x, q, state.step + 1),
+                    lambda: (q, scalar))
+
+        f, pe = self.compute_forces(x, q, scalar)
+        v = itg.kick(v, f)
+        if self.cons is not None:
+            v = rattle_velocities(self.cons, x, v, box=self.ksp_force.box,
+                                  periodic=self.system.periodic)
+        v, xi, vxi = itg.thermostat_half(v, xi, vxi, state.step)
+        return MDState(x=x, v=v, q=q, f=f, step=state.step + 1,
+                       nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe)
+
+    # -------------------------------------------------------------- setup
+    def init_state(self, x0=None, v0=None, q0=None) -> MDState:
+        """setup: zero electrode velocities, initial charge solve, first forces."""
+        dt = self.dtype
+        x = jnp.asarray(self.system.x0 if x0 is None else x0, dt)
+        v = jnp.asarray(self.system.v0 if v0 is None else v0, dt)
+        q = jnp.asarray(self.system.q0 if q0 is None else q0, dt)
+        v = jnp.where(jnp.asarray(self.system.mobile_mask)[:, None], v, 0.0)
+        scalar = jnp.zeros((), dt)
+        if self.conp is not None:
+            q, scalar = self.conp.solve(x, q, jnp.zeros((), jnp.int32))
+        f, pe = self.compute_forces(x, q, scalar)
+        nt = max(len(self.integrator.thermostats), 1)
+        tch = self.integrator.thermostats[0].tchain if self.integrator.thermostats else 3
+        return MDState(
+            x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),
+            nhc_xi=jnp.zeros((nt, tch), dt), nhc_vxi=jnp.zeros((nt, tch), dt),
+            scalar_out=scalar, energy=pe)
+
+    # ---------------------------------------------------------------- run
+    def thermo(self, state: MDState):
+        """One row of thermo scalars: step, T(all), qleft, qright, f_e, pe."""
+        u = self.system.units()
+        nall = self.system.natoms
+        ncons = 0 if self.cons is None else self.cons.ncons
+        dof_all = 3 * nall - 3 - ncons
+        t_all = group_temperature(state.v, self.integrator.mass,
+                                  jnp.ones(nall, bool), float(dof_all), u)
+        lmask = jnp.asarray(self.system.ele_left_mask)
+        rmask = jnp.asarray(self.system.ele_right_mask)
+        qleft = jnp.sum(jnp.where(lmask, state.q, 0.0))
+        qright = jnp.sum(jnp.where(rmask, state.q, 0.0))
+        return dict(step=state.step, temp=t_all, qleft=qleft, qright=qright,
+                    f_e=state.scalar_out, pe=state.energy)
+
+    def run(self, state: MDState, nsteps: int, *, thermo_every: int = 1):
+        """jit + lax.scan main loop; returns (final_state, thermo pytree)."""
+        def body(st, _):
+            st = self.step(st)
+            return st, self.thermo(st)
+
+        @jax.jit
+        def go(st):
+            return jax.lax.scan(body, st, None, length=nsteps)
+
+        final, th = go(state)
+        if thermo_every > 1:
+            th = jax.tree.map(lambda a: a[thermo_every - 1::thermo_every], th)
+        return final, th
+
+
+def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None,
+                 *, dtype=jnp.float64) -> Engine:
+    u = system.units()
+    # force-path kspace: reuse the conp solver's tables if present (same
+    # accuracy source), else build from MDConfig
+    if conp is not None:
+        ksp = conp.ksp
+    else:
+        q2 = float((system.q0 ** 2).sum()) * u.qqr2e
+        acc_abs = md.kspace_accuracy * u.qqr2e
+        slabflag = md.slab is not None
+        g = md.g_ewald or ewald_ops.determine_g_ewald_box(
+            acc_abs, md.cutoff, system.natoms, max(q2, 1e-10), *system.box)
+        ksp = ewald_ops.setup_ewald(
+            box=system.box, accuracy_abs=acc_abs, g_ewald=g,
+            natoms=system.natoms, q2=max(q2, 1e-10),
+            slabflag=slabflag, slab_volfactor=md.slab if slabflag else 1.0)
+
+    cons = build_constraints(system, md.shake)
+    thermos = []
+    for tc in md.thermostats:
+        gmask = system.groups[tc.group]
+        ncons_g = 0
+        if cons is not None:
+            ncons_g = int(cons.n_in_group[gmask].sum())
+        thermos.append(make_nhc_params(
+            gmask, tc.t_start, tc.t_stop, tc.damp,
+            nconstraints=ncons_g, tchain=tc.tchain))
+
+    integrator = Integrator(
+        dt=md.dt, units=u, mass=jnp.asarray(system.mass, dtype),
+        mobile_mask=jnp.asarray(system.mobile_mask), thermostats=tuple(thermos))
+
+    return Engine(
+        system=system, md=md, conp=conp, integrator=integrator, cons=cons,
+        ksp_force=ksp,
+        type_idx=jnp.asarray(system.type),
+        special=jnp.asarray(exclusion_factors(system), dtype),
+        tables=make_pair_tables(system.lj_eps, system.lj_sigma, dtype),
+        elecheck=jnp.asarray(system.elecheck),
+        dtype=dtype,
+    )

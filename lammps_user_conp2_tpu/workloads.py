@@ -1,0 +1,176 @@
+"""Reference test decks re-expressed as workload builders.
+
+Each function mirrors one env-var-parameterized LAMMPS input from
+/root/reference/tests/ (see SURVEY.md section 4) and returns
+(System, MDConfig, ConpConfig) ready for build_engine/setup_conp.
+
+Trial numbering follows the reference inputs exactly, e.g. dilute
+(tests/dilute/input:4-10): 0=conp slab, 1=+etypes (a no-op for the dense TPU
+pair path), 2=conp ffield [+efield], 3=noslab zneutr sym, 4=anti, 5=ffield
+rerun.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .models.system import System, build_system
+from .utils import data_io
+from .utils.config import (ConpConfig, FFMode, KSpaceStyle, MDConfig, Mode,
+                           ShakeConfig, ThermostatConfig)
+
+REF_TESTS = os.environ.get("CONP_REF_TESTS", "/root/reference/tests")
+
+# explicit pair_coeff lines from tests/dilute/input:29-38
+_DILUTE_PAIR_COEFFS = [
+    (1, 1, 0.09935850, 3.40000000),
+    (1, 2, 0.19419428, 3.50000000),
+    (1, 3, 0.07390356, 3.38500000),
+    (1, 4, 0.09935850, 3.35000000),
+    (2, 2, 0.37954900, 3.60000000),
+    (2, 3, 0.14444310, 3.48500000),
+    (2, 4, 0.19419428, 3.45000000),
+    (3, 3, 0.05497000, 3.37000000),
+    (3, 4, 0.07390356, 3.33500000),
+    (4, 4, 0.09935850, 3.30000000),
+]
+
+
+def _doubled_cell(data, molleft, molright, sym: bool, flip_vz: bool = False):
+    """replicate 1 1 2 + change_box + sym/anti mol reassignment
+    (tests/dilute/input:44-57, il_onelayer/input:34-47)."""
+    molmax = int(data.mol.max())
+    data = data_io.replicate_z2(data)
+    data = data_io.change_box_z_centered(data)
+    pos = data.x[:, 2] > 0.0
+    if sym:
+        data = data_io.mirror_group_z(data, pos, flip_vz=flip_vz)
+        data = data_io.set_mol(data, molmax + molright, molright)
+        data = data_io.set_mol(data, molmax + molleft, molleft)
+    else:
+        data = data_io.set_mol(data, molmax + molright, molleft)
+        data = data_io.set_mol(data, molmax + molleft, molright)
+    return data
+
+
+def dilute(n: int = 0, *, data_path: Optional[str] = None):
+    """tests/dilute/input — 432-atom smoke system."""
+    data = data_io.parse_data_file(data_path or f"{REF_TESTS}/dilute/data")
+    molleft, molright = 81, 82
+    doubled = n in (3, 4)
+    if doubled:
+        data = _doubled_cell(data, molleft, molright, sym=(n == 3))
+    periodic = (True, True, n > 1)
+
+    groups = {
+        "sol": np.isin(data.type, [1, 2, 4]),
+        "ele": data.type == 3,
+    }
+    system = build_system(
+        data, units="real", periodic=periodic, mix="geometric",
+        pair_coeff_overrides=_DILUTE_PAIR_COEFFS,
+        ele_left=[molleft], ele_right=[molright], groups=groups)
+
+    ff = {0: FFMode.NORMAL, 1: FFMode.NORMAL, 2: FFMode.FFIELD,
+          3: FFMode.NOSLAB, 4: FFMode.NOSLAB, 5: FFMode.FFIELD}[n]
+    v = 1.0
+    md = MDConfig(
+        units="real", dt=1.0, cutoff=4.0, kspace_accuracy=1e-6,
+        slab=3.0 if n <= 1 else None,
+        efield=(0.0, 0.0, -v / system.box[2]) if ff is FFMode.FFIELD else None,
+        thermostats=(ThermostatConfig("sol", 298.0, 298.0, 100.0),),
+    )
+    cfg = ConpConfig(mode=Mode.CONP, nevery=1, eta=1.979, target=v,
+                     ff=ff, zneutr=doubled)
+    return system, md, cfg
+
+
+def il_onelayer(n: int = 0, *, data_path: Optional[str] = None):
+    """tests/il_onelayer/input — 3776-atom BMI-PF6 + single-layer graphene."""
+    data = data_io.parse_data_file(data_path or f"{REF_TESTS}/il_onelayer/data")
+    molleft, molright = 641, 642
+    etype = 5
+    doubled = n in (5, 6)
+    if doubled:
+        data = _doubled_cell(data, molleft, molright, sym=(n == 5), flip_vz=(n == 5))
+    periodic = (True, True, n > 2)
+
+    groups = {
+        "sol": np.isin(data.type, [1, 2, 3, 4]),
+        "bmi": np.isin(data.type, [1, 2, 3]),
+        "ele": data.type == etype,
+    }
+    system = build_system(
+        data, units="real", periodic=periodic, mix="arithmetic",
+        ele_left=[molleft], ele_right=[molright], groups=groups)
+
+    v = 2.0
+    ff = FFMode.NORMAL
+    mode = Mode.CONP
+    target = v
+    kspace = KSpaceStyle.EWALD
+    if n in (3, 4, 7):
+        ff = FFMode.FFIELD
+    if n in (5, 6):
+        ff = FFMode.NOSLAB
+    if n == 2:
+        mode = Mode.CONQ
+        target = v
+        kspace = KSpaceStyle.PPPM
+    if n == 4:
+        kspace = KSpaceStyle.PPPM
+    ehgo = None
+    from .utils.config import EhgoConfig, PairMode
+    pairmode = PairMode.ETA
+    if n == 4:
+        pairmode = PairMode.EHGO
+        ehgo = EhgoConfig(kappa=0.0, eta_by_type=((etype, 1.979, None),))
+
+    md = MDConfig(
+        units="real", dt=2.0, cutoff=16.0, kspace_accuracy=1e-7,
+        slab=3.0 if n <= 2 else None,
+        efield=(0.0, 0.0, -v / system.box[2]) if ff is FFMode.FFIELD else None,
+        thermostats=(ThermostatConfig("sol", 500.0, 500.0, 100.0),),
+        shake=ShakeConfig(group="bmi", btypes=(1, 2), atypes=(1,)),
+    )
+    cfg = ConpConfig(mode=mode, nevery=1, eta=1.979, target=target,
+                     ff=ff, zneutr=doubled, pairmode=pairmode, ehgo=ehgo,
+                     kspace=kspace)
+    return system, md, cfg
+
+
+def il_twolayer(n: int = 0, *, data_path: Optional[str] = None):
+    """tests/il_twolayer/input — the BASELINE.md north-star workload."""
+    data = data_io.parse_data_file(data_path or f"{REF_TESTS}/il_twolayer/data")
+    molleft, molright = 641, 642
+    etype = 5
+    doubled = n in (3, 4)
+    if doubled:
+        data = _doubled_cell(data, molleft, molright, sym=(n == 3), flip_vz=(n == 3))
+    periodic = (True, True, n > 1)
+
+    groups = {
+        "sol": np.isin(data.type, [1, 2, 3, 4]),
+        "bmi": np.isin(data.type, [1, 2, 3]),
+        "ele": data.type == etype,
+    }
+    system = build_system(
+        data, units="real", periodic=periodic, mix="arithmetic",
+        ele_left=[molleft], ele_right=[molright], groups=groups)
+
+    v = 2.0
+    ff = {0: FFMode.NORMAL, 1: FFMode.NORMAL, 2: FFMode.FFIELD,
+          3: FFMode.NOSLAB, 4: FFMode.NOSLAB, 5: FFMode.FFIELD}[n]
+    md = MDConfig(
+        units="real", dt=2.0, cutoff=16.0, kspace_accuracy=1e-7,
+        slab=3.0 if n <= 1 else None,
+        efield=(0.0, 0.0, -v / system.box[2]) if ff is FFMode.FFIELD else None,
+        thermostats=(ThermostatConfig("sol", 500.0, 500.0, 100.0),),
+        shake=ShakeConfig(group="bmi", btypes=(1, 2), atypes=(1,)),
+    )
+    cfg = ConpConfig(mode=Mode.CONP, nevery=1, eta=1.979, target=v,
+                     ff=ff, zneutr=doubled)
+    return system, md, cfg

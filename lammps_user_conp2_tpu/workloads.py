@@ -142,6 +142,43 @@ def il_onelayer(n: int = 0, *, data_path: Optional[str] = None):
     return system, md, cfg
 
 
+def cond(n: int = 0, *, data_path: Optional[str] = None, suite: str = "cond"):
+    """tests/cond/input — conp/conq/cond at 3776 atoms (cond2: larger, Q=50).
+
+    0=conp slab pppm, 1=conq slab pppm (Q=0.35), 2=conp ffield pppm [+efield],
+    3=conq ffield pppm [+feedback efield], 4=cond ffield pppm [+feedback]."""
+    data = data_io.parse_data_file(data_path or f"{REF_TESTS}/{suite}/data")
+    molleft, molright = 641, 642
+    etype = 5
+    periodic = (True, True, n > 1)
+    groups = {
+        "sol": np.isin(data.type, [1, 2, 3, 4]),
+        "bmi": np.isin(data.type, [1, 2, 3]),
+        "ele": data.type == etype,
+    }
+    system = build_system(
+        data, units="real", periodic=periodic, mix="arithmetic",
+        ele_left=[molleft], ele_right=[molright], groups=groups)
+
+    v = 2.0
+    qtarget = 50.0 if suite == "cond2" else 0.35
+    mode = {0: Mode.CONP, 1: Mode.CONQ, 2: Mode.CONP, 3: Mode.CONQ,
+            4: Mode.COND}[n]
+    ff = FFMode.NORMAL if n <= 1 else FFMode.FFIELD
+    target = v if mode is Mode.CONP else qtarget
+    md = MDConfig(
+        units="real", dt=2.0, cutoff=16.0, kspace_accuracy=1e-7,
+        slab=3.0 if n <= 1 else None,
+        efield=(0.0, 0.0, -v / system.box[2]) if n == 2 else None,
+        efield_feedback=n in (3, 4),
+        thermostats=(ThermostatConfig("sol", 500.0, 500.0, 100.0),),
+        shake=ShakeConfig(group="bmi", btypes=(1, 2), atypes=(1,)),
+    )
+    cfg = ConpConfig(mode=mode, nevery=1, eta=1.979, target=target, ff=ff,
+                     kspace=KSpaceStyle.PPPM)
+    return system, md, cfg
+
+
 def il_twolayer(n: int = 0, *, data_path: Optional[str] = None):
     """tests/il_twolayer/input — the BASELINE.md north-star workload."""
     data = data_io.parse_data_file(data_path or f"{REF_TESTS}/il_twolayer/data")

@@ -144,7 +144,36 @@ def setup_conp(
 ) -> ConpSolver:
     """One-time setup: k-space tables, A assembly, inverse + projection,
     d vector, elesetq, cond gain.  Mirrors linalg_init/linalg_setup
-    (fix_conp.cpp:393-464)."""
+    (fix_conp.cpp:393-464).
+
+    The setup linear algebra always runs on the host CPU in float64 (TPU
+    sessions run the per-step path in float32; the one-time inverse must not
+    lose precision), then the context is cast to ``solve_dtype``.
+    """
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.enable_x64(True), jax.default_device(cpu):
+        solver64 = _setup_conp_f64(system, md, cfg, x0=x0, q0=q0, g_ewald=g_ewald)
+    if solve_dtype == jnp.float64:
+        return solver64
+    # cast the per-step context to the run dtype
+    ctx = jax.tree.map(
+        lambda a: (jnp.asarray(np.asarray(a), solve_dtype)
+                   if jnp.asarray(a).dtype in (jnp.float64, jnp.float32)
+                   else jnp.asarray(np.asarray(a))),
+        solver64.ctx)
+    return dataclasses.replace(solver64, ctx=ctx, solve_dtype=solve_dtype)
+
+
+def _setup_conp_f64(
+    system: System,
+    md: MDConfig,
+    cfg: ConpConfig,
+    *,
+    x0: Optional[np.ndarray] = None,
+    q0: Optional[np.ndarray] = None,
+    g_ewald: Optional[float] = None,
+    solve_dtype=jnp.float64,
+) -> ConpSolver:
     units = system.units()
     x0 = system.x0 if x0 is None else np.asarray(x0)
     q0 = system.q0 if q0 is None else np.asarray(q0)

@@ -180,6 +180,7 @@ def structure_factor(x, q, kvecs, *, chunk: int = 4096):
     on a sharded atom axis callers psum the result.
     """
     K = kvecs.shape[0]
+    chunk = min(chunk, max(K, 1))
     nchunk = -(-K // chunk)
     pad = nchunk * chunk - K
     kp = jnp.pad(kvecs, ((0, pad), (0, 0)))
@@ -202,6 +203,7 @@ def kspace_potential_on_points(xe, kvecs, ug, sre, sim, *, chunk: int = 4096):
     bbb_from_sincos_b, with csk premultiplied by 2*ug at km_ewald.cpp:501-507).
     """
     K = kvecs.shape[0]
+    chunk = min(chunk, max(K, 1))
     nchunk = -(-K // chunk)
     pad = nchunk * chunk - K
     kp = jnp.pad(kvecs, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)
@@ -240,21 +242,23 @@ def amatrix_kspace(xe, ksp: EwaldKSpace, dtype=jnp.float64):
     return a
 
 
-def ewald_energy_forces(x, q, ksp: EwaldKSpace, *, exclude_mask=None, chunk: int = 2048):
+def ewald_energy_forces(x, q, ksp: EwaldKSpace, *, chunk: int = 2048):
     """Plain Ewald k-space energy and forces for all atoms.
 
-    Standard half-space formulation: E = qqr2e * sum_k ug_k |S(k)|^2 (the
-    implicit +-k doubling is in 2*ug; here E uses ug directly on |S|^2 of a
-    *half* enumeration so E = sum_k 2 ug |S|^2 / 2 ... we keep LAMMPS's
-    convention: E = sum_halfk 2*ug*|S|^2 / 2 = sum ug |S|^2.  Forces:
-    F_i = 2 q_i sum_halfk 2 ug_k k [sin(k.x_i) ReS - cos(k.x_i) ImS] / 2.
-
-    Returns (energy_without_prefactor, force_without_prefactor); the caller
-    multiplies by qqr2e.  Self/background terms are handled by the caller.
+    Half-space formulation: E = sum_halfk ug_k |S(k)|^2 (the +-k doubling
+    cancels the 1/2); F_i = 2 q_i sum_halfk 2 ug_k k [sin(k.x_i) ReS -
+    cos(k.x_i) ImS] / 2.  Returns (energy, force) WITHOUT the qqr2e
+    prefactor; self/background terms are handled by the caller.
     """
-    kvecs = jnp.asarray(ksp.kvecs, x.dtype)
-    ug = jnp.asarray(ksp.ug, x.dtype)
+    return ewald_energy_forces_kv(
+        x, q, jnp.asarray(ksp.kvecs, x.dtype), jnp.asarray(ksp.ug, x.dtype),
+        chunk=chunk)
+
+
+def ewald_energy_forces_kv(x, q, kvecs, ug, *, chunk: int = 2048):
+    """ewald_energy_forces over explicit (possibly device-sharded) k arrays."""
     K = kvecs.shape[0]
+    chunk = min(chunk, max(K, 1))
     nchunk = -(-K // chunk)
     pad = nchunk * chunk - K
     kp = jnp.pad(kvecs, ((0, pad), (0, 0))).reshape(nchunk, chunk, 3)

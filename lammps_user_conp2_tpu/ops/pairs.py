@@ -5,8 +5,8 @@ TPU-first design note: the reference consumes LAMMPS half neighbor lists
 all-pairs (N x N) masked formulation is faster on TPU than any sparse list:
 the distance matrix is one MXU-friendly batched op, masks fuse into the
 elementwise chain, and there is no dynamic shape anywhere.  We block over
-rows with lax.scan to bound memory at (block x N).  A cell-list path for
-N >> 1e4 lives in ops/cells.py.
+rows (lax.scan single-device; one row-shard per device under shard_map) to
+bound memory at (block x N).
 
 Physics matches lj/cut/coul/long (LAMMPS pair_lj_cut_coul_long.cpp) with
 special_bonds 0 0 0: excluded pairs keep the k-space compensation term
@@ -69,80 +69,110 @@ def make_pair_tables(lj_eps: np.ndarray, lj_sigma: np.ndarray, dtype=jnp.float64
     )
 
 
+def pair_rowblock(xi, qi, ti, si, rowvalid, i0, x, q, type_idx, tables, *,
+                  box, periodic, cutoff, g_ewald, qqr2e):
+    """LJ + real-space Coulomb for one row block.
+
+    xi (B,3), qi (B,), ti (B,), si (B,N) special factors, rowvalid (B,) bool,
+    i0 () global index of the first row.  Returns (f_rows (B,3), evdwl, ecoul)
+    with energies already halved for the double count.
+    """
+    n = x.shape[0]
+    cutsq = cutoff * cutoff
+    boxj = jnp.asarray(box, x.dtype)
+    idx_all = jnp.arange(n)
+    dx = min_image(xi[:, None, :] - x[None, :, :], boxj, periodic)  # (B,N,3)
+    rsq = jnp.sum(dx * dx, axis=-1)
+    iidx = i0 + jnp.arange(xi.shape[0])
+    notself = iidx[:, None] != idx_all[None, :]
+    inrange = (rsq < cutsq) & notself & rowvalid[:, None]
+    rsq_safe = jnp.where(inrange, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    # LJ
+    r6inv = r2inv * r2inv * r2inv
+    lj_on = inrange & (si > 0.0)
+    l1 = tables.lj1[ti[:, None], type_idx[None, :]]
+    l2 = tables.lj2[ti[:, None], type_idx[None, :]]
+    l3 = tables.lj3[ti[:, None], type_idx[None, :]]
+    l4 = tables.lj4[ti[:, None], type_idx[None, :]]
+    flj = jnp.where(lj_on, si * r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
+    elj = jnp.where(lj_on, si * r6inv * (l3 * r6inv - l4), 0.0)
+    # Coulomb (erfc + kspace compensation for excluded pairs)
+    r = jnp.sqrt(rsq_safe)
+    grij = g_ewald * r
+    expm2 = jnp.exp(-grij * grij)
+    t = 1.0 / (1.0 + 0.3275911 * grij)
+    erfc = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429)))) * expm2
+    prefactor = qqr2e * qi[:, None] * q[None, :] / r
+    fcoul = prefactor * (erfc + EWALD_F * grij * expm2)
+    fcoul = fcoul - (1.0 - si) * prefactor
+    ecoul_pair = prefactor * erfc - (1.0 - si) * prefactor
+    fcoul = jnp.where(inrange, fcoul, 0.0)
+    ecoul_pair = jnp.where(inrange, ecoul_pair, 0.0)
+    fpair = flj + fcoul * r2inv             # F/r
+    f_rows = jnp.einsum("bn,bnc->bc", fpair, dx)
+    return f_rows, 0.5 * jnp.sum(elj), 0.5 * jnp.sum(ecoul_pair)
+
+
+def _pad_rows(n, block):
+    nb = -(-n // block)
+    return nb, nb * block - n
+
+
 def dense_pair_forces(
     x, q, type_idx, tables: PairTables, special, *,
     box, periodic, cutoff, g_ewald, qqr2e, block=512,
 ):
-    """All-pairs LJ + real-space Ewald Coulomb.
+    """All-pairs LJ + real-space Ewald Coulomb via lax.scan over row blocks.
 
-    Args:
-      x: (N,3); q: (N,); type_idx: (N,) int32 (1-based LAMMPS types)
-      special: (N,N) special-bond factor (1.0 normal, 0.0 excluded)
-      returns (forces (N,3), evdwl, ecoul)
-    """
+    Returns (forces (N,3), evdwl, ecoul)."""
     n = x.shape[0]
-    cutsq = cutoff * cutoff
-    nb = -(-n // block)
-    pad = nb * block - n
+    block = min(block, n)
+    nb, pad = _pad_rows(n, block)
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     qp = jnp.pad(q, (0, pad))
     tp = jnp.pad(type_idx, (0, pad))
     sp = jnp.pad(special, ((0, pad), (0, 0)))
     rowvalid = jnp.pad(jnp.ones(n, bool), (0, pad))
-    boxj = jnp.asarray(box, x.dtype)
 
-    idx_all = jnp.arange(n)
-
-    def row_block(carry, blk):
+    def body(carry, blk):
         ev, ec = carry
-        xi, qi, ti, si, rv, i0 = blk            # (B,3) (B,) (B,) (B,N) (B,) ()
-        dx = min_image(xi[:, None, :] - x[None, :, :], boxj, periodic)  # (B,N,3)
-        rsq = jnp.sum(dx * dx, axis=-1)
-        iidx = i0 + jnp.arange(xi.shape[0])
-        notself = iidx[:, None] != idx_all[None, :]
-        inrange = (rsq < cutsq) & notself & rv[:, None]
-        rsq_safe = jnp.where(inrange, rsq, 1.0)
-        r2inv = 1.0 / rsq_safe
-        # LJ
-        r6inv = r2inv * r2inv * r2inv
-        lj_on = inrange & (si > 0.0)
-        l1 = tables.lj1[ti[:, None], type_idx[None, :]]
-        l2 = tables.lj2[ti[:, None], type_idx[None, :]]
-        l3 = tables.lj3[ti[:, None], type_idx[None, :]]
-        l4 = tables.lj4[ti[:, None], type_idx[None, :]]
-        flj = jnp.where(lj_on, si * r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
-        elj = jnp.where(lj_on, si * r6inv * (l3 * r6inv - l4), 0.0)
-        # Coulomb (erfc + kspace compensation for excluded pairs)
-        r = jnp.sqrt(rsq_safe)
-        grij = g_ewald * r
-        expm2 = jnp.exp(-grij * grij)
-        t = 1.0 / (1.0 + 0.3275911 * grij)
-        erfc = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
-                    + t * (-1.453152027 + t * 1.061405429)))) * expm2
-        prefactor = qqr2e * qi[:, None] * q[None, :] / r
-        fcoul = prefactor * (erfc + EWALD_F * grij * expm2)
-        fcoul = fcoul - (1.0 - si) * prefactor
-        ecoul_pair = prefactor * erfc - (1.0 - si) * prefactor
-        fcoul = jnp.where(inrange, fcoul, 0.0)
-        ecoul_pair = jnp.where(inrange, ecoul_pair, 0.0)
-        fpair = flj + fcoul * r2inv             # F/r
-        fblk = jnp.einsum("bn,bnc->bc", fpair, dx)
-        ev = ev + 0.5 * jnp.sum(elj)
-        ec = ec + 0.5 * jnp.sum(ecoul_pair)
-        return (ev, ec), fblk
+        xi, qi, ti, si, rv, i0 = blk
+        f_rows, dev, dec = pair_rowblock(
+            xi, qi, ti, si, rv, i0, x, q, type_idx, tables,
+            box=box, periodic=periodic, cutoff=cutoff, g_ewald=g_ewald,
+            qqr2e=qqr2e)
+        return (ev + dev, ec + dec), f_rows
 
-    xb = xp.reshape(nb, block, 3)
-    qb = qp.reshape(nb, block)
-    tb = tp.reshape(nb, block)
-    sb = sp.reshape(nb, block, n)
-    rb = rowvalid.reshape(nb, block)
-    i0s = jnp.arange(nb) * block
     (ev, ec), fb = jax.lax.scan(
-        row_block, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)),
-        (xb, qb, tb, sb, rb, i0s),
+        body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)),
+        (xp.reshape(nb, block, 3), qp.reshape(nb, block), tp.reshape(nb, block),
+         sp.reshape(nb, block, n), rowvalid.reshape(nb, block),
+         jnp.arange(nb) * block),
     )
-    f = fb.reshape(nb * block, 3)[:n]
-    return f, ev, ec
+    return fb.reshape(nb * block, 3)[:n], ev, ec
+
+
+def conp_correction_rowblock(xi, qi, ti, ei, rowvalid, x, q, is_ele,
+                             pair_force_fn, pair_potential_fn, type_idx, *,
+                             box, periodic, cutoff, qqr2e):
+    """Gaussian correction for one row block; see conp_correction_forces."""
+    cutsq = cutoff * cutoff
+    boxj = jnp.asarray(box, x.dtype)
+    dx = min_image(xi[:, None, :] - x[None, :, :], boxj, periodic)
+    rsq = jnp.sum(dx * dx, axis=-1)
+    xor = (ei[:, None] != 0) ^ is_ele[None, :]
+    mask = xor & (rsq < cutsq) & rowvalid[:, None]
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    prefactor = qqr2e * qi[:, None] * q[None, :]
+    fk = pair_force_fn(rsq_safe, ti[:, None], type_idx[None, :])
+    ek = pair_potential_fn(rsq_safe, ti[:, None], type_idx[None, :])
+    forcecoul = jnp.where(mask, prefactor * fk, 0.0)
+    epair = jnp.where(mask, prefactor * ek, 0.0)
+    fpair = forcecoul / rsq_safe
+    f_rows = jnp.einsum("bn,bnc->bc", fpair, dx)
+    return f_rows, 0.5 * jnp.sum(epair)
 
 
 def conp_correction_forces(
@@ -156,39 +186,26 @@ def conp_correction_forces(
     Returns (forces, ecoul_correction).
     """
     n = x.shape[0]
-    cutsq = cutoff * cutoff
-    nb = -(-n // block)
-    pad = nb * block - n
+    block = min(block, n)
+    nb, pad = _pad_rows(n, block)
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     qp = jnp.pad(q, (0, pad))
     tp = jnp.pad(type_idx, (0, pad))
     ep = jnp.pad(elecheck, (0, pad))
     rowvalid = jnp.pad(jnp.ones(n, bool), (0, pad))
-    boxj = jnp.asarray(box, x.dtype)
     is_ele = elecheck != 0
 
-    def row_block(ecoul, blk):
+    def body(ecoul, blk):
         xi, qi, ti, ei, rv = blk
-        dx = min_image(xi[:, None, :] - x[None, :, :], boxj, periodic)
-        rsq = jnp.sum(dx * dx, axis=-1)
-        xor = (ei[:, None] != 0) ^ is_ele[None, :]
-        mask = xor & (rsq < cutsq) & rv[:, None]
-        rsq_safe = jnp.where(mask, rsq, 1.0)
-        prefactor = qqr2e * qi[:, None] * q[None, :]
-        fk = pair_force_fn(rsq_safe, ti[:, None], type_idx[None, :])
-        ek = pair_potential_fn(rsq_safe, ti[:, None], type_idx[None, :])
-        forcecoul = jnp.where(mask, prefactor * fk, 0.0)
-        epair = jnp.where(mask, prefactor * ek, 0.0)
-        fpair = forcecoul / rsq_safe
-        fblk = jnp.einsum("bn,bnc->bc", fpair, dx)
-        return ecoul + 0.5 * jnp.sum(epair), fblk
+        f_rows, de = conp_correction_rowblock(
+            xi, qi, ti, ei, rv, x, q, is_ele, pair_force_fn, pair_potential_fn,
+            type_idx, box=box, periodic=periodic, cutoff=cutoff, qqr2e=qqr2e)
+        return ecoul + de, f_rows
 
-    xb = xp.reshape(nb, block, 3)
-    qb = qp.reshape(nb, block)
-    tb = tp.reshape(nb, block)
-    eb = ep.reshape(nb, block)
-    rb = rowvalid.reshape(nb, block)
-    ec, fb = jax.lax.scan(row_block, jnp.zeros((), x.dtype), (xb, qb, tb, eb, rb))
+    ec, fb = jax.lax.scan(
+        body, jnp.zeros((), x.dtype),
+        (xp.reshape(nb, block, 3), qp.reshape(nb, block), tp.reshape(nb, block),
+         ep.reshape(nb, block), rowvalid.reshape(nb, block)))
     return fb.reshape(nb * block, 3)[:n], ec
 
 

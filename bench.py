@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric: steps/sec on the reference's only recorded absolute number,
+the tests/dilute deck (432 atoms, conp slab, Nevery=1): the reference logs
+7.171 timesteps/s on 1 CPU rank (tests/dilute/persist.log; BASELINE.md).
+vs_baseline = ours / 7.171 on the same deck.
+
+Extra keys report the north-star workload (il_twolayer, BASELINE.md) and the
+charge-solve cost.  Runs on the real TPU in float32; the one-time setup
+linear algebra runs on host CPU in float64 (setup_conp handles this).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build(workload, n):
+    import jax.numpy as jnp
+    from lammps_user_conp2_tpu import workloads
+    from lammps_user_conp2_tpu.models.conp import setup_conp
+    from lammps_user_conp2_tpu.models.md import build_engine
+
+    system, md, cfg = getattr(workloads, workload)(n)
+    solver = setup_conp(system, md, cfg, solve_dtype=jnp.float32)
+    eng = build_engine(system, md, solver, dtype=jnp.float32)
+    return eng
+
+
+def bench_steps_per_sec(eng, nsteps=100, repeats=3):
+    import jax
+
+    state = eng.init_state()
+    run = jax.jit(lambda st: jax.lax.fori_loop(
+        0, nsteps, lambda i, s: eng.step(s), st))
+    state = jax.block_until_ready(run(state))  # compile + warm
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = jax.block_until_ready(run(state))
+        dt = time.perf_counter() - t0
+        best = max(best, nsteps / dt)
+    assert np.isfinite(float(np.asarray(state.energy))), "non-finite energy"
+    return best
+
+
+def bench_charge_solve_ms(eng, iters=50):
+    import jax
+
+    state = eng.init_state()
+    solve = jax.jit(lambda x, q: eng.conp.solve(x, q, 0))
+    jax.block_until_ready(solve(state.x, state.q))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = solve(state.x, state.q)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    t_start = time.time()
+    result = {}
+
+    eng = _build("dilute", 0)
+    dilute_sps = bench_steps_per_sec(eng, nsteps=100)
+    result["metric"] = "dilute_steps_per_sec"
+    result["value"] = round(dilute_sps, 3)
+    result["unit"] = "steps/s"
+    result["vs_baseline"] = round(dilute_sps / 7.171, 2)
+
+    if os.environ.get("BENCH_SKIP_IL") != "1":
+        try:
+            eng2 = _build("il_twolayer", 0)
+            result["il_twolayer_steps_per_sec"] = round(
+                bench_steps_per_sec(eng2, nsteps=20, repeats=2), 3)
+            result["il_twolayer_charge_solve_ms"] = round(
+                bench_charge_solve_ms(eng2, iters=20), 3)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            result["il_twolayer_error"] = repr(e)[:200]
+
+    result["bench_wall_s"] = round(time.time() - t_start, 1)
+    import jax
+    result["device"] = str(jax.devices()[0])
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -220,9 +220,19 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
             gmask, tc.t_start, tc.t_stop, tc.damp,
             nconstraints=ncons_g, tchain=tc.tchain))
 
+    # LAMMPS semantics: only atoms in some integrator fix move.  All the
+    # reference decks integrate exactly the thermostatted groups (`fix nvt`);
+    # everything else (electrodes INCLUDING non-conp outer layers, e.g.
+    # il_twolayer mol 643+) stays frozen.
+    if md.thermostats:
+        mobile = np.zeros(system.natoms, bool)
+        for tc in md.thermostats:
+            mobile |= system.groups[tc.group]
+    else:
+        mobile = system.mobile_mask
     integrator = Integrator(
         dt=md.dt, units=u, mass=jnp.asarray(system.mass, dtype),
-        mobile_mask=jnp.asarray(system.mobile_mask), thermostats=tuple(thermos))
+        mobile_mask=jnp.asarray(mobile), thermostats=tuple(thermos))
 
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,

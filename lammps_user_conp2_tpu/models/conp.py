@@ -51,6 +51,7 @@ class ConpSolver:
     evscale: float
     ee_diag: float               # <e,e> diagnostic
     solve_dtype: object = jnp.float64
+    pppm_grid: object = None     # PPPMGrid when cfg.kspace is PPPM
 
     @property
     def ne(self) -> int:
@@ -58,6 +59,10 @@ class ConpSolver:
 
     # ----------------------------------------------------------------- b
     def b_vector(self, x, q):
+        b, _ = self.b_vector_full(x, q)
+        return b
+
+    def b_vector_full(self, x, q):
         """Assemble b for the current electrolyte configuration.
 
         k-space: b_i -= sum_k 2 ug_k (c_i ReS + s_i ImS)   [km_ewald.cpp:789-825]
@@ -72,10 +77,21 @@ class ConpSolver:
         elyte = jnp.asarray(self.elyte_mask)
         q_elyte = jnp.where(elyte, q, 0.0)
 
-        kvecs = jnp.asarray(self.ksp.kvecs, dt)
-        ug = jnp.asarray(self.ksp.ug, dt)
-        sre, sim = ewald_ops.structure_factor(x, q_elyte, kvecs)
-        b = -ewald_ops.kspace_potential_on_points(xe, kvecs, ug, sre, sim)
+        rho_elyte = None
+        if self.pppm_grid is not None:
+            # mesh path (PPPMCONP::b_cal, pppm_conp.cpp:269-316): spread the
+            # electrolyte, Poisson-solve to u_brick, stencil-gather at the
+            # electrodes.  rho_elyte is returned for the force-path reuse
+            # invariant (SURVEY.md section 3.4).
+            from ..ops import pppm as pppm_ops
+            rho_elyte = pppm_ops.spread(self.pppm_grid, x, q_elyte)
+            u = pppm_ops.poisson_u(self.pppm_grid, rho_elyte)
+            b = -pppm_ops.gather(self.pppm_grid, u, xe)
+        else:
+            kvecs = jnp.asarray(self.ksp.kvecs, dt)
+            ug = jnp.asarray(self.ksp.ug, dt)
+            sre, sim = ewald_ops.structure_factor(x, q_elyte, kvecs)
+            b = -ewald_ops.kspace_potential_on_points(xe, kvecs, ug, sre, sim)
 
         # real-space rows over (Ne x N)
         g = self.ksp.g_ewald
@@ -93,19 +109,24 @@ class ConpSolver:
             slabcorr = (4.0 * math.pi / self.ksp.volume) * jnp.sum(
                 q_elyte * x[:, 2])
             b = b - xe[:, 2] * slabcorr
-        return b
+        return b, rho_elyte
 
     # ------------------------------------------------------------- solve
     def solve(self, x, q, step):
-        """One charge update. Returns (q_new, scalar_output).
+        q_new, scalar, _ = self.solve_full(x, q, step)
+        return q_new, scalar
+
+    def solve_full(self, x, q, step):
+        """One charge update. Returns (q_new, scalar_output, rho_elyte).
 
         scalar: CONP induced charge dV*totsetq + sum_left(A^-1 b)
         (fix_conp.cpp:1159); CONQ required potential (fix_conq.cpp:78);
-        COND dV (fix_cond.cpp:115).
+        COND dV (fix_cond.cpp:115).  rho_elyte is the cached electrolyte
+        density mesh in PPPM mode (None otherwise).
         """
         ctx = self.ctx
         cfg = self.cfg
-        b = self.b_vector(x, q)
+        b, rho_elyte = self.b_vector_full(x, q)
         eleallq = ctx.ainv @ b
 
         target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
@@ -129,7 +150,7 @@ class ConpSolver:
 
         q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
         q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
-        return q_new, scalar
+        return q_new, scalar, rho_elyte
 
 
 def setup_conp(
@@ -192,12 +213,27 @@ def _setup_conp_f64(
     slab_volfactor = md.slab if slabflag else 1.0
     if g_ewald is None:
         g_ewald = md.g_ewald
+    pppm_grid = None
     if g_ewald is None:
-        g_ewald = ewald_ops.determine_g_ewald_box(
-            acc_abs, md.cutoff, natoms, max(q2, 1e-10), *box)
+        # all reference decks use a pppm host kspace style; the fix takes
+        # g_ewald from it (km_ewald.cpp:66) — reproduce the LAMMPS pppm
+        # pipeline exactly (validated vs persist.log: g=0.77236341)
+        from ..ops import pppm as pppm_ops
+        g_ewald, _, _ = pppm_ops.set_grid_and_gewald(
+            box=box, accuracy_abs=acc_abs, natoms=natoms, q2=max(q2, 1e-10),
+            cutoff=md.cutoff,
+            slab_volfactor=md.slab if md.slab is not None else 1.0)
     ksp = ewald_ops.setup_ewald(
         box=box, accuracy_abs=acc_abs, g_ewald=g_ewald, natoms=natoms,
         q2=max(q2, 1e-10), slabflag=slabflag, slab_volfactor=slab_volfactor)
+    if cfg.kspace is KSpaceStyle.PPPM:
+        from ..ops import pppm as pppm_ops
+        pppm_grid = pppm_ops.setup_pppm(
+            box=box, box_lo=tuple(system.box_lo), accuracy_abs=acc_abs,
+            natoms=natoms, q2=max(q2, 1e-10), cutoff=md.cutoff,
+            slabflag=slabflag,
+            slab_volfactor=slab_volfactor if slabflag else 1.0,
+            g_ewald=g_ewald)
 
     kernels = make_kernels(cfg, system)
     cut_coulsq = min(md.cutoff ** 2, (ERFC_MAX / g_ewald) ** 2)
@@ -283,5 +319,5 @@ def _setup_conp_f64(
         ele_idx=ele_idx, elyte_mask=~system.ele_mask,
         type_idx=system.type, box=box, periodic=system.periodic,
         cut_coulsq=cut_coulsq, qqr2e=units.qqr2e, evscale=units.evscale,
-        ee_diag=ee, solve_dtype=solve_dtype,
+        ee_diag=ee, solve_dtype=solve_dtype, pppm_grid=pppm_grid,
     )

@@ -43,6 +43,7 @@ class Engine:
     integrator: Integrator
     cons: Optional[ShakeConstraints]
     ksp_force: ewald_ops.EwaldKSpace
+    pppm_grid: object            # PPPMGrid or None — mesh force path
     # device constants
     type_idx: jnp.ndarray
     special: jnp.ndarray
@@ -51,8 +52,13 @@ class Engine:
     dtype: object
 
     # ------------------------------------------------------------- forces
-    def compute_forces(self, x, q, scalar_out):
-        """Returns (f, pe) for the current configuration."""
+    def compute_forces(self, x, q, scalar_out, rho_elyte=None):
+        """Returns (f, pe) for the current configuration.
+
+        In PPPM mode ``rho_elyte`` is the electrolyte density mesh cached by
+        the charge solve — the reuse invariant of pppm/conp (SURVEY.md 3.4;
+        pppm_conp.cpp:428-450): exactly one electrolyte spread per step
+        serves both the charge solve and the force evaluation."""
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
@@ -64,9 +70,20 @@ class Engine:
                              box=box, periodic=sys.periodic)
         fa, ea = angle_forces(x, jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),
                               box=box, periodic=sys.periodic)
-        ek, fk = ewald_ops.ewald_energy_forces(x, q, self.ksp_force)
-        ek = ek * u.qqr2e
-        fk = fk * u.qqr2e
+        if self.pppm_grid is not None:
+            from ..ops import pppm as pppm_ops
+            grid = self.pppm_grid
+            is_ele = self.elecheck != 0
+            if rho_elyte is None:
+                rho_elyte = pppm_ops.spread(grid, x, jnp.where(is_ele, 0.0, q))
+            rho_ele = pppm_ops.spread(grid, x, jnp.where(is_ele, q, 0.0))
+            rho = rho_elyte + rho_ele
+            ek = pppm_ops.pppm_energy(grid, rho) * u.qqr2e
+            fk = pppm_ops.pppm_forces(grid, rho, x, q) * u.qqr2e
+        else:
+            ek, fk = ewald_ops.ewald_energy_forces(x, q, self.ksp_force)
+            ek = ek * u.qqr2e
+            fk = fk * u.qqr2e
         g = self.ksp_force.g_ewald
         eself = -u.qqr2e * g / MY_PIS * jnp.sum(q * q)
         qsum = jnp.sum(q)
@@ -121,17 +138,18 @@ class Engine:
             v = v + dv
 
         scalar = state.scalar_out
+        rho_elyte = None
         if self.conp is not None:
             nevery = self.conp.cfg.nevery
             if nevery == 1:
-                q, scalar = self.conp.solve(x, q, state.step + 1)
+                q, scalar, rho_elyte = self.conp.solve_full(x, q, state.step + 1)
             else:
                 q, scalar = jax.lax.cond(
                     (state.step + 1) % nevery == 0,
                     lambda: self.conp.solve(x, q, state.step + 1),
                     lambda: (q, scalar))
 
-        f, pe = self.compute_forces(x, q, scalar)
+        f, pe = self.compute_forces(x, q, scalar, rho_elyte)
         v = itg.kick(v, f)
         if self.cons is not None:
             v = rattle_velocities(self.cons, x, v, box=self.ksp_force.box,
@@ -147,11 +165,14 @@ class Engine:
         x = jnp.asarray(self.system.x0 if x0 is None else x0, dt)
         v = jnp.asarray(self.system.v0 if v0 is None else v0, dt)
         q = jnp.asarray(self.system.q0 if q0 is None else q0, dt)
-        v = jnp.where(jnp.asarray(self.system.mobile_mask)[:, None], v, 0.0)
+        # `velocity ele set 0` + frozen non-integrated atoms: zero everything
+        # the integrator won't move (conp electrodes AND non-conp layers)
+        v = jnp.where(self.integrator.mobile_mask[:, None], v, 0.0)
         scalar = jnp.zeros((), dt)
+        rho_elyte = None
         if self.conp is not None:
-            q, scalar = self.conp.solve(x, q, jnp.zeros((), jnp.int32))
-        f, pe = self.compute_forces(x, q, scalar)
+            q, scalar, rho_elyte = self.conp.solve_full(x, q, jnp.zeros((), jnp.int32))
+        f, pe = self.compute_forces(x, q, scalar, rho_elyte)
         nt = max(len(self.integrator.thermostats), 1)
         tch = self.integrator.thermostats[0].tchain if self.integrator.thermostats else 3
         return MDState(
@@ -234,9 +255,23 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         dt=md.dt, units=u, mass=jnp.asarray(system.mass, dtype),
         mobile_mask=jnp.asarray(mobile), thermostats=tuple(thermos))
 
+    pppm_grid = None
+    if conp is not None and conp.pppm_grid is not None:
+        pppm_grid = conp.pppm_grid
+    elif md.kspace_style.name == "PPPM":
+        from ..ops import pppm as pppm_ops
+        q2 = float((system.q0 ** 2).sum()) * u.qqr2e
+        pppm_grid = pppm_ops.setup_pppm(
+            box=system.box, box_lo=tuple(system.box_lo),
+            accuracy_abs=md.kspace_accuracy * u.qqr2e, natoms=system.natoms,
+            q2=max(q2, 1e-10), cutoff=md.cutoff,
+            slabflag=md.slab is not None,
+            slab_volfactor=md.slab if md.slab is not None else 1.0,
+            g_ewald=ksp.g_ewald)
+
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
-        ksp_force=ksp,
+        ksp_force=ksp, pppm_grid=pppm_grid,
         type_idx=jnp.asarray(system.type),
         special=jnp.asarray(exclusion_factors(system), dtype),
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, dtype),

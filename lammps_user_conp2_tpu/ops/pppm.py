@@ -1,0 +1,362 @@
+"""TPU-native PPPM (mesh Ewald): B-spline spread, FFT Poisson, ik forces.
+
+Re-expression of the reference's pppm/conp path (pppm_conp.cpp):
+
+  * grid + g_ewald selection reproduces LAMMPS pppm.cpp set_grid_global /
+    adjust_gewald bit-for-bit (validated against the recorded dilute log:
+    g = 0.77236341, grid 27 x 24 x 144): closed-form initial g, per-axis
+    minimal grid from the Deserno-Holm ik error estimate, factorable(2,3,5)
+    boost, then ONE-step-tolerant Newton on df_rspace - df_kspace
+    (stop |f| < 1e-5, LAMMPS SMALL);
+  * the optimized influence function (Hockney-Eastwood, LAMMPS
+    compute_gf_ik) is precomputed on host with explicit Brillouin sums;
+  * spread/gather are order-p B-spline stencils over static (N, p^3) index
+    arrays — XLA scatter-add/gather (a Pallas kernel can replace them later);
+  * Poisson solve + ik differentiation are jnp.fft.fftn calls — XLA's native
+    sharded-FFT path on TPU.
+
+Deviation from the reference, documented: for slab runs LAMMPS places its
+z-grid using the *physical* zprd in the error estimate while the mesh spans
+zprd_slab (dilute: 144 points over 265 A, h_z = 1.84 A vs h_x = 0.36 A).  We
+keep the LAMMPS estimate for parity of the printed grid, but scale nz to the
+slab volume so z resolution actually meets the accuracy target; charges are
+g/mesh-independent at convergence, which the tests assert.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MY_PIS = math.sqrt(math.pi)
+
+# Deserno & Holm ik-differentiation error coefficients (LAMMPS pppm.cpp acons)
+ACONS = np.zeros((8, 7))
+ACONS[1][0] = 2.0 / 3.0
+ACONS[2][:2] = [1.0 / 50.0, 5.0 / 294.0]
+ACONS[3][:3] = [1.0 / 588.0, 7.0 / 1440.0, 21.0 / 3872.0]
+ACONS[4][:4] = [1.0 / 4320.0, 3.0 / 1936.0, 7601.0 / 2271360.0, 143.0 / 28800.0]
+ACONS[5][:5] = [1.0 / 23232.0, 7601.0 / 13628160.0, 143.0 / 69120.0,
+                517231.0 / 106536960.0, 106640677.0 / 11737571328.0]
+ACONS[6][:6] = [691.0 / 68140800.0, 13.0 / 57600.0, 47021.0 / 35512320.0,
+                9694607.0 / 2095994880.0, 733191589.0 / 59609088000.0,
+                326190917.0 / 11700633600.0]
+ACONS[7][:7] = [1.0 / 345600.0, 3617.0 / 35512320.0, 745739.0 / 838397952.0,
+                56399353.0 / 12773376000.0, 25091609.0 / 1560084480.0,
+                1755948832039.0 / 36229939200000.0, 4887769399.0 / 37838389248.0]
+
+
+def estimate_ik_error(h: float, prd: float, natoms: int, q2: float,
+                      g_ewald: float, order: int) -> float:
+    s = sum(ACONS[order][m] * (h * g_ewald) ** (2 * m) for m in range(order))
+    return (q2 * (h * g_ewald) ** order
+            * math.sqrt(g_ewald * prd * math.sqrt(2 * math.pi) * s / natoms)
+            / (prd * prd))
+
+
+def factorable(n: int) -> bool:
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def next_factorable(n: int) -> int:
+    while not factorable(n):
+        n += 1
+    return n
+
+
+def set_grid_and_gewald(*, box, accuracy_abs, natoms, q2, cutoff, order=5,
+                        slab_volfactor=1.0, g_ewald=None, grid=None):
+    """LAMMPS pppm.cpp set_grid_global + adjust_gewald, exactly.
+
+    Returns (g_ewald, (nx, ny, nz_lammps), estimated_accuracy).  The z error
+    estimate uses the physical zprd even under slab (LAMMPS behavior,
+    validated vs tests/dilute/persist.log)."""
+    xprd, yprd, zprd = box
+    natoms = max(natoms, 1)
+    if g_ewald is None:
+        g0 = accuracy_abs * math.sqrt(natoms * cutoff * xprd * yprd * zprd) / (2.0 * q2)
+        if g0 >= 1.0:
+            g0 = (1.35 - 0.15 * math.log(accuracy_abs)) / cutoff
+        else:
+            g0 = math.sqrt(-math.log(g0)) / cutoff
+    else:
+        g0 = g_ewald
+
+    if grid is None:
+        ns = []
+        for prd in (xprd, yprd, zprd):
+            n = max(2, int(prd / (4.0 / g0)))
+            while estimate_ik_error(prd / n, prd, natoms, q2, g0, order) > accuracy_abs:
+                n += 1
+            ns.append(next_factorable(n))
+        nx, ny, nz = ns
+    else:
+        nx, ny, nz = grid
+
+    def df_rspace(g):
+        return (2.0 * q2 * math.exp(-g * g * cutoff * cutoff)
+                / math.sqrt(natoms * cutoff * xprd * yprd * zprd))
+
+    def df_kspace(g):
+        l = [estimate_ik_error(p / n, p, natoms, q2, g, order)
+             for p, n in ((xprd, nx), (yprd, ny), (zprd, nz))]
+        return math.sqrt(sum(v * v for v in l)) / math.sqrt(3.0)
+
+    g = g0
+    if g_ewald is None:
+        for _ in range(100):
+            f = df_rspace(g) - df_kspace(g)
+            h = 1e-6
+            fp = (df_rspace(g + h) - df_kspace(g + h) - f) / h
+            g -= f / fp
+            if abs(df_rspace(g) - df_kspace(g)) < 1e-5:   # LAMMPS SMALL stop
+                break
+    est = math.sqrt(df_rspace(g) ** 2 + df_kspace(g) ** 2)
+    return g, (nx, ny, nz), est
+
+
+def rho_coeffs(order: int) -> np.ndarray:
+    """B-spline (cardinal) polynomial coefficients, LAMMPS compute_rho_coeff.
+
+    Returns (order, order) array: rho1d[i](dx) = sum_m coeff[i, m] * dx^m
+    for stencil point i, dx in [-1/2, 1/2]."""
+    a = np.zeros((order, 2 * order + 1))   # a[l][k+order] with k in -order..order
+    a[0][order] = 1.0
+    for j in range(1, order):
+        anew = np.zeros_like(a)
+        for k in range(-j, j + 1, 2):
+            s = 0.0
+            for l in range(j):
+                anew[l + 1][k + order] += (a[l][k + 1 + order] - a[l][k - 1 + order]) / (l + 1)
+                s += (0.5 ** (l + 1)) * (a[l][k - 1 + order] + ((-1) ** l) * a[l][k + 1 + order]) / (l + 1)
+            anew[0][k + order] = s
+        a = anew
+    coeff = np.zeros((order, order))
+    i = 0
+    for k in range(-(order - 1), order, 2):
+        for l in range(order):
+            coeff[i, l] = a[l][k + order]
+        i += 1
+    return coeff
+
+
+@dataclasses.dataclass(frozen=True)
+class PPPMGrid:
+    """Static mesh data (host numpy constants)."""
+    order: int
+    nx: int
+    ny: int
+    nz: int
+    box: tuple               # physical box
+    box_lo: tuple
+    zprd_grid: float         # z extent the mesh spans (zprd * slab_volfactor)
+    volume: float            # mesh volume (slab-extended)
+    g_ewald: float
+    slabflag: bool
+    greens: np.ndarray       # (nx, ny, nz) influence function (4 pi / k^2 form)
+    fkx: np.ndarray          # (nx,) ik wavevectors
+    fky: np.ndarray
+    fkz: np.ndarray
+    coeffs: np.ndarray       # (order, order) B-spline polynomials
+    lammps_grid: tuple       # grid LAMMPS would print (parity diagnostics)
+    est_accuracy: float
+
+    @property
+    def shape(self):
+        return (self.nx, self.ny, self.nz)
+
+
+def _wk2(kper: np.ndarray, n: int, order: int) -> np.ndarray:
+    """Squared B-spline Fourier transform W(k)^2 per axis index."""
+    arg = math.pi * kper / n
+    w = np.where(kper == 0, 1.0, np.power(np.where(kper == 0, 1.0, np.sin(arg) / np.where(arg == 0, 1.0, arg)), order))
+    return w * w
+
+
+def compute_greens(nx, ny, nz, box_grid, g_ewald, order, eps_hoc=1e-7):
+    """Hockney-Eastwood optimal influence function (LAMMPS compute_gf_ik).
+
+    G(k) = 4 pi / |k|^2 * [sum_b W^2(k+b) (k.(k+b)) e^{-(k+b)^2/4g^2} / (k+b)^2]
+           / (|k|^2_denom := [sum_b W^2(k+b)]^2) ... assembled with explicit
+    Brillouin sums (nb per axis from the EPS_HOC bound)."""
+    xprd, yprd, zprd_g = box_grid
+    unitk = 2 * math.pi / np.array([xprd, yprd, zprd_g])
+    nb = []
+    for n, L in ((nx, xprd), (ny, yprd), (nz, zprd_g)):
+        nb.append(int((g_ewald * L / (math.pi * n)) * ((-math.log(eps_hoc)) ** 0.25)) + 2)
+    nbx, nby, nbz = nb
+
+    def per_axis(n):
+        k = np.arange(n)
+        return np.where(k <= n // 2, k, k - n)
+
+    mx = per_axis(nx)[:, None, None]
+    my = per_axis(ny)[None, :, None]
+    mz = per_axis(nz)[None, None, :]
+    kx = unitk[0] * mx
+    ky = unitk[1] * my
+    kz = unitk[2] * mz
+    ksq = kx ** 2 + ky ** 2 + kz ** 2
+
+    num = np.zeros((nx, ny, nz))
+    den = np.zeros((nx, ny, nz))
+    for bx in range(-nbx, nbx + 1):
+        qx = kx + unitk[0] * nx * bx
+        wx2 = _wk2(mx + nx * bx, nx, order)
+        for by in range(-nby, nby + 1):
+            qy = ky + unitk[1] * ny * by
+            wy2 = _wk2(my + ny * by, ny, order)
+            for bz in range(-nbz, nbz + 1):
+                qz = kz + unitk[2] * nz * bz
+                wz2 = _wk2(mz + nz * bz, nz, order)
+                w2 = wx2 * wy2 * wz2
+                qsq = qx ** 2 + qy ** 2 + qz ** 2
+                qsq_safe = np.where(qsq == 0, 1.0, qsq)
+                dot = kx * qx + ky * qy + kz * qz
+                num += np.where(qsq == 0, 0.0,
+                                w2 * dot * np.exp(-0.25 * qsq / g_ewald ** 2) / qsq_safe)
+                den += w2
+    ksq_safe = np.where(ksq == 0, 1.0, ksq)
+    greens = np.where(ksq == 0, 0.0, 4 * math.pi * num / (ksq_safe * den * den))
+    return greens
+
+
+def setup_pppm(*, box, box_lo, accuracy_abs, natoms, q2, cutoff, order=5,
+               slabflag=False, slab_volfactor=1.0, g_ewald=None,
+               grid=None) -> PPPMGrid:
+    g, lgrid, est = set_grid_and_gewald(
+        box=box, accuracy_abs=accuracy_abs, natoms=natoms, q2=q2,
+        cutoff=cutoff, order=order, slab_volfactor=slab_volfactor,
+        g_ewald=g_ewald, grid=grid)
+    nx, ny, nz = lgrid
+    zprd_grid = box[2] * (slab_volfactor if slabflag else 1.0)
+    if slabflag:
+        # our deviation: resolve z over the full slab-extended domain
+        nz = next_factorable(int(round(nz * slab_volfactor)))
+    greens = compute_greens(nx, ny, nz, (box[0], box[1], zprd_grid), g, order)
+
+    def fk(n, L):
+        k = np.arange(n)
+        m = np.where(k <= n // 2, k, k - n)
+        return 2 * math.pi * m / L
+
+    return PPPMGrid(
+        order=order, nx=nx, ny=ny, nz=nz, box=tuple(box),
+        box_lo=tuple(box_lo), zprd_grid=zprd_grid,
+        volume=box[0] * box[1] * zprd_grid, g_ewald=g, slabflag=slabflag,
+        greens=greens, fkx=fk(nx, box[0]), fky=fk(ny, box[1]),
+        fkz=fk(nz, zprd_grid), coeffs=rho_coeffs(order),
+        lammps_grid=lgrid, est_accuracy=est,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side compute
+# ---------------------------------------------------------------------------
+
+def _stencil(grid: PPPMGrid, x):
+    """Per-atom stencil indices and weights.
+
+    Returns (ix, iy, iz) each (N, p) int32 wrapped indices and (wx, wy, wz)
+    each (N, p) weights; the (p,p,p) outer product is formed lazily."""
+    p = grid.order
+    shift = p // 2 if p % 2 == 0 else (p - 1) // 2
+    dtype = x.dtype
+    out_idx, out_w = [], []
+    for ax, (n, L, lo) in enumerate((
+            (grid.nx, grid.box[0], grid.box_lo[0]),
+            (grid.ny, grid.box[1], grid.box_lo[1]),
+            (grid.nz, grid.zprd_grid, grid.box_lo[2]))):
+        delinv = n / L
+        u = (x[:, ax] - lo) * delinv
+        # nearest grid point convention (LAMMPS: shift=0.5 for odd order)
+        if p % 2 == 1:
+            m = jnp.floor(u + 0.5).astype(jnp.int32)
+            dx = m.astype(dtype) - u          # in [-1/2, 1/2]
+        else:
+            m = jnp.floor(u).astype(jnp.int32)
+            dx = m.astype(dtype) + 0.5 - u
+        offs = jnp.arange(p, dtype=jnp.int32) - (p - 1) // 2
+        idx = jnp.mod(m[:, None] + offs[None, :], n)
+        # rho1d[i] = sum_l coeff[i, l] dx^l  (LAMMPS compute_rho1d, Horner)
+        cf = jnp.asarray(grid.coeffs, dtype)
+        w = jnp.zeros((x.shape[0], p), dtype)
+        for l in range(p - 1, -1, -1):
+            w = w * dx[:, None] + cf[:, l][None, :]
+        out_idx.append(idx)
+        out_w.append(w)
+    return out_idx, out_w
+
+
+def spread(grid: PPPMGrid, x, q):
+    """Scatter charges onto the mesh (LAMMPS make_rho): returns (nx,ny,nz)."""
+    (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
+    p = grid.order
+    nmesh = grid.nx * grid.ny * grid.nz
+    w3 = (q[:, None, None, None] * wx[:, :, None, None]
+          * wy[:, None, :, None] * wz[:, None, None, :])       # (N,p,p,p)
+    lin = (ix[:, :, None, None] * grid.ny + iy[:, None, :, None]) * grid.nz \
+        + iz[:, None, None, :]
+    flat = jnp.zeros(nmesh, x.dtype).at[lin.reshape(-1)].add(w3.reshape(-1))
+    return flat.reshape(grid.nx, grid.ny, grid.nz)
+
+
+def gather(grid: PPPMGrid, brick, x):
+    """Stencil readout of a mesh field at atom positions: (N,)."""
+    (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
+    lin = (ix[:, :, None, None] * grid.ny + iy[:, None, :, None]) * grid.nz \
+        + iz[:, None, None, :]
+    vals = brick.reshape(-1)[lin.reshape(x.shape[0], -1)]
+    w3 = (wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :])
+    return jnp.sum(vals * w3.reshape(x.shape[0], -1), axis=1)
+
+
+def poisson_u(grid: PPPMGrid, rho):
+    """Potential mesh u = IFFT(G * FFT(rho)) / V."""
+    rhok = jnp.fft.fftn(rho.astype(jnp.complex64 if rho.dtype == jnp.float32
+                                   else jnp.complex128))
+    gk = jnp.asarray(grid.greens, rho.dtype)
+    uk = rhok * gk
+    return jnp.real(jnp.fft.ifftn(uk)) * (grid.nx * grid.ny * grid.nz / grid.volume)
+
+
+def poisson_efield(grid: PPPMGrid, rho):
+    """E = -grad(phi) meshes via ik differentiation; returns (ex, ey, ez)."""
+    cplx = jnp.complex64 if rho.dtype == jnp.float32 else jnp.complex128
+    rhok = jnp.fft.fftn(rho.astype(cplx))
+    gk = jnp.asarray(grid.greens, rho.dtype)
+    phik = rhok * gk
+    scale = grid.nx * grid.ny * grid.nz / grid.volume
+    out = []
+    for ax, fk in enumerate((grid.fkx, grid.fky, grid.fkz)):
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(cplx)
+        ek = -ik * phik
+        out.append(jnp.real(jnp.fft.ifftn(ek)) * scale)
+    return out
+
+
+def pppm_energy(grid: PPPMGrid, rho):
+    """K-space energy (no qqr2e prefactor, no self/background terms)."""
+    cplx = jnp.complex64 if rho.dtype == jnp.float32 else jnp.complex128
+    rhok = jnp.fft.fftn(rho.astype(cplx))
+    gk = jnp.asarray(grid.greens, rho.dtype)
+    e = 0.5 * jnp.sum(gk * jnp.abs(rhok) ** 2) / grid.volume
+    return e
+
+
+def pppm_forces(grid: PPPMGrid, rho, x, q):
+    """Forces from a (possibly combined) density mesh at positions x."""
+    ex, ey, ez = poisson_efield(grid, rho)
+    fx = q * gather(grid, ex, x)
+    fy = q * gather(grid, ey, x)
+    fz = q * gather(grid, ez, x)
+    return jnp.stack([fx, fy, fz], axis=1)

@@ -44,6 +44,7 @@ class Engine:
     cons: Optional[ShakeConstraints]
     ksp_force: ewald_ops.EwaldKSpace
     pppm_grid: object            # PPPMGrid or None — mesh force path
+    zmirror: object              # ZMirror or None — mirror-symmetry fix
     # device constants
     type_idx: jnp.ndarray
     special: jnp.ndarray
@@ -136,6 +137,8 @@ class Engine:
                                     box=self.ksp_force.box,
                                     periodic=self.system.periodic)
             v = v + dv
+        if self.zmirror is not None:
+            x = self.zmirror.apply(x, state.step + 1)
 
         scalar = state.scalar_out
         rho_elyte = None
@@ -269,9 +272,15 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
             slab_volfactor=md.slab if md.slab is not None else 1.0,
             g_ewald=ksp.g_ewald)
 
+    zmirror = None
+    if md.zmirror is not None:
+        from .zmirror import build_zmirror
+        zmirror = build_zmirror(system, md.zmirror.group1, md.zmirror.group2,
+                                md.zmirror.every)
+
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
-        ksp_force=ksp, pppm_grid=pppm_grid,
+        ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror,
         type_idx=jnp.asarray(system.type),
         special=jnp.asarray(exclusion_factors(system), dtype),
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, dtype),

@@ -148,10 +148,19 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         ev = jax.lax.psum(ev, axis)
         ec = jax.lax.psum(ec, axis)
 
-        # k-space over my k chunk
-        ek_l, fk_l = ewald_ops.ewald_energy_forces_kv(x, q, kv_l, ug_l)
-        ek = qqr2e * jax.lax.psum(ek_l, axis)
-        f = f + qqr2e * jax.lax.psum(fk_l, axis)
+        if engine.pppm_grid is not None:
+            # mesh k-space replicated (grid FFTs; XLA may shard internally)
+            from ..ops import pppm as pppm_ops
+            grid_p = engine.pppm_grid
+            is_ele_m = elecheck != 0
+            rho = pppm_ops.spread(grid_p, x, q)
+            ek = qqr2e * pppm_ops.pppm_energy(grid_p, rho)
+            f = f + qqr2e * pppm_ops.pppm_forces(grid_p, rho, x, q)
+        else:
+            # k-space over my k chunk
+            ek_l, fk_l = ewald_ops.ewald_energy_forces_kv(x, q, kv_l, ug_l)
+            ek = qqr2e * jax.lax.psum(ek_l, axis)
+            f = f + qqr2e * jax.lax.psum(fk_l, axis)
 
         g = ksp.g_ewald
         ek = ek - qqr2e * g / math.sqrt(math.pi) * jnp.sum(q * q)
@@ -253,6 +262,33 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return q_new, scalar
 
     # ------------------------------------------------------------------
+    def sharded_solve_pppm(x, q, step, ainv_l, eidx_l, evalid_l):
+        """PPPM-mode solve: replicated mesh b-vector + row-sharded matvec."""
+        cfg = conp.cfg
+        ctx = conp.ctx
+        b, _ = conp.b_vector_full(x, q)
+        eleallq_l = ainv_l @ b
+        eleallq = jax.lax.all_gather(eleallq_l, axis, axis=0, tiled=True)[:ne]
+        target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
+            cfg.target, b.dtype)
+        left = (ctx.elecheck_ele == 1)
+        elyte = jnp.asarray(conp.elyte_mask)
+        if cfg.mode is Mode.CONP:
+            potdiff = target
+            scalar = potdiff * ctx.totsetq + jnp.sum(jnp.where(left, eleallq, 0.0))
+        elif cfg.mode is Mode.CONQ:
+            netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
+            scalar = -(target - netcharge_right) / ctx.totsetq
+            potdiff = scalar
+        else:
+            dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])
+            potdiff = ctx.vmult * (
+                target - dipole / box[2] - jnp.sum(ctx.setzvec * eleallq))
+            scalar = potdiff
+        q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
+        q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
+        return q_new, scalar
+
     def step_inner(state, kv_l, ug_l, sp_l, rvalid_l, ainv_l, eidx_l, evalid_l):
         i0 = jax.lax.axis_index(axis) * nrow
         e0 = jax.lax.axis_index(axis) * nele_row
@@ -266,12 +302,20 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             x, dv = shake_positions(engine.cons, x, x_old, itg.dt,
                                     box=box, periodic=periodic)
             v = v + dv
+        if engine.zmirror is not None:
+            x = engine.zmirror.apply(x, state.step + 1)
 
         scalar = state.scalar_out
         if conp is not None:
             nevery = conp.cfg.nevery
-            solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
-                                          ainv_l, eidx_l, evalid_l, e0)
+            if conp.pppm_grid is not None:
+                # PPPM b-vector: mesh solve replicated (XLA shards FFTs
+                # internally when beneficial); A^-1 matvec stays row-sharded
+                solve = lambda: sharded_solve_pppm(x, q, state.step + 1,
+                                                   ainv_l, eidx_l, evalid_l)
+            else:
+                solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
+                                              ainv_l, eidx_l, evalid_l, e0)
             if nevery == 1:
                 q, scalar = solve()
             else:

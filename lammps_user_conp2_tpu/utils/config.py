@@ -99,6 +99,13 @@ class ShakeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ZMirrorConfig:
+    group1: str
+    group2: str
+    every: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
 class MDConfig:
     units: str = "real"
     dt: float = 1.0
@@ -114,6 +121,7 @@ class MDConfig:
     efield_feedback: bool = False
     thermostats: tuple = ()         # tuple[ThermostatConfig]
     shake: Optional[ShakeConfig] = None
+    zmirror: Optional[ZMirrorConfig] = None
     # dtype for the force/integration path; solve path is configured separately
     dtype: str = "float64"
     solve_dtype: str = "float64"

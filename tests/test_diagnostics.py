@@ -1,0 +1,108 @@
+"""potential/atom, nghosts analogue, zmirror, and the PPPM engine path.
+
+Physics oracle for potential/atom + CONP combined (the reference's
+input_rerun_comp_test idea): at the converged constant-potential solution
+the total potential evaluated at each electrode atom equals the prescribed
+value -+dV/2 (up to one uniform constant from the neutrality projection),
+with near-zero spread across each electrode.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_user_conp2_tpu import workloads
+from lammps_user_conp2_tpu.models.conp import setup_conp
+from lammps_user_conp2_tpu.models.diagnostics import nghosts, potential_atom
+from lammps_user_conp2_tpu.models.md import build_engine
+from lammps_user_conp2_tpu.models.zmirror import build_zmirror
+from lammps_user_conp2_tpu.utils.config import KSpaceStyle
+
+
+@pytest.fixture(scope="module")
+def dilute_solved():
+    system, md, cfg = workloads.dilute(0)
+    solver = setup_conp(system, md, cfg)
+    q, _ = solver.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    return system, md, cfg, solver, q
+
+
+def _potential(system, solver, q, **kw):
+    return potential_atom(
+        jnp.asarray(system.x0), q,
+        group_mask=np.ones(system.natoms, bool),
+        elecheck=jnp.asarray(system.elecheck),
+        box=system.box, periodic=system.periodic,
+        cutoff=4.0, g_ewald=solver.ksp.g_ewald,
+        evscale=solver.evscale, volume=solver.ksp.volume,
+        eta=solver.cfg.eta, slabflag=solver.ksp.slabflag,
+        kvecs=jnp.asarray(solver.ksp.kvecs), ug=jnp.asarray(solver.ksp.ug),
+        **kw)
+
+
+def test_electrode_potentials_equal_applied_voltage(dilute_solved):
+    system, md, cfg, solver, q = dilute_solved
+    pot = np.asarray(_potential(system, solver, q))
+    pl = pot[system.ele_left_mask]
+    pr = pot[system.ele_right_mask]
+    # constant within each electrode...
+    assert pl.std() < 2e-4
+    assert pr.std() < 2e-4
+    # ...and split by exactly dV = 1.0 V (left = -dV/2 side: d_i<0 for eci=+1)
+    dv = pr.mean() - pl.mean()
+    assert abs(abs(dv) - 1.0) < 1e-3
+
+
+def test_potential_atom_pppm_matches_ewald(dilute_solved):
+    system, md, cfg, solver, q = dilute_solved
+    cfgp = dataclasses.replace(cfg, kspace=KSpaceStyle.PPPM)
+    solverp = setup_conp(system, md, cfgp)
+    p1 = np.asarray(_potential(system, solver, q))
+    p2 = np.asarray(_potential(system, solverp, q, pppm_grid=solverp.pppm_grid))
+    # mesh discretization noise on +-9 V potentials is ~1e-3 V at this grid
+    assert np.abs(p1 - p2).max() < 3e-3
+
+
+def test_pppm_engine_short_trajectory_matches_ewald():
+    system, md, cfg = workloads.dilute(0)
+    s_e = setup_conp(system, md, cfg)
+    cfgp = dataclasses.replace(cfg, kspace=KSpaceStyle.PPPM)
+    s_p = setup_conp(system, md, cfgp)
+    import dataclasses as dc
+    mdp = dc.replace(md, kspace_style=KSpaceStyle.PPPM)
+    e1 = build_engine(system, md, s_e)
+    e2 = build_engine(system, mdp, s_p)
+    st1, _ = e1.run(e1.init_state(), 10)
+    st2, _ = e2.run(e2.init_state(), 10)
+    # same physics through a completely different k-space discretization
+    np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(st2.q), np.asarray(st1.q), atol=5e-5)
+
+
+def test_nghosts_counts_images():
+    x = np.array([[0.5, 5.0, 5.0],    # near x-lo face -> 1 ghost
+                  [5.0, 5.0, 5.0],    # interior -> 0
+                  [0.5, 0.5, 5.0]])   # near two faces -> 3 ghosts
+    c = nghosts(x, box=(10.0, 10.0, 10.0), box_lo=(0, 0, 0), cutoff=2.0,
+                periodic=(True, True, False))
+    assert list(c) == [1, 0, 3]
+
+
+def test_zmirror_pairing_and_transform():
+    system, md, cfg = workloads.dilute(3)   # doubled cell
+    pos = system.x0[:, 2] > 0
+    system.groups["solneg"] = system.groups["sol"] & ~pos
+    system.groups["solpos"] = system.groups["sol"] & pos
+    zm = build_zmirror(system, "solneg", "solpos", every=1)
+    x = jnp.asarray(system.x0)
+    x2 = np.asarray(zm.apply(x))
+    src = np.asarray(zm.src_idx)
+    dst = np.asarray(zm.dst_idx)
+    np.testing.assert_allclose(x2[dst, 0], system.x0[src, 0])
+    np.testing.assert_allclose(x2[dst, 2],
+                               zm.zoffset - system.x0[src, 2])
+    # the symmetric doubled cell is already mirror-symmetric: apply == no-op
+    np.testing.assert_allclose(x2[dst, 2], system.x0[dst, 2], atol=1e-9)

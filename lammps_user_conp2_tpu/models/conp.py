@@ -52,6 +52,7 @@ class ConpSolver:
     ee_diag: float               # <e,e> diagnostic
     solve_dtype: object = jnp.float64
     pppm_grid: object = None     # PPPMGrid when cfg.kspace is PPPM
+    fksp: object = None          # FactoredKSpace — MXU fast path for b
 
     @property
     def ne(self) -> int:
@@ -87,6 +88,12 @@ class ConpSolver:
             rho_elyte = pppm_ops.spread(self.pppm_grid, x, q_elyte)
             u = pppm_ops.poisson_u(self.pppm_grid, rho_elyte)
             b = -pppm_ops.gather(self.pppm_grid, u, xe)
+        elif self.fksp is not None:
+            # factorized-Ewald fast path: 8 MXU matmuls instead of O(N*K)
+            # transcendentals (ops/ewald_factored.py)
+            from ..ops import ewald_factored as ewf
+            sr, si = ewf.structure_factor_f(self.fksp, x, q_elyte)
+            b = -ewf.potential_on_points_f(self.fksp, xe, sr, si)
         else:
             kvecs = jnp.asarray(self.ksp.kvecs, dt)
             ug = jnp.asarray(self.ksp.ug, dt)
@@ -314,8 +321,11 @@ def _setup_conp_f64(
         vmult=jnp.asarray(vmult, solve_dtype),
     )
 
+    from ..ops.ewald_factored import factorize
+    fksp = factorize(ksp) if pppm_grid is None else None
+
     return ConpSolver(
-        cfg=cfg, ksp=ksp, kernels=kernels, ctx=ctx,
+        cfg=cfg, ksp=ksp, kernels=kernels, ctx=ctx, fksp=fksp,
         ele_idx=ele_idx, elyte_mask=~system.ele_mask,
         type_idx=system.type, box=box, periodic=system.periodic,
         cut_coulsq=cut_coulsq, qqr2e=units.qqr2e, evscale=units.evscale,

@@ -45,6 +45,7 @@ class Engine:
     ksp_force: ewald_ops.EwaldKSpace
     pppm_grid: object            # PPPMGrid or None — mesh force path
     zmirror: object              # ZMirror or None — mirror-symmetry fix
+    fksp: object                 # FactoredKSpace or None — MXU Ewald fast path
     # device constants
     type_idx: jnp.ndarray
     special: jnp.ndarray
@@ -81,6 +82,11 @@ class Engine:
             rho = rho_elyte + rho_ele
             ek = pppm_ops.pppm_energy(grid, rho) * u.qqr2e
             fk = pppm_ops.pppm_forces(grid, rho, x, q) * u.qqr2e
+        elif self.fksp is not None:
+            from ..ops import ewald_factored as ewf
+            ek, fk = ewf.energy_forces_f(self.fksp, x, q)
+            ek = ek * u.qqr2e
+            fk = fk * u.qqr2e
         else:
             ek, fk = ewald_ops.ewald_energy_forces(x, q, self.ksp_force)
             ek = ek * u.qqr2e
@@ -278,9 +284,14 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         zmirror = build_zmirror(system, md.zmirror.group1, md.zmirror.group2,
                                 md.zmirror.every)
 
+    fksp = None
+    if pppm_grid is None:
+        from ..ops.ewald_factored import factorize
+        fksp = factorize(ksp)
+
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
-        ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror,
+        ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror, fksp=fksp,
         type_idx=jnp.asarray(system.type),
         special=jnp.asarray(exclusion_factors(system), dtype),
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, dtype),

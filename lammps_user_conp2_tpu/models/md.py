@@ -32,7 +32,7 @@ from .electrodes import MY_PIS
 from .integrate import Integrator, group_temperature, make_nhc_params
 from .shake import (ShakeConstraints, build_constraints, rattle_velocities,
                     shake_positions)
-from .system import MDState, System, exclusion_factors
+from .system import MDState, System, exclusion_lists
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,7 +48,7 @@ class Engine:
     fksp: object                 # FactoredKSpace or None — MXU Ewald fast path
     # device constants
     type_idx: jnp.ndarray
-    special: jnp.ndarray
+    exclusions: tuple            # (excl_idx, excl_val) — sparse special bonds
     tables: object
     elecheck: jnp.ndarray
     dtype: object
@@ -65,7 +65,7 @@ class Engine:
         u = sys.units()
         box = self.ksp_force.box
         f, evdwl, ecoul = dense_pair_forces(
-            x, q, self.type_idx, self.tables, self.special,
+            x, q, self.type_idx, self.tables, self.exclusions,
             box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
             g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
         fb, eb = bond_forces(x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
@@ -293,7 +293,7 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
         ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror, fksp=fksp,
         type_idx=jnp.asarray(system.type),
-        special=jnp.asarray(exclusion_factors(system), dtype),
+        exclusions=tuple(jnp.asarray(a) for a in exclusion_lists(system)),
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, dtype),
         elecheck=jnp.asarray(system.elecheck),
         dtype=dtype,

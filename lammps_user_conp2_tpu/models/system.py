@@ -177,6 +177,32 @@ def build_system(
     )
 
 
+def exclusion_lists(system: System):
+    """Compact special-bond exclusions: (excl_idx, excl_val) of shape (N, m).
+
+    excl_idx[i] lists atoms whose pair factor with i differs from 1.0
+    (padded with N); excl_val holds the factor (0.0 for LAMMPS default
+    special_bonds).  The dense pair kernels scatter these per row block —
+    O(N*m) instead of an (N, N) constant."""
+    n = system.natoms
+    ex = [dict() for _ in range(n)]
+    for (_, i, j) in system.bonds:
+        ex[i][int(j)] = 0.0
+        ex[j][int(i)] = 0.0
+    for (_, i, j, k) in system.angles:
+        for (a, b) in ((i, j), (j, k), (i, k)):
+            ex[int(a)][int(b)] = 0.0
+            ex[int(b)][int(a)] = 0.0
+    m = max(1, max(len(e) for e in ex) if n else 1)
+    idx = np.full((n, m), n, np.int32)
+    val = np.zeros((n, m))
+    for i, e in enumerate(ex):
+        for c, (j, v) in enumerate(sorted(e.items())):
+            idx[i, c] = j
+            val[i, c] = v
+    return idx, val
+
+
 def exclusion_factors(system: System):
     """Special-bond factor matrix: (N, N) float 0/1 with default LAMMPS
     ``special_bonds`` 0,0,0 — 1-2 (bond) and 1-3 (angle end) pairs excluded.

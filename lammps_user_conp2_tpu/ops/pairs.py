@@ -69,15 +69,20 @@ def make_pair_tables(lj_eps: np.ndarray, lj_sigma: np.ndarray, dtype=jnp.float64
     )
 
 
-def pair_rowblock(xi, qi, ti, si, rowvalid, i0, x, q, type_idx, tables, *,
+def pair_rowblock(xi, qi, ti, exi, exv, rowvalid, i0, x, q, type_idx, tables, *,
                   box, periodic, cutoff, g_ewald, qqr2e):
     """LJ + real-space Coulomb for one row block.
 
-    xi (B,3), qi (B,), ti (B,), si (B,N) special factors, rowvalid (B,) bool,
-    i0 () global index of the first row.  Returns (f_rows (B,3), evdwl, ecoul)
-    with energies already halved for the double count.
+    xi (B,3), qi (B,), ti (B,); exi/exv (B,m) special-bond exclusion index/
+    factor lists (index n = none); rowvalid (B,) bool; i0 () global index of
+    the first row.  Returns (f_rows (B,3), evdwl, ecoul) with energies
+    already halved for the double count.
     """
     n = x.shape[0]
+    bsz = xi.shape[0]
+    # scatter the sparse special factors into this block's (B, N) row slice
+    si = jnp.ones((bsz, n), x.dtype).at[
+        jnp.arange(bsz)[:, None], exi].set(exv.astype(x.dtype), mode="drop")
     cutsq = cutoff * cutoff
     boxj = jnp.asarray(box, x.dtype)
     idx_all = jnp.arange(n)
@@ -121,35 +126,39 @@ def _pad_rows(n, block):
 
 
 def dense_pair_forces(
-    x, q, type_idx, tables: PairTables, special, *,
+    x, q, type_idx, tables: PairTables, exclusions, *,
     box, periodic, cutoff, g_ewald, qqr2e, block=512,
 ):
     """All-pairs LJ + real-space Ewald Coulomb via lax.scan over row blocks.
 
+    exclusions: (excl_idx, excl_val) from models.system.exclusion_lists.
     Returns (forces (N,3), evdwl, ecoul)."""
     n = x.shape[0]
+    exi, exv = exclusions
     block = min(block, n)
     nb, pad = _pad_rows(n, block)
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     qp = jnp.pad(q, (0, pad))
     tp = jnp.pad(type_idx, (0, pad))
-    sp = jnp.pad(special, ((0, pad), (0, 0)))
+    exip = jnp.pad(exi, ((0, pad), (0, 0)), constant_values=n)
+    exvp = jnp.pad(exv, ((0, pad), (0, 0)))
     rowvalid = jnp.pad(jnp.ones(n, bool), (0, pad))
 
     def body(carry, blk):
         ev, ec = carry
-        xi, qi, ti, si, rv, i0 = blk
+        xi, qi, ti, ei, evl, rv, i0 = blk
         f_rows, dev, dec = pair_rowblock(
-            xi, qi, ti, si, rv, i0, x, q, type_idx, tables,
+            xi, qi, ti, ei, evl, rv, i0, x, q, type_idx, tables,
             box=box, periodic=periodic, cutoff=cutoff, g_ewald=g_ewald,
             qqr2e=qqr2e)
         return (ev + dev, ec + dec), f_rows
 
+    m = exi.shape[1]
     (ev, ec), fb = jax.lax.scan(
         body, (jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)),
         (xp.reshape(nb, block, 3), qp.reshape(nb, block), tp.reshape(nb, block),
-         sp.reshape(nb, block, n), rowvalid.reshape(nb, block),
-         jnp.arange(nb) * block),
+         exip.reshape(nb, block, m), exvp.reshape(nb, block, m),
+         rowvalid.reshape(nb, block), jnp.arange(nb) * block),
     )
     return fb.reshape(nb * block, 3)[:n], ev, ec
 

@@ -87,8 +87,11 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     # ---- shardable constants, padded to D multiples -------------------
     kvecs = _pad_to(engine.ksp_force.kvecs.astype(dtype), d)       # (K', 3)
     ug = _pad_to(engine.ksp_force.ug.astype(dtype), d)             # (K',) pad=0 -> no contribution
-    special = _pad_to(np.asarray(engine.special, dtype), d)        # (N', N)
-    xpadmask = np.zeros(special.shape[0], bool)
+    exi0, exv0 = engine.exclusions
+    exi = _pad_to(np.asarray(exi0), d).copy()                      # (N', m), pad rows
+    exi[n:] = n
+    exv = _pad_to(np.asarray(exv0, dtype), d)
+    xpadmask = np.zeros(exi.shape[0], bool)
     xpadmask[:n] = True                                            # valid-row mask (N',)
 
     ele_idx = conp.ele_idx if conp is not None else np.zeros(0, np.int64)
@@ -108,7 +111,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     shards = (
         jax.device_put(jnp.asarray(kvecs), sh2),
         jax.device_put(jnp.asarray(ug), sh),
-        jax.device_put(jnp.asarray(special), sh2),
+        jax.device_put(jnp.asarray(exi), sh2),
+        jax.device_put(jnp.asarray(exv), sh2),
         jax.device_put(jnp.asarray(xpadmask), sh),
         jax.device_put(jnp.asarray(ainv), sh2),
         jax.device_put(jnp.asarray(ele_idx_p), sh),
@@ -124,13 +128,13 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     md = engine.md
     qqr2e = u.qqr2e
 
-    nrow = special.shape[0] // d       # atom rows per device
+    nrow = exi.shape[0] // d           # atom rows per device
     nele_row = ainv.shape[0] // d      # electrode rows per device
 
     # ------------------------------------------------------------------
-    npad_rows = special.shape[0] - n   # row padding so N' = d * nrow
+    npad_rows = exi.shape[0] - n       # row padding so N' = d * nrow
 
-    def sharded_forces(x, q, scalar_out, kv_l, ug_l, sp_l, rvalid_l, i0, e0):
+    def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l, i0, e0):
         """Per-device partial force computation; returns replicated (f, pe)."""
         # pair rows (my atoms vs all); slice from padded arrays so the last
         # device's block never clamps onto wrong atoms (pad rows are masked)
@@ -141,7 +145,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         qi = jax.lax.dynamic_slice_in_dim(qp, i0, nrow)
         ti = jax.lax.dynamic_slice_in_dim(tp, i0, nrow)
         f_rows, ev, ec = pair_rowblock(
-            xi, qi, ti, sp_l, rvalid_l, i0, x, q, type_idx, engine.tables,
+            xi, qi, ti, exi_l, exv_l, rvalid_l, i0, x, q, type_idx, engine.tables,
             box=box, periodic=periodic, cutoff=md.cutoff,
             g_ewald=ksp.g_ewald, qqr2e=qqr2e)
         f = jax.lax.all_gather(f_rows, axis, axis=0, tiled=True)[:n]
@@ -289,7 +293,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
         return q_new, scalar
 
-    def step_inner(state, kv_l, ug_l, sp_l, rvalid_l, ainv_l, eidx_l, evalid_l):
+    def step_inner(state, kv_l, ug_l, exi_l, exv_l, rvalid_l, ainv_l, eidx_l, evalid_l):
         i0 = jax.lax.axis_index(axis) * nrow
         e0 = jax.lax.axis_index(axis) * nele_row
         x, v, q = state.x, state.v, state.q
@@ -322,7 +326,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 q, scalar = jax.lax.cond((state.step + 1) % nevery == 0,
                                          solve, lambda: (q, scalar))
 
-        f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, sp_l, rvalid_l, i0, e0)
+        f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l, i0, e0)
         v = itg.kick(v, f)
         if engine.cons is not None:
             from ..models.shake import rattle_velocities
@@ -333,8 +337,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
 
     shard_step = jax.shard_map(
         step_inner, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis, None), P(axis),
-                  P(axis, None), P(axis), P(axis)),
+        in_specs=(P(), P(axis, None), P(axis), P(axis, None), P(axis, None),
+                  P(axis), P(axis, None), P(axis), P(axis)),
         out_specs=P(),
         check_vma=False,
     )

@@ -294,7 +294,7 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror, fksp=fksp,
         type_idx=jnp.asarray(system.type),
         exclusions=tuple(jnp.asarray(a) for a in exclusion_lists(system)),
-        tables=make_pair_tables(system.lj_eps, system.lj_sigma, dtype),
+        tables=make_pair_tables(system.lj_eps, system.lj_sigma, system.type, dtype),
         elecheck=jnp.asarray(system.elecheck),
         dtype=dtype,
     )

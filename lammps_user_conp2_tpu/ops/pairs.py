@@ -51,21 +51,31 @@ def min_image(dx, box, periodic):
 
 
 class PairTables(NamedTuple):
-    """Static per-type tables, prepared on host."""
+    """Static per-type tables, prepared on host.
+
+    ``onehot`` (N, nt+1) turns per-pair (itype, jtype) table lookups into
+    (B, nt+1) @ (nt+1, N) MXU matmuls — a TPU vector-gather over (B, N)
+    indices is ~100x slower than the equivalent one-hot contraction."""
     lj1: jnp.ndarray   # 48 eps sig^12 (force)  (nt+1, nt+1)
     lj2: jnp.ndarray   # 24 eps sig^6
     lj3: jnp.ndarray   # 4 eps sig^12 (energy)
     lj4: jnp.ndarray   # 4 eps sig^6
+    onehot: jnp.ndarray  # (N, nt+1)
 
 
-def make_pair_tables(lj_eps: np.ndarray, lj_sigma: np.ndarray, dtype=jnp.float64) -> PairTables:
+def make_pair_tables(lj_eps: np.ndarray, lj_sigma: np.ndarray, type_idx,
+                     dtype=jnp.float64) -> PairTables:
     s6 = lj_sigma ** 6
     s12 = s6 * s6
+    nt1 = lj_eps.shape[0]
+    onehot = np.zeros((len(type_idx), nt1))
+    onehot[np.arange(len(type_idx)), np.asarray(type_idx)] = 1.0
     return PairTables(
         lj1=jnp.asarray(48.0 * lj_eps * s12, dtype),
         lj2=jnp.asarray(24.0 * lj_eps * s6, dtype),
         lj3=jnp.asarray(4.0 * lj_eps * s12, dtype),
         lj4=jnp.asarray(4.0 * lj_eps * s6, dtype),
+        onehot=jnp.asarray(onehot, dtype),
     )
 
 
@@ -93,13 +103,14 @@ def pair_rowblock(xi, qi, ti, exi, exv, rowvalid, i0, x, q, type_idx, tables, *,
     inrange = (rsq < cutsq) & notself & rowvalid[:, None]
     rsq_safe = jnp.where(inrange, rsq, 1.0)
     r2inv = 1.0 / rsq_safe
-    # LJ
+    # LJ — per-pair coefficients via one-hot matmuls (see PairTables)
     r6inv = r2inv * r2inv * r2inv
     lj_on = inrange & (si > 0.0)
-    l1 = tables.lj1[ti[:, None], type_idx[None, :]]
-    l2 = tables.lj2[ti[:, None], type_idx[None, :]]
-    l3 = tables.lj3[ti[:, None], type_idx[None, :]]
-    l4 = tables.lj4[ti[:, None], type_idx[None, :]]
+    oh = tables.onehot.T                      # (nt+1, N)
+    l1 = tables.lj1[ti] @ oh
+    l2 = tables.lj2[ti] @ oh
+    l3 = tables.lj3[ti] @ oh
+    l4 = tables.lj4[ti] @ oh
     flj = jnp.where(lj_on, si * r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
     elj = jnp.where(lj_on, si * r6inv * (l3 * r6inv - l4), 0.0)
     # Coulomb (erfc + kspace compensation for excluded pairs)

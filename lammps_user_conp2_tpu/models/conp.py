@@ -27,7 +27,8 @@ import numpy as np
 from ..ops import ewald as ewald_ops
 from ..ops.erfc import ERFC_MAX, erfcr_sqrt
 from ..ops.pairs import min_image
-from ..utils.config import ConpConfig, FFMode, KSpaceStyle, MDConfig, Mode
+from ..utils.config import (ConpConfig, FFMode, KSpaceStyle, MDConfig, Mode,
+                            Solver)
 from .electrodes import (ConpContext, ElectrodeKernels, assemble_amatrix,
                          build_d_vector, make_kernels, project_inverse)
 from .system import System
@@ -134,7 +135,10 @@ class ConpSolver:
         ctx = self.ctx
         cfg = self.cfg
         b, rho_elyte = self.b_vector_full(x, q)
-        eleallq = ctx.ainv @ b
+        if cfg.solver is Solver.CG:
+            eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
+        else:
+            eleallq = ctx.ainv @ b
 
         target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
             cfg.target, b.dtype)
@@ -158,6 +162,44 @@ class ConpSolver:
         q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
         q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
         return q_new, scalar, rho_elyte
+
+
+def cg_solve(amat, b, tol: float, maxiter: int):
+    """Neutrality-projected conjugate gradient (FixConp::cg,
+    fix_conp.cpp:864-930): residuals and search directions are de-meaned
+    every iteration to stay on the charge-neutral subspace; convergence when
+    <r, p>/Ne < tol.  jit-compatible lax.while_loop."""
+    ne = b.shape[0]
+
+    def demeaned(res):
+        netr = jnp.sum(res)
+        return res - netr / ne, jnp.sum(res * res) - netr * (netr / ne)
+
+    x0 = jnp.zeros_like(b)
+    res0 = b
+    p0, lresnorm0 = demeaned(res0)
+    # note: reference keeps res un-demeaned; p = res - avenetr
+
+    def cond(carry):
+        it, x, res, p, lresnorm, lgamma = carry
+        return (lresnorm / ne >= tol) & (it < maxiter)
+
+    def body(carry):
+        it, x, res, p, lresnorm, lgamma = carry
+        ap = amat @ p
+        alpha = lresnorm / jnp.sum(p * ap)
+        x = x + alpha * p
+        res = res - alpha * ap
+        dm, lgamma_new = demeaned(res)
+        beta = lgamma_new / lgamma
+        p = beta * p + dm
+        lresnorm = jnp.sum(res * p)
+        return it + 1, x, res, p, lresnorm, lgamma_new
+
+    it, x, res, p, lresnorm, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), x0, res0, p0, lresnorm0,
+                     lresnorm0))
+    return x, it
 
 
 def setup_conp(
@@ -249,6 +291,8 @@ def _setup_conp_f64(
     type_e = jnp.asarray(system.type[ele_idx])
 
     # --- A matrix, inverse, projection
+    use_cg = cfg.solver is Solver.CG
+    amat = jnp.zeros((1, 1), solve_dtype)
     if cfg.ainv_file is not None:
         from ..utils import matio
         ainv = jnp.asarray(
@@ -267,24 +311,34 @@ def _setup_conp_f64(
         if cfg.matout:
             from ..utils import matio
             matio.write_matrix("amatrix", system.tag[ele_idx], np.asarray(a))
-        ainv = jnp.linalg.inv(a)
-        zhalf = system.box_lo[2] + box[2] / 2
-        if not one_electrode:
-            ainv, ee = project_inverse(
-                ainv, nullneutral=not cfg.nonneutral, zneutr=cfg.zneutr,
-                z_e=xe[:, 2], zhalf=zhalf)
-            ee = float(ee)
+        if use_cg:
+            # CG skips the O(Ne^3) inverse entirely (fix_conp.cpp:864-930);
+            # neutrality is kept by de-meaned residuals, not projection
+            amat = a
+            ainv = jnp.zeros((1, 1), solve_dtype)
+            ee = float("nan")
         else:
-            ee = float(jnp.sum(ainv))
+            ainv = jnp.linalg.inv(a)
+            zhalf = system.box_lo[2] + box[2] / 2
+            if not one_electrode:
+                ainv, ee = project_inverse(
+                    ainv, nullneutral=not cfg.nonneutral, zneutr=cfg.zneutr,
+                    z_e=xe[:, 2], zhalf=zhalf)
+                ee = float(ee)
+            else:
+                ee = float(jnp.sum(ainv))
 
     # --- d vector and elesetq (b_setq_cal + get_setq)
     d = build_d_vector(system, cfg, x0[ele_idx])
     d_j = jnp.asarray(d, solve_dtype)
-    elesetq = ainv @ d_j
+    if use_cg:
+        elesetq, _ = cg_solve(amat, d_j, cfg.cg_tolerance, cfg.cg_maxiter)
+    else:
+        elesetq = ainv @ d_j
     elecheck_ele = jnp.asarray(system.elecheck[ele_idx])
     totsetq = jnp.sum(jnp.where(elecheck_ele == 1, elesetq, 0.0))
 
-    if one_electrode:
+    if one_electrode and not use_cg:
         # projection deferred until after setq (fix_conp.cpp:958, 1115)
         zhalf = system.box_lo[2] + box[2] / 2
         ainv, ee = project_inverse(
@@ -292,7 +346,7 @@ def _setup_conp_f64(
             z_e=xe[:, 2], zhalf=zhalf)
         ee = float(ee)
 
-    if cfg.matout and cfg.ainv_file is None:
+    if cfg.matout and cfg.ainv_file is None and not use_cg:
         from ..utils import matio
         matio.write_matrix("inv_a_matrix", system.tag[ele_idx], np.asarray(ainv))
 
@@ -315,7 +369,7 @@ def _setup_conp_f64(
         vmult = jnp.zeros((), solve_dtype)
 
     ctx = ConpContext(
-        ainv=ainv, d=d_j, elesetq=elesetq, totsetq=totsetq,
+        ainv=ainv, amat=amat, d=d_j, elesetq=elesetq, totsetq=totsetq,
         eleinitq=eleinitq, elecheck_ele=elecheck_ele,
         ele_idx=jnp.asarray(ele_idx), setzvec=setzvec,
         vmult=jnp.asarray(vmult, solve_dtype),

@@ -37,7 +37,8 @@ MY_PIS = math.sqrt(math.pi)
 
 class ConpContext(NamedTuple):
     """Device-resident static context for the per-step charge solve."""
-    ainv: jnp.ndarray        # (Ne, Ne) projected inverse
+    ainv: jnp.ndarray        # (Ne, Ne) projected inverse (INV solver)
+    amat: jnp.ndarray        # (Ne, Ne) raw A (CG solver; (1,1) zeros otherwise)
     d: jnp.ndarray           # (Ne,) applied-potential coupling vector
     elesetq: jnp.ndarray     # (Ne,) A^-1 d
     totsetq: jnp.ndarray     # () sum over left electrode of elesetq

@@ -312,7 +312,11 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         scalar = state.scalar_out
         if conp is not None:
             nevery = conp.cfg.nevery
-            if conp.pppm_grid is not None:
+            from ..utils.config import Solver as _Solver
+            if conp.cfg.solver is _Solver.CG:
+                # CG iterates are replicated (A kept whole per device)
+                solve = lambda: conp.solve_full(x, q, state.step + 1)[:2]
+            elif conp.pppm_grid is not None:
                 # PPPM b-vector: mesh solve replicated (XLA shards FFTs
                 # internally when beneficial); A^-1 matvec stays row-sharded
                 solve = lambda: sharded_solve_pppm(x, q, state.step + 1,

@@ -1,0 +1,111 @@
+"""Keyword-feature coverage: ehgo, qinit, matout/org/inv file IO, equal-style
+(time-varying) targets, nonneutral."""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_user_conp2_tpu import workloads
+from lammps_user_conp2_tpu.models.conp import setup_conp
+from lammps_user_conp2_tpu.utils.config import EhgoConfig, PairMode
+
+
+@pytest.fixture(scope="module")
+def dilute0():
+    system, md, cfg = workloads.dilute(0)
+    solver = setup_conp(system, md, cfg)
+    return system, md, cfg, solver
+
+
+def test_ehgo_kappa0_auto_equals_eta(dilute0):
+    """EHGO with kappa=0 and u0='auto' degenerates exactly to ETA mode
+    (combination rules fix_conp.cpp:1517-1551: eta_ij(ele,ele)=eta/sqrt(2),
+    eta_ij(ele,elyte)=eta, fo=0, u0=sqrt(2/pi)*eta)."""
+    system, md, cfg, solver = dilute0
+    cfge = dataclasses.replace(
+        cfg, pairmode=PairMode.EHGO,
+        ehgo=EhgoConfig(kappa=0.0, eta_by_type=((3, cfg.eta, None),)))
+    se = setup_conp(system, md, cfge)
+    x0 = jnp.asarray(system.x0)
+    q0 = jnp.asarray(system.q0)
+    q1, f1 = solver.solve(x0, q0, 0)
+    q2, f2 = se.solve(x0, q0, 0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1), atol=1e-10)
+    assert abs(float(f1) - float(f2)) < 1e-12
+
+
+def test_ehgo_requires_coeffs_falls_back_to_eta():
+    system, md, cfg = workloads.dilute(0)
+    cfge = dataclasses.replace(cfg, pairmode=PairMode.EHGO, ehgo=None)
+    # reference warns and falls back (fix_conp.cpp:1553-1558)
+    assert cfge.pairmode is PairMode.ETA
+
+
+def test_qinit_adds_baseline(dilute0):
+    system, md, cfg, solver = dilute0
+    q0 = system.q0.copy()
+    rng = np.random.default_rng(0)
+    baseline = rng.normal(size=system.ele_mask.sum()) * 0.01
+    q0[system.ele_mask] = baseline
+    cfgq = dataclasses.replace(cfg, qinit=True)
+    sq = setup_conp(system, md, cfgq, q0=q0)
+    qq, _ = sq.solve(jnp.asarray(system.x0), jnp.asarray(q0), 0)
+    # without qinit (same initial charges in b? electrode q doesn't enter b)
+    s0 = setup_conp(system, md, cfg, q0=q0)
+    qp, _ = s0.solve(jnp.asarray(system.x0), jnp.asarray(q0), 0)
+    np.testing.assert_allclose(np.asarray(qq[system.ele_mask]),
+                               np.asarray(qp[system.ele_mask]) + baseline,
+                               atol=1e-10)
+
+
+def test_matout_and_readback(tmp_path, dilute0, monkeypatch):
+    system, md, cfg, solver = dilute0
+    monkeypatch.chdir(tmp_path)
+    cfgm = dataclasses.replace(cfg, matout=True)
+    sm = setup_conp(system, md, cfgm)
+    assert os.path.exists("amatrix") and os.path.exists("inv_a_matrix")
+    x0 = jnp.asarray(system.x0)
+    q0 = jnp.asarray(system.q0)
+    q_ref, _ = sm.solve(x0, q0, 0)
+    # org: read A back, re-invert
+    sa = setup_conp(system, md, dataclasses.replace(cfg, a_file="amatrix"))
+    qa, _ = sa.solve(x0, q0, 0)
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(q_ref), atol=1e-8)
+    # inv: read A^-1 directly (already projected)
+    si = setup_conp(system, md, dataclasses.replace(cfg, ainv_file="inv_a_matrix"))
+    qi, _ = si.solve(x0, q0, 0)
+    np.testing.assert_allclose(np.asarray(qi), np.asarray(q_ref), atol=1e-7)
+    # permutation robustness: shuffle rows/cols by tag in the file
+    from lammps_user_conp2_tpu.utils import matio
+    tags, mat = matio.read_matrix("amatrix", system.tag[system.ele_mask])
+    perm = np.random.default_rng(1).permutation(len(tags))
+    matio.write_matrix("amatrix_shuf", tags[perm], mat[np.ix_(perm, perm)])
+    ss = setup_conp(system, md, dataclasses.replace(cfg, a_file="amatrix_shuf"))
+    qs, _ = ss.solve(x0, q0, 0)
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(q_ref), atol=1e-8)
+
+
+def test_equal_style_target(dilute0):
+    """v_-style variables: target may be a function of the step
+    (fix_conp.cpp:112-117, 1143)."""
+    system, md, cfg, solver = dilute0
+    cfgv = dataclasses.replace(cfg, target=lambda step: 1.0 + 0.5 * step)
+    sv = setup_conp(system, md, cfgv)
+    x0 = jnp.asarray(system.x0)
+    q0 = jnp.asarray(system.q0)
+    q5, _ = sv.solve(x0, q0, jnp.asarray(4))
+    s3 = setup_conp(system, md, dataclasses.replace(cfg, target=3.0))
+    q3, _ = s3.solve(x0, q0, 0)
+    np.testing.assert_allclose(np.asarray(q5), np.asarray(q3), atol=1e-12)
+
+
+def test_nonneutral_skips_projection(dilute0):
+    system, md, cfg, solver = dilute0
+    sn = setup_conp(system, md, dataclasses.replace(cfg, nonneutral=True))
+    # unprojected inverse does not annihilate the uniform vector
+    assert float(np.abs(np.asarray(sn.ctx.ainv).sum(axis=1)).max()) > 1e-6
+    q, _ = sn.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    assert np.isfinite(np.asarray(q)).all()

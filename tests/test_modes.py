@@ -47,3 +47,27 @@ def test_doubled_anti_neg_half_matches_slab(slab_charges):
     qr = float(q[system.ele_right_mask & neg].sum())
     assert abs(ql - slab_charges) < 1e-5
     assert abs(ql + qr) < 1e-9
+
+
+def test_cg_solver_matches_inverse():
+    """The neutrality-projected CG (fix_conp.cpp:864-930) must agree with the
+    projected-inverse solve to its own tolerance."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lammps_user_conp2_tpu.utils.config import Solver
+    system, md, cfg = workloads.dilute(0)
+    s_inv = setup_conp(system, md, cfg)
+    # reference default tolerance (1e-6 on <r,p>/Ne) is loose; crank it to
+    # machine level to compare against the exact projected inverse
+    s_cg = setup_conp(system, md, dataclasses.replace(
+        cfg, solver=Solver.CG, cg_tolerance=1e-18, cg_maxiter=500))
+    x0 = jnp.asarray(system.x0)
+    q0 = jnp.asarray(system.q0)
+    qi, fi = s_inv.solve(x0, q0, 0)
+    qc, fc = s_cg.solve(x0, q0, 0)
+    ele = system.ele_mask
+    rmse = float(np.sqrt(np.mean((np.asarray(qi[ele]) - np.asarray(qc[ele])) ** 2)))
+    assert rmse < 1e-7
+    assert abs(float(fi) - float(fc)) < 1e-7
+    # CG iterates stay exactly charge-neutral (de-meaned residuals)
+    assert abs(float(qc[ele].sum())) < 1e-10

@@ -73,7 +73,40 @@ def _strip(line: str) -> str:
     return line.strip()
 
 
-def parse_data_file(path: str) -> LammpsData:
+def _finalize_raw(f: dict) -> LammpsData:
+    """Common post-processing: sort by tag, remap topology to 0-based rows."""
+    order = np.argsort(f["tag"], kind="stable")
+    inv = {int(f["tag"][o]): k for k, o in enumerate(order)}
+    bonds = f["bonds"].copy()
+    angles = f["angles"].copy()
+    if len(bonds):
+        bonds[:, 1] = [inv[int(t)] for t in bonds[:, 1]]
+        bonds[:, 2] = [inv[int(t)] for t in bonds[:, 2]]
+    if len(angles):
+        for c in (1, 2, 3):
+            angles[:, c] = [inv[int(t)] for t in angles[:, c]]
+    return LammpsData(
+        natoms=f["natoms"], natomtypes=f["natomtypes"],
+        box_lo=f["box_lo"], box_hi=f["box_hi"],
+        tag=f["tag"][order], mol=f["mol"][order], type=f["type"][order],
+        q=f["q"][order], x=f["x"][order], v=f["v"][order],
+        mass_by_type=f["mass_by_type"], pair_coeffs=f["pair_coeffs"],
+        pair_coeffs_ij=f.get("pair_coeffs_ij"),
+        bond_coeffs=f["bond_coeffs"], angle_coeffs=f["angle_coeffs"],
+        bonds=bonds, angles=angles,
+    )
+
+
+def parse_data_file(path: str, *, use_native: bool = True) -> LammpsData:
+    if use_native:
+        from . import native
+        fields = native.parse_data_native(path)
+        if fields is not None and fields["natoms"] > 0:
+            return _finalize_raw(fields)
+    return parse_data_file_py(path)
+
+
+def parse_data_file_py(path: str) -> LammpsData:
     with open(path) as f:
         lines = f.readlines()
 

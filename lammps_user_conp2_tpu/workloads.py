@@ -241,6 +241,52 @@ def cond(n: int = 0, *, data_path: Optional[str] = None, suite: str = "cond"):
     return system, md, cfg
 
 
+def zmirror(n: int = 0, *, data_path: Optional[str] = None):
+    """tests/zmirror/input — doubled-cell mirror-symmetry NEMD.
+
+    0=conp noslab zneutr [sym], 1=+pppm, 2=+zmirror fix (pos half mirrors neg
+    each step instead of being thermostatted), 3=conq+zmirror."""
+    from .utils.config import ZMirrorConfig
+
+    data = data_io.parse_data_file(data_path or f"{REF_TESTS}/zmirror/data")
+    molmax = int(data.mol.max())
+    molleft, molright = 641, 642
+    etype = 5
+    data = _doubled_cell(data, molleft, molright, sym=True, flip_vz=True)
+    # eleleft/eleright span BOTH halves (zmirror/input:49-50)
+    pos = data.x[:, 2] > 0.0
+    sol = np.isin(data.type, [1, 2, 3, 4])
+    groups = {
+        "sol": sol,
+        "bmi": np.isin(data.type, [1, 2, 3]),
+        "solpos": sol & pos,
+        "solneg": sol & ~pos,
+        "ele": data.type == etype,
+    }
+    system = build_system(
+        data, units="real", periodic=(True, True, True), mix="arithmetic",
+        ele_left=[molleft, molleft + molmax],
+        ele_right=[molright, molright + molmax], groups=groups)
+
+    v = 2.0
+    use_zm = n in (2, 3)
+    mode = Mode.CONQ if n == 3 else Mode.CONP
+    target = 2 * 0.35 if n == 3 else v
+    thermostats = [ThermostatConfig("solneg", 500.0, 500.0, 100.0)]
+    if not use_zm:
+        thermostats.append(ThermostatConfig("solpos", 500.0, 500.0, 100.0))
+    md = MDConfig(
+        units="real", dt=2.0, cutoff=16.0, kspace_accuracy=1e-7, slab=None,
+        thermostats=tuple(thermostats),
+        shake=ShakeConfig(group="bmi", btypes=(1, 2), atypes=(1,)),
+        zmirror=ZMirrorConfig("solneg", "solpos", 1) if use_zm else None,
+    )
+    cfg = ConpConfig(mode=mode, nevery=1, eta=1.979, target=target,
+                     ff=FFMode.NOSLAB, zneutr=True,
+                     kspace=KSpaceStyle.PPPM if n >= 1 else KSpaceStyle.EWALD)
+    return system, md, cfg
+
+
 def il_twolayer(n: int = 0, *, data_path: Optional[str] = None):
     """tests/il_twolayer/input — the BASELINE.md north-star workload."""
     data = data_io.parse_data_file(data_path or f"{REF_TESTS}/il_twolayer/data")

@@ -1,0 +1,151 @@
+"""Command-line deck runner: `python -m lammps_user_conp2_tpu ...`.
+
+Replaces the reference's `N=0 lmp -i input` workflow (SURVEY.md section 4):
+
+  run       — run a named workload trial, print LAMMPS-style thermo, write a
+              log (and optionally a trajectory dump / checkpoint)
+  rerun     — recompute electrode charges from a dumped trajectory
+  compare   — overlay charge columns of two or more logs (the compare.gnu
+              equivalent, numeric instead of gnuplot)
+  profile   — per-phase timing breakdown on the current backend
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build(args):
+    import jax
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from . import workloads
+    from .models.conp import setup_conp
+    from .models.md import build_engine
+
+    system, md, cfg = getattr(workloads, args.workload)(args.trial)
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    solver = setup_conp(system, md, cfg, solve_dtype=dtype)
+    eng = build_engine(system, md, solver, dtype=dtype)
+    return system, eng
+
+
+def cmd_run(args):
+    import jax
+
+    system, eng = _build(args)
+    st = eng.init_state()
+    cols = ["step", "temp", "qleft", "qright", "f_e", "pe"]
+    out = open(args.log, "w") if args.log else sys.stdout
+    print("Step Temp c_qleft c_qright f_e PotEng", file=out)
+    t0 = time.time()
+    th0 = {k: float(v) for k, v in eng.thermo(st).items()}
+    print(" ".join(f"{th0[c]:.8g}" for c in cols), file=out)
+    dumpf = open(args.dump, "w") if args.dump else None
+    nchunk = args.thermo
+    for start in range(0, args.steps, nchunk):
+        n = min(nchunk, args.steps - start)
+        st, th = eng.run(st, n, thermo_every=n)
+        row = {k: float(np.asarray(v)[-1]) for k, v in th.items()}
+        print(" ".join(f"{row[c]:.8g}" for c in cols), file=out, flush=True)
+        if dumpf is not None:
+            from .utils import dump as dumpio
+            dumpio.write_dump_frame(dumpf, int(row["step"]), system.natoms,
+                                    system.box_lo, system.box_hi, system.tag,
+                                    np.asarray(st.x), np.asarray(st.q))
+    wall = time.time() - t0
+    print(f"# Loop time {wall:.3f} s for {args.steps} steps "
+          f"({args.steps / wall:.3f} steps/s)", file=out)
+    if args.checkpoint:
+        from .utils.checkpoint import save_checkpoint
+        save_checkpoint(args.checkpoint, eng, st)
+    if out is not sys.stdout:
+        out.close()
+        print(f"wrote {args.log}; {args.steps / wall:.2f} steps/s")
+
+
+def cmd_rerun(args):
+    system, eng = _build(args)
+    from .utils import dump as dumpio
+    frames = dumpio.read_dump(args.traj)
+    out = dumpio.rerun_charges(eng.conp, frames, system.q0)
+    print("Step c_qleft c_qright f_e")
+    for (step, tags, cols), (_, qn, fe) in zip(frames, out):
+        ql = qn[system.ele_left_mask].sum()
+        qr = qn[system.ele_right_mask].sum()
+        print(f"{step} {ql:.8g} {qr:.8g} {fe:.8g}")
+
+
+def cmd_compare(args):
+    from .utils.lammps_log import parse_thermo_blocks
+    series = []
+    for path in args.logs:
+        blocks = parse_thermo_blocks(path)
+        if not blocks:
+            print(f"{path}: no thermo block found")
+            return 1
+        series.append((path, blocks[-1]))
+    col = args.column
+    base = series[0][1][col]
+    print(f"column {col}, {len(base)} rows; reference = {series[0][0]}")
+    for path, blk in series[1:]:
+        n = min(len(base), len(blk[col]))
+        diff = np.abs(blk[col][:n] - base[:n])
+        print(f"{path}: max|diff|={diff.max():.3e} rms={np.sqrt((diff**2).mean()):.3e}")
+    return 0
+
+
+def cmd_profile(args):
+    system, eng = _build(args)
+    from .utils.timers import profile_step
+    st = eng.init_state()
+    res = profile_step(eng, st, iters=args.iters)
+    print(json.dumps({k: f"{v * 1e3:.3f} ms" for k, v in res.items()}, indent=1))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lammps_user_conp2_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("workload", help="dilute | il_onelayer | il_twolayer | cond | zmirror | synthetic")
+        p.add_argument("trial", type=int, nargs="?", default=0)
+        p.add_argument("--f32", action="store_true", help="float32 step path (TPU)")
+
+    p = sub.add_parser("run")
+    add_common(p)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--thermo", type=int, default=20)
+    p.add_argument("--log", default=None)
+    p.add_argument("--dump", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("rerun")
+    add_common(p)
+    p.add_argument("traj")
+    p.set_defaults(fn=cmd_rerun)
+
+    p = sub.add_parser("compare")
+    p.add_argument("logs", nargs="+")
+    p.add_argument("--column", default="c_qleft")
+    p.set_defaults(fn=cmd_compare)
+
+    p = sub.add_parser("profile")
+    add_common(p)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=cmd_profile)
+
+    args = ap.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

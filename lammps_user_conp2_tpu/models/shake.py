@@ -2,16 +2,16 @@
 
 The il decks constrain the 3-site BMI cation (bond types 1,2 + the 180-degree
 angle, tests/il_onelayer/input: ``fix bmishake bmi shake 0.0001 10 0 t 1 2 3
-b 1 2 a 1``), making each cation a rigid linear rotor.  We implement classic
-SHAKE (post-drift position correction, velocities adjusted by dx/dt) plus
-RATTLE velocity projection after the force kick.
+b 1 2 a 1``), making each cation a rigid linear rotor.  Angle constraints
+become 1-3 distances via the law of cosines (LAMMPS shake3angle equivalent).
 
-Constraints are flat arrays (ncons, 2) of atom pairs with target distances;
-angle constraints become 1-3 distances via the law of cosines (LAMMPS
-shake3angle equivalent).  The iteration is Jacobi (all constraints updated in
-parallel with scatter-add), which is jit/TPU friendly and converges for the
-2/3-constraint clusters LAMMPS supports; a fixed iteration count in
-lax.fori_loop keeps shapes static.
+TPU-first structure: constraints are grouped into their disjoint CLUSTERS
+(<=4 atoms, <=3 constraints — the LAMMPS shake cluster shapes) at setup.
+Each step gathers every cluster's atoms ONCE into an (M, K, 3) batch,
+iterates Gauss-Seidel over the <=3 constraint slots entirely in registers
+(one-hot column updates — no scatters inside the loop), and writes back
+once.  This replaces the naive per-constraint scatter loop, which on TPU
+costs ~100 sequential scatter ops per call.
 """
 
 from __future__ import annotations
@@ -28,17 +28,28 @@ from ..ops.pairs import min_image
 
 @dataclasses.dataclass(frozen=True)
 class ShakeConstraints:
-    """Static constraint table."""
-    ai: jnp.ndarray       # (C,) int
-    aj: jnp.ndarray       # (C,)
-    dist2: jnp.ndarray    # (C,) target squared distances
-    invmi: jnp.ndarray    # (C,)
-    invmj: jnp.ndarray    # (C,)
-    n_in_group: np.ndarray  # host (N,) int — constraints counted per atom (dof bookkeeping)
+    """Static cluster-batched constraint tables.
+
+    atoms: (M, K) global atom indices (padded with atoms[...,0]);
+    amask:  (M, K) bool valid;
+    ci, cj: (M, C) local column indices of each constraint's pair;
+    dist2:  (M, C) target squared distances (0 rows padded);
+    cmask:  (M, C) bool;
+    invm:   (M, K) inverse masses (0 for padding).
+    """
+    atoms: jnp.ndarray
+    amask: jnp.ndarray
+    ci: jnp.ndarray
+    cj: jnp.ndarray
+    dist2: jnp.ndarray
+    cmask: jnp.ndarray
+    invm: jnp.ndarray
+    n_in_group: np.ndarray   # host (N,) — constraints per atom (dof bookkeeping)
+    ncons: int
 
     @property
-    def ncons(self) -> int:
-        return len(np.asarray(self.ai))
+    def nclusters(self) -> int:
+        return self.atoms.shape[0]
 
 
 def build_constraints(system, shake_cfg) -> ShakeConstraints | None:
@@ -58,7 +69,6 @@ def build_constraints(system, shake_cfg) -> ShakeConstraints | None:
         bonded[(int(j), int(i))] = bond_r0[int(t)]
     for (t, i, j, k) in system.angles:
         if int(t) in shake_cfg.atypes and gmask[i] and gmask[j] and gmask[k]:
-            # law of cosines 1-3 distance from the two constrained bonds
             r1 = bonded[(int(i), int(j))]
             r2 = bonded[(int(j), int(k))]
             th = system.angle_coeffs[int(t), 1] * math.pi / 180.0
@@ -67,64 +77,165 @@ def build_constraints(system, shake_cfg) -> ShakeConstraints | None:
             d0.append(d13)
     if not pairs:
         return None
-    pairs = np.array(pairs, np.int64)
-    d0 = np.array(d0)
+
+    # connected components -> clusters
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for (i, j) in pairs:
+        parent.setdefault(i, i)
+        parent.setdefault(j, j)
+        union(i, j)
+    clusters = {}
+    for (idx, (i, j)) in enumerate(pairs):
+        clusters.setdefault(find(i), []).append(idx)
+
+    K = max(len({a for c in cons for a in pairs[c]}) for cons in clusters.values())
+    C = max(len(cons) for cons in clusters.values())
+    if K > 4 or C > 6:
+        raise ValueError(f"shake cluster too large (K={K}, C={C}); LAMMPS "
+                         "supports <=4 atoms per cluster")
+    M = len(clusters)
+    atoms = np.zeros((M, K), np.int64)
+    amask = np.zeros((M, K), bool)
+    ci = np.zeros((M, C), np.int64)
+    cj = np.zeros((M, C), np.int64)
+    dist2 = np.ones((M, C))
+    cmask = np.zeros((M, C), bool)
+    for m, cons in enumerate(clusters.values()):
+        local = []
+        for c in cons:
+            for a in pairs[c]:
+                if a not in local:
+                    local.append(a)
+        atoms[m, :len(local)] = local
+        atoms[m, len(local):] = local[0]        # pad with first atom (masked)
+        amask[m, :len(local)] = True
+        for s, c in enumerate(cons):
+            i, j = pairs[c]
+            ci[m, s] = local.index(i)
+            cj[m, s] = local.index(j)
+            dist2[m, s] = d0[c] ** 2
+            cmask[m, s] = True
+
+    invm = np.where(amask, 1.0 / system.mass[atoms], 0.0)
     ncount = np.zeros(system.natoms, np.int64)
-    # LAMMPS counts each constraint once against the cluster; for group dof
-    # we attribute 1 dof per constraint (all cluster atoms in one group here)
     for (i, j) in pairs:
         ncount[i] += 1
-    inv_m = 1.0 / system.mass
     return ShakeConstraints(
-        ai=jnp.asarray(pairs[:, 0]),
-        aj=jnp.asarray(pairs[:, 1]),
-        dist2=jnp.asarray(d0 * d0),
-        invmi=jnp.asarray(inv_m[pairs[:, 0]]),
-        invmj=jnp.asarray(inv_m[pairs[:, 1]]),
-        n_in_group=ncount,
+        atoms=jnp.asarray(atoms), amask=jnp.asarray(amask),
+        ci=jnp.asarray(ci), cj=jnp.asarray(cj),
+        dist2=jnp.asarray(dist2), cmask=jnp.asarray(cmask),
+        invm=jnp.asarray(invm),
+        n_in_group=ncount, ncons=len(pairs),
     )
 
 
+def _onehot_cols(idx, K, dtype):
+    # (M, C) -> (M, C, K) one-hot over the cluster-local column axis
+    return (idx[..., None] == jnp.arange(K)[None, None, :]).astype(dtype)
+
+
 def shake_positions(cons: ShakeConstraints, x_new, x_old, dt, *, box, periodic,
-                    iters: int = 50, omega: float = 1.0):
-    """Iteratively correct x_new so constraints hold; returns (x, dv).
+                    iters: int = 12, omega: float = 1.0):
+    """Correct x_new so constraints hold; returns (x, dv = (xc-x_new)/dt).
 
-    dv = (x_corrected - x_new)/dt is added to velocities (classic SHAKE).
-    Reference geometry r_old comes from pre-drift positions x_old.
+    Classic SHAKE with reference geometry from pre-drift positions; iterated
+    Gauss-Seidel over the cluster's constraint slots (registers only).
     """
-    boxj = jnp.asarray(box, x_new.dtype)
-    r_old = min_image(x_old[cons.ai] - x_old[cons.aj], boxj, periodic)  # (C,3)
-    invm_sum = cons.invmi + cons.invmj
+    M, K = cons.atoms.shape
+    C = cons.ci.shape[1]
+    dtype = x_new.dtype
+    boxj = jnp.asarray(box, dtype)
+    xc = x_new[cons.atoms]                       # (M, K, 3)
+    xo = x_old[cons.atoms]
+    ohi = _onehot_cols(cons.ci, K, dtype)        # (M, C, K)
+    ohj = _onehot_cols(cons.cj, K, dtype)
+    gi = jnp.take_along_axis  # shorthand
 
-    def body(_, x):
-        r_new = min_image(x[cons.ai] - x[cons.aj], boxj, periodic)
-        diff = jnp.sum(r_new * r_new, axis=1) - cons.dist2
-        denom = 2.0 * invm_sum * jnp.sum(r_new * r_old, axis=1)
-        lam = omega * diff / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
-        dxi = -(lam * cons.invmi)[:, None] * r_old
-        dxj = (lam * cons.invmj)[:, None] * r_old
-        x = x.at[cons.ai].add(dxi)
-        x = x.at[cons.aj].add(dxj)
-        return x
+    def take(arr, idx):
+        # arr (M,K,3), idx (M,) -> (M,3)
+        return jnp.take_along_axis(arr, idx[:, None, None].repeat(3, -1), axis=1)[:, 0]
 
-    x = jax.lax.fori_loop(0, iters, body, x_new)
+    invmi = jnp.take_along_axis(cons.invm, cons.ci, axis=1)  # (M, C)
+    invmj = jnp.take_along_axis(cons.invm, cons.cj, axis=1)
+    invm_sum = invmi + invmj
+
+    # reference bond vectors (pre-drift), per constraint slot
+    r_old = []
+    for s in range(C):
+        r_old.append(min_image(take(xo, cons.ci[:, s]) - take(xo, cons.cj[:, s]),
+                               boxj, periodic))
+
+    def body(_, xc):
+        for s in range(C):
+            rn = min_image(take(xc, cons.ci[:, s]) - take(xc, cons.cj[:, s]),
+                           boxj, periodic)
+            diff = jnp.sum(rn * rn, axis=1) - cons.dist2[:, s]
+            denom = 2.0 * invm_sum[:, s] * jnp.sum(rn * r_old[s], axis=1)
+            lam = omega * diff / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+            lam = jnp.where(cons.cmask[:, s], lam, 0.0)
+            corr = lam[:, None] * r_old[s]                       # (M,3)
+            xc = xc - (ohi[:, s, :, None] * (invmi[:, s, None] * corr)[:, None, :])
+            xc = xc + (ohj[:, s, :, None] * (invmj[:, s, None] * corr)[:, None, :])
+        return xc
+
+    xc = jax.lax.fori_loop(0, iters, body, xc)
+    # single write-back (pad columns carry duplicates of column 0 — masked)
+    flat_idx = jnp.where(cons.amask, cons.atoms, x_new.shape[0])
+    x = x_new.at[flat_idx.reshape(-1)].set(
+        xc.reshape(-1, 3), mode="drop")
     dv = (x - x_new) / dt
     return x, dv
 
 
 def rattle_velocities(cons: ShakeConstraints, x, v, *, box, periodic,
-                      iters: int = 50, omega: float = 1.0):
+                      iters: int = 12, omega: float = 1.0):
     """Project velocities onto the constraint manifold (sum v_ij . r_ij = 0)."""
-    boxj = jnp.asarray(box, x.dtype)
-    r = min_image(x[cons.ai] - x[cons.aj], boxj, periodic)
-    invm_sum = cons.invmi + cons.invmj
-    denom = invm_sum * jnp.sum(r * r, axis=1)
+    M, K = cons.atoms.shape
+    C = cons.ci.shape[1]
+    dtype = x.dtype
+    boxj = jnp.asarray(box, dtype)
+    xc = x[cons.atoms]
+    vc = v[cons.atoms]
+    ohi = _onehot_cols(cons.ci, K, dtype)
+    ohj = _onehot_cols(cons.cj, K, dtype)
 
-    def body(_, v):
-        vij = v[cons.ai] - v[cons.aj]
-        mu = omega * jnp.sum(vij * r, axis=1) / denom
-        v = v.at[cons.ai].add(-(mu * cons.invmi)[:, None] * r)
-        v = v.at[cons.aj].add((mu * cons.invmj)[:, None] * r)
-        return v
+    def take(arr, idx):
+        return jnp.take_along_axis(arr, idx[:, None, None].repeat(3, -1), axis=1)[:, 0]
 
-    return jax.lax.fori_loop(0, iters, body, v)
+    invmi = jnp.take_along_axis(cons.invm, cons.ci, axis=1)
+    invmj = jnp.take_along_axis(cons.invm, cons.cj, axis=1)
+    invm_sum = invmi + invmj
+    r = []
+    denom = []
+    for s in range(C):
+        rs = min_image(take(xc, cons.ci[:, s]) - take(xc, cons.cj[:, s]),
+                       boxj, periodic)
+        r.append(rs)
+        denom.append(invm_sum[:, s] * jnp.sum(rs * rs, axis=1))
+
+    def body(_, vc):
+        for s in range(C):
+            vij = take(vc, cons.ci[:, s]) - take(vc, cons.cj[:, s])
+            mu = omega * jnp.sum(vij * r[s], axis=1) / jnp.where(
+                denom[s] > 1e-12, denom[s], 1e-12)
+            mu = jnp.where(cons.cmask[:, s], mu, 0.0)
+            corr = mu[:, None] * r[s]
+            vc = vc - (ohi[:, s, :, None] * (invmi[:, s, None] * corr)[:, None, :])
+            vc = vc + (ohj[:, s, :, None] * (invmj[:, s, None] * corr)[:, None, :])
+        return vc
+
+    vc = jax.lax.fori_loop(0, iters, body, vc)
+    flat_idx = jnp.where(cons.amask, cons.atoms, x.shape[0])
+    return v.at[flat_idx.reshape(-1)].set(vc.reshape(-1, 3), mode="drop")

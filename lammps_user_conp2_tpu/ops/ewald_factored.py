@@ -96,22 +96,31 @@ def factorize(ksp: EwaldKSpace) -> FactoredKSpace:
 # device-side
 # ---------------------------------------------------------------------------
 
-def axis_tables(fk: FactoredKSpace, x):
-    """(Pr, Pi) (N, nxy) and (Zr, Zi) (N, nz) phase tables."""
+def axis_tables_kv(x, kxy, kz, unitk):
+    """Array-level phase tables — kxy may be a device-local shard."""
     dtype = x.dtype
-    ux, uy, uz = fk.unitk
-    kxy = jnp.asarray(fk.kxy, dtype)
+    ux, uy, uz = unitk
+    kxy = jnp.asarray(kxy, dtype)
     phase_xy = x[:, 0:1] * (ux * kxy[:, 0])[None, :] + \
         x[:, 1:2] * (uy * kxy[:, 1])[None, :]
     pr, pi = jnp.cos(phase_xy), jnp.sin(phase_xy)
-    phase_z = x[:, 2:3] * (uz * jnp.asarray(fk.kz, dtype))[None, :]
+    phase_z = x[:, 2:3] * (uz * jnp.asarray(kz, dtype))[None, :]
     zr, zi = jnp.cos(phase_z), jnp.sin(phase_z)
     return (pr, pi), (zr, zi)
 
 
+def axis_tables(fk: FactoredKSpace, x):
+    """(Pr, Pi) (N, nxy) and (Zr, Zi) (N, nz) phase tables."""
+    return axis_tables_kv(x, fk.kxy, fk.kz, fk.unitk)
+
+
 def structure_factor_f(fk: FactoredKSpace, x, q):
     """S(kxy, kz): returns (Sr, Si) each (nxy, nz). 4 real matmuls."""
-    (pr, pi), (zr, zi) = axis_tables(fk, x)
+    return structure_factor_fkv(x, q, fk.kxy, fk.kz, fk.unitk)
+
+
+def structure_factor_fkv(x, q, kxy, kz, unitk):
+    (pr, pi), (zr, zi) = axis_tables_kv(x, kxy, kz, unitk)
     qzr = q[:, None] * zr
     qzi = q[:, None] * zi
     sr = pr.T @ qzr - pi.T @ qzi
@@ -121,8 +130,12 @@ def structure_factor_f(fk: FactoredKSpace, x, q):
 
 def potential_on_points_f(fk: FactoredKSpace, xe, sr, si):
     """phi(xe) = sum 2 ug Re[S conj(Pe) conj(Ze)] — the b-vector readout."""
-    (per, pei), (zer, zei) = axis_tables(fk, xe)
-    ug = jnp.asarray(fk.ug, xe.dtype)
+    return potential_on_points_fkv(xe, sr, si, fk.kxy, fk.kz, fk.unitk, fk.ug)
+
+
+def potential_on_points_fkv(xe, sr, si, kxy, kz, unitk, ug):
+    (per, pei), (zer, zei) = axis_tables_kv(xe, kxy, kz, unitk)
+    ug = jnp.asarray(ug, xe.dtype)
     mr = 2.0 * ug * sr
     mi = 2.0 * ug * si
     # T(e, xy) = sum_z M(xy,z) conj(Ze)(z) -> (Ne, nxy)
@@ -134,9 +147,13 @@ def potential_on_points_f(fk: FactoredKSpace, xe, sr, si):
 
 def energy_forces_f(fk: FactoredKSpace, x, q):
     """(energy, forces) without qqr2e prefactor — plain Ewald k-space."""
+    return energy_forces_fkv(x, q, fk.kxy, fk.kz, fk.unitk, fk.ug)
+
+
+def energy_forces_fkv(x, q, kxy, kz, unitk, ug):
     dtype = x.dtype
-    (pr, pi), (zr, zi) = axis_tables(fk, x)
-    ug = jnp.asarray(fk.ug, dtype)
+    (pr, pi), (zr, zi) = axis_tables_kv(x, kxy, kz, unitk)
+    ug = jnp.asarray(ug, dtype)
     qzr = q[:, None] * zr
     qzi = q[:, None] * zi
     sr = pr.T @ qzr - pi.T @ qzi
@@ -148,16 +165,16 @@ def energy_forces_f(fk: FactoredKSpace, x, q):
     wi = -ug * si
     gr = zr @ wr.T - zi @ wi.T          # (N, nxy)
     gi = zr @ wi.T + zi @ wr.T
-    ux, uy, uz = fk.unitk
-    kzv = jnp.asarray(fk.kz, dtype) * uz
+    ux, uy, uz = unitk
+    kzv = jnp.asarray(kz, dtype) * uz
     gzr = zr @ (wr * kzv).T - zi @ (wi * kzv).T
     gzi = zr @ (wi * kzv).T + zi @ (wr * kzv).T
 
     # Im[P G] per (j, xy)
     im_pg = pr * gi + pi * gr
     im_pgz = pr * gzi + pi * gzr
-    kxv = jnp.asarray(fk.kxy[:, 0], dtype) * ux
-    kyv = jnp.asarray(fk.kxy[:, 1], dtype) * uy
+    kxv = jnp.asarray(kxy[:, 0], dtype) * ux
+    kyv = jnp.asarray(kxy[:, 1], dtype) * uy
     fx = im_pg @ kxv
     fy = im_pg @ kyv
     fz = jnp.sum(im_pgz, axis=1)

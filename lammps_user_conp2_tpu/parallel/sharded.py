@@ -85,8 +85,14 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     dtype = np.float64 if engine.dtype == jnp.float64 else np.float32
 
     # ---- shardable constants, padded to D multiples -------------------
-    kvecs = _pad_to(engine.ksp_force.kvecs.astype(dtype), d)       # (K', 3)
-    ug = _pad_to(engine.ksp_force.ug.astype(dtype), d)             # (K',) pad=0 -> no contribution
+    # factored Ewald: shard the kxy axis (pad rows get ug=0 -> no contribution)
+    fk = engine.fksp
+    if fk is not None:
+        kvecs = _pad_to(fk.kxy.astype(np.int64), d)                # (nxy', 2)
+        ug = _pad_to(fk.ug.astype(dtype), d)                       # (nxy', nz)
+    else:
+        kvecs = np.zeros((d, 2), np.int64)
+        ug = np.zeros((d, 1), dtype)
     exi0, exv0 = engine.exclusions
     exi = _pad_to(np.asarray(exi0), d).copy()                      # (N', m), pad rows
     exi[n:] = n
@@ -110,7 +116,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     sh2 = NamedSharding(mesh, P(axis, None))
     shards = (
         jax.device_put(jnp.asarray(kvecs), sh2),
-        jax.device_put(jnp.asarray(ug), sh),
+        jax.device_put(jnp.asarray(ug), sh2),
         jax.device_put(jnp.asarray(exi), sh2),
         jax.device_put(jnp.asarray(exv), sh2),
         jax.device_put(jnp.asarray(xpadmask), sh),
@@ -161,10 +167,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             ek = qqr2e * pppm_ops.pppm_energy(grid_p, rho)
             f = f + qqr2e * pppm_ops.pppm_forces(grid_p, rho, x, q)
         else:
-            # k-space over my k chunk
-            ek_l, fk_l = ewald_ops.ewald_energy_forces_kv(x, q, kv_l, ug_l)
+            # factored k-space over my kxy-row shard (ops/ewald_factored.py)
+            from ..ops import ewald_factored as ewf
+            ek_l, fk_force_l = ewf.energy_forces_fkv(
+                x, q, kv_l, jnp.asarray(fk.kz), fk.unitk, ug_l)
             ek = qqr2e * jax.lax.psum(ek_l, axis)
-            f = f + qqr2e * jax.lax.psum(fk_l, axis)
+            f = f + qqr2e * jax.lax.psum(fk_force_l, axis)
 
         g = ksp.g_ewald
         ek = ek - qqr2e * g / math.sqrt(math.pi) * jnp.sum(q * q)
@@ -217,9 +225,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         q_elyte = jnp.where(elyte, q, 0.0)
         xe_all = x[jnp.asarray(ele_idx)]
 
-        # k-space: my chunk's structure factor and electrode projection
-        sre, sim = ewald_ops.structure_factor(x, q_elyte, kv_l)
-        b = -ewald_ops.kspace_potential_on_points(xe_all, kv_l, ug_l, sre, sim)
+        # k-space: my kxy-shard's structure factor and electrode projection
+        from ..ops import ewald_factored as ewf
+        sr_l, si_l = ewf.structure_factor_fkv(
+            x, q_elyte, kv_l, jnp.asarray(fk.kz), fk.unitk)
+        b = -ewf.potential_on_points_fkv(
+            xe_all, sr_l, si_l, kv_l, jnp.asarray(fk.kz), fk.unitk, ug_l)
         b = jax.lax.psum(b, axis)
 
         # real-space: my electrode rows vs all atoms

@@ -295,10 +295,36 @@ def _stencil(grid: PPPMGrid, x):
     return out_idx, out_w
 
 
-def spread(grid: PPPMGrid, x, q):
-    """Scatter charges onto the mesh (LAMMPS make_rho): returns (nx,ny,nz)."""
+# mesh-size bound below which the separable MXU formulation beats scatter;
+# above it the sparse scatter path is used (a Pallas kernel is the next step
+# for very large meshes)
+DENSE_XY_LIMIT = 8192
+
+
+def _axis_weight_matrices(grid: PPPMGrid, x):
+    """Dense per-axis B-spline weight matrices Wx (N,nx), Wy (N,ny), Wz (N,nz).
+
+    Each row has `order` nonzeros; built with tiny (N*order) scatters.  The
+    spread/gather then become MXU matmuls (the same dense-separable trick as
+    the factorized Ewald): rho(flat_xy, z) = (Wx*Wy)^T diag(q) Wz."""
     (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
-    p = grid.order
+    n = x.shape[0]
+    rows = jnp.arange(n)[:, None]
+    WX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(wx)
+    WY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(wy)
+    WZ = jnp.zeros((n, grid.nz), x.dtype).at[rows, iz].add(wz)
+    return WX, WY, WZ
+
+
+def spread(grid: PPPMGrid, x, q):
+    """Charges onto the mesh (LAMMPS make_rho): returns (nx,ny,nz)."""
+    if grid.nx * grid.ny <= DENSE_XY_LIMIT:
+        WX, WY, WZ = _axis_weight_matrices(grid, x)
+        wxy = WX[:, :, None] * WY[:, None, :]             # (N, nx, ny)
+        wxy = wxy.reshape(x.shape[0], grid.nx * grid.ny)
+        rho = wxy.T @ (q[:, None] * WZ)                   # (nx*ny, nz) matmul
+        return rho.reshape(grid.nx, grid.ny, grid.nz)
+    (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
     nmesh = grid.nx * grid.ny * grid.nz
     w3 = (q[:, None, None, None] * wx[:, :, None, None]
           * wy[:, None, :, None] * wz[:, None, None, :])       # (N,p,p,p)
@@ -310,12 +336,33 @@ def spread(grid: PPPMGrid, x, q):
 
 def gather(grid: PPPMGrid, brick, x):
     """Stencil readout of a mesh field at atom positions: (N,)."""
+    if grid.nx * grid.ny <= DENSE_XY_LIMIT:
+        WX, WY, WZ = _axis_weight_matrices(grid, x)
+        wxy = (WX[:, :, None] * WY[:, None, :]).reshape(
+            x.shape[0], grid.nx * grid.ny)
+        t = WZ @ brick.reshape(grid.nx * grid.ny, grid.nz).T  # (N, nx*ny)
+        return jnp.sum(wxy * t, axis=1)
     (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
     lin = (ix[:, :, None, None] * grid.ny + iy[:, None, :, None]) * grid.nz \
         + iz[:, None, None, :]
     vals = brick.reshape(-1)[lin.reshape(x.shape[0], -1)]
     w3 = (wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :])
     return jnp.sum(vals * w3.reshape(x.shape[0], -1), axis=1)
+
+
+def gather3(grid: PPPMGrid, bricks, x):
+    """Gather three mesh fields at once (the ik force path) sharing the
+    weight matrices; returns (N, 3)."""
+    if grid.nx * grid.ny <= DENSE_XY_LIMIT:
+        WX, WY, WZ = _axis_weight_matrices(grid, x)
+        wxy = (WX[:, :, None] * WY[:, None, :]).reshape(
+            x.shape[0], grid.nx * grid.ny)
+        outs = []
+        for b in bricks:
+            t = WZ @ b.reshape(grid.nx * grid.ny, grid.nz).T
+            outs.append(jnp.sum(wxy * t, axis=1))
+        return jnp.stack(outs, axis=1)
+    return jnp.stack([gather(grid, b, x) for b in bricks], axis=1)
 
 
 def poisson_u(grid: PPPMGrid, rho):
@@ -356,7 +403,4 @@ def pppm_energy(grid: PPPMGrid, rho):
 def pppm_forces(grid: PPPMGrid, rho, x, q):
     """Forces from a (possibly combined) density mesh at positions x."""
     ex, ey, ez = poisson_efield(grid, rho)
-    fx = q * gather(grid, ex, x)
-    fy = q * gather(grid, ey, x)
-    fz = q * gather(grid, ez, x)
-    return jnp.stack([fx, fy, fz], axis=1)
+    return q[:, None] * gather3(grid, (ex, ey, ez), x)

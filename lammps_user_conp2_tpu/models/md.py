@@ -64,10 +64,17 @@ class Engine:
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
-        f, evdwl, ecoul = dense_pair_forces(
-            x, q, self.type_idx, self.tables, self.exclusions,
-            box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-            g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
+        if self.md.use_pallas_pair:
+            from ..ops.pallas.pair_kernel import pair_forces_pallas
+            f, evdwl, ecoul = pair_forces_pallas(
+                x, q, self.type_idx, self.tables, self.exclusions,
+                box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
+                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
+        else:
+            f, evdwl, ecoul = dense_pair_forces(
+                x, q, self.type_idx, self.tables, self.exclusions,
+                box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
+                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
         fb, eb = bond_forces(x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
                              box=box, periodic=sys.periodic)
         fa, ea = angle_forces(x, jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),

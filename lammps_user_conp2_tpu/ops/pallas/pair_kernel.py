@@ -1,0 +1,199 @@
+"""Pallas TPU kernel for the all-pairs LJ + real-space Coulomb force sweep.
+
+The XLA dense path (ops/pairs.py) materializes (block, N) intermediates in
+HBM (~2.4 ms on il_twolayer).  This kernel tiles the pair matrix into
+(TR, TC) VMEM blocks and fuses the whole per-pair chain — minimum image,
+LJ via one-hot MXU matmuls, erfc Coulomb, force reduction — entirely
+on-chip; only (N,3) forces and per-row energies ever leave VMEM.
+
+Special-bond exclusions are handled OUTSIDE the kernel: the kernel computes
+the uniform si=1 sweep, and the (few thousand) excluded pairs get a flat
+correction pass (exact algebraic difference).  This keeps the kernel free of
+per-pair gathers.
+
+The kernel assumes row/col padding to the tile sizes with q=0, x placed at
+a far-away sentinel (> cutoff from everything) for pad atoms.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..erfc import EWALD_F
+
+EWALD_P = 0.3275911
+A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
+                      -1.453152027, 1.061405429)
+
+
+def _kernel(xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
+            f_ref, ev_ref, ec_ref, *, box, periodic, cutsq, g_ewald, qqr2e,
+            tr, tc):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    xr = xr_ref[:]                      # (TR, 3)
+    xc = xc_ref[:]                      # (TC, 3)
+    qr = qr_ref[:]                      # (TR, 1)
+    qc = qc_ref[:]                      # (TC, 1)
+
+    # pairwise displacement planes with minimum image
+    rsq = jnp.zeros((tr, tc), xr.dtype)
+    d = []
+    for ax in range(3):
+        da = xr[:, ax:ax + 1] - xc[:, ax:ax + 1].T        # (TR, TC)
+        if periodic[ax]:
+            L = box[ax]
+            da = da - L * jnp.round(da * (1.0 / L))
+        d.append(da)
+        rsq = rsq + da * da
+
+    i0 = pl.program_id(0) * tr
+    j0 = j * tc
+    rows = i0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
+    cols = j0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
+    inrange = (rsq < cutsq) & (rows != cols)
+
+    rsq_safe = jnp.where(inrange, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    r6inv = r2inv * r2inv * r2inv
+    # one-hot MXU matmuls for the per-pair LJ coefficients:
+    # cr (TR, 4*T) holds [lj1|lj2|lj3|lj4] rows; ohc (TC, T) one-hot types
+    cr = cr_ref[:]
+    ohc = ohc_ref[:]
+    t = ohc.shape[1]
+    # cr is (TR, 4T): split the contraction into the 4 tables
+    l1 = jax.lax.dot_general(cr[:, 0 * t:1 * t], ohc, (((1,), (1,)), ((), ())),
+                             preferred_element_type=xr.dtype)
+    l2 = jax.lax.dot_general(cr[:, 1 * t:2 * t], ohc, (((1,), (1,)), ((), ())),
+                             preferred_element_type=xr.dtype)
+    l3 = jax.lax.dot_general(cr[:, 2 * t:3 * t], ohc, (((1,), (1,)), ((), ())),
+                             preferred_element_type=xr.dtype)
+    l4 = jax.lax.dot_general(cr[:, 3 * t:4 * t], ohc, (((1,), (1,)), ((), ())),
+                             preferred_element_type=xr.dtype)
+
+    flj = jnp.where(inrange, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
+    elj = jnp.where(inrange, r6inv * (l3 * r6inv - l4), 0.0)
+
+    r = jnp.sqrt(rsq_safe)
+    grij = g_ewald * r
+    expm2 = jnp.exp(-grij * grij)
+    tt = 1.0 / (1.0 + EWALD_P * grij)
+    erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
+    prefactor = qqr2e * qr * qc.T / r
+    fcoul = jnp.where(inrange, prefactor * (erfc + EWALD_F * grij * expm2), 0.0)
+    ecoul = jnp.where(inrange, prefactor * erfc, 0.0)
+
+    fpair = flj + fcoul * r2inv
+    fx = jnp.sum(fpair * d[0], axis=1)
+    fy = jnp.sum(fpair * d[1], axis=1)
+    fz = jnp.sum(fpair * d[2], axis=1)
+    fblk = jnp.stack([fx, fy, fz], axis=1)           # (TR, 3)
+
+    @pl.when(j == 0)
+    def _():
+        f_ref[:] = jnp.zeros_like(f_ref)
+        ev_ref[:] = jnp.zeros_like(ev_ref)
+        ec_ref[:] = jnp.zeros_like(ec_ref)
+
+    f_ref[:] = f_ref[:] + fblk
+    ev_ref[:] = ev_ref[:] + jnp.sum(elj, axis=1, keepdims=True)
+    ec_ref[:] = ec_ref[:] + jnp.sum(ecoul, axis=1, keepdims=True)
+
+
+def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
+                       cutoff, g_ewald, qqr2e, tr=256, tc=512,
+                       interpret=False):
+    """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    nt1 = tables.lj1.shape[0]
+    npad = (-n) % max(tr, tc)
+    npr = n + npad
+    # sentinel far outside every cutoff so pad pairs are out of range
+    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
+    xp = jnp.concatenate([x, jnp.tile(sentinel, (npad, 1))], axis=0)
+    qp = jnp.pad(q, (0, npad))
+    tp = jnp.pad(type_idx, (0, npad))
+
+    # per-row coefficient table [lj1|lj2|lj3|lj4][type_i] : (N', 4T)
+    cr = jnp.concatenate([tables.lj1[tp], tables.lj2[tp],
+                          tables.lj3[tp], tables.lj4[tp]], axis=1).astype(dtype)
+    ohc = (tp[:, None] == jnp.arange(nt1)[None, :]).astype(dtype)
+
+    grid = (npr // tr, npr // tc)
+    kern = functools.partial(
+        _kernel, box=tuple(float(b) for b in box), periodic=periodic,
+        cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald), qqr2e=float(qqr2e),
+        tr=tr, tc=tc)
+    f, ev_rows, ec_rows = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 4 * nt1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tc, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, nt1), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npr, 3), dtype),
+            jax.ShapeDtypeStruct((npr, 1), dtype),
+            jax.ShapeDtypeStruct((npr, 1), dtype),
+        ],
+        interpret=interpret,
+    )(xp, qp[:, None], cr, xp, qp[:, None], ohc)
+
+    f = f[:n]
+    ev = 0.5 * jnp.sum(ev_rows[:n])
+    ec = 0.5 * jnp.sum(ec_rows[:n])
+
+    # exclusion corrections: exact algebraic difference between si=s and si=1
+    exi, exv = exclusions
+    m = exi.shape[1]
+    rows = jnp.repeat(jnp.arange(n), m)
+    cols = exi.reshape(-1)
+    sval = exv.reshape(-1).astype(dtype)
+    valid = cols < n
+    cols_safe = jnp.where(valid, cols, 0)
+    dx_ = x[rows] - x[cols_safe]
+    boxj = jnp.asarray(box, dtype)
+    from ..pairs import min_image
+    dx_ = min_image(dx_, boxj, periodic)
+    rsq = jnp.sum(dx_ * dx_, axis=1)
+    valid = valid & (rsq < cutoff ** 2)
+    rsq_safe = jnp.where(valid, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    r6inv = r2inv ** 3
+    ti = type_idx[rows]
+    tj = type_idx[cols_safe]
+    l1 = tables.lj1[ti, tj]
+    l2 = tables.lj2[ti, tj]
+    l3 = tables.lj3[ti, tj]
+    l4 = tables.lj4[ti, tj]
+    ds = (sval - 1.0)
+    dflj = ds * r6inv * (l1 * r6inv - l2) * r2inv
+    delj = ds * r6inv * (l3 * r6inv - l4)
+    r = jnp.sqrt(rsq_safe)
+    pref = qqr2e * q[rows] * q[cols_safe] / r
+    dfcoul = ds * pref            # -(1-s)*prefactor, both force and energy
+    decoul = ds * pref
+    dfpair = jnp.where(valid, dflj + dfcoul * r2inv, 0.0)
+    fcorr = dfpair[:, None] * dx_
+    f = f.at[rows].add(jnp.where(valid[:, None], fcorr, 0.0))
+    ev = ev + 0.5 * jnp.sum(jnp.where(valid, delj, 0.0))
+    ec = ec + 0.5 * jnp.sum(jnp.where(valid, decoul, 0.0))
+    return f, ev, ec

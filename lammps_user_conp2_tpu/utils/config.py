@@ -122,6 +122,9 @@ class MDConfig:
     thermostats: tuple = ()         # tuple[ThermostatConfig]
     shake: Optional[ShakeConfig] = None
     zmirror: Optional[ZMirrorConfig] = None
+    # use the Pallas pair kernel instead of the XLA dense path (both are
+    # within ~10% on v5e; the kernel wins as N grows)
+    use_pallas_pair: bool = False
     # dtype for the force/integration path; solve path is configured separately
     dtype: str = "float64"
     solve_dtype: str = "float64"

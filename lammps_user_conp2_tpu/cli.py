@@ -40,16 +40,19 @@ def _build(args):
 def cmd_run(args):
     import jax
 
+    import jax
     system, eng = _build(args)
-    st = eng.init_state()
+    st = jax.block_until_ready(jax.jit(eng.init_state)())
     cols = ["step", "temp", "qleft", "qright", "f_e", "pe"]
     out = open(args.log, "w") if args.log else sys.stdout
     print("Step Temp c_qleft c_qright f_e PotEng", file=out)
-    t0 = time.time()
     th0 = {k: float(v) for k, v in eng.thermo(st).items()}
     print(" ".join(f"{th0[c]:.8g}" for c in cols), file=out)
     dumpf = open(args.dump, "w") if args.dump else None
     nchunk = args.thermo
+    # warm the scan compile outside the timed loop
+    _ = jax.block_until_ready(eng.run(st, nchunk, thermo_every=nchunk)[0])
+    t0 = time.time()
     for start in range(0, args.steps, nchunk):
         n = min(nchunk, args.steps - start)
         st, th = eng.run(st, n, thermo_every=n)

@@ -138,7 +138,8 @@ class ConpSolver:
         if cfg.solver is Solver.CG:
             eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
         else:
-            eleallq = ctx.ainv @ b
+            eleallq = jnp.matmul(ctx.ainv, b,
+                                 precision=jax.lax.Precision.HIGHEST)
 
         target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
             cfg.target, b.dtype)

@@ -52,6 +52,9 @@ class Engine:
     tables: object
     elecheck: jnp.ndarray
     dtype: object
+    # jitted-scan cache keyed by (nsteps,) so repeated run() calls don't
+    # retrace (frozen dataclass: the dict itself is mutable)
+    _run_cache: dict = dataclasses.field(default_factory=dict, compare=False)
 
     # ------------------------------------------------------------- forces
     def compute_forces(self, x, q, scalar_out, rho_elyte=None):
@@ -214,13 +217,17 @@ class Engine:
 
     def run(self, state: MDState, nsteps: int, *, thermo_every: int = 1):
         """jit + lax.scan main loop; returns (final_state, thermo pytree)."""
-        def body(st, _):
-            st = self.step(st)
-            return st, self.thermo(st)
+        go = self._run_cache.get(nsteps)
+        if go is None:
+            def body(st, _):
+                st = self.step(st)
+                return st, self.thermo(st)
 
-        @jax.jit
-        def go(st):
-            return jax.lax.scan(body, st, None, length=nsteps)
+            @jax.jit
+            def go(st):
+                return jax.lax.scan(body, st, None, length=nsteps)
+
+            self._run_cache[nsteps] = go
 
         final, th = go(state)
         if thermo_every > 1:

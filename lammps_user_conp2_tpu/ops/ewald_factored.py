@@ -96,15 +96,40 @@ def factorize(ksp: EwaldKSpace) -> FactoredKSpace:
 # device-side
 # ---------------------------------------------------------------------------
 
+def _frac_ku(coord, inv_l, k_int):
+    """frac(k * coord/L) in [-0.5, 0.5) with f32-safe precision.
+
+    Naive k*u loses ~k*ulp(u) of phase (k up to several hundred -> 1e-4 rad
+    in f32, visible as ~1e-3 charge errors).  Split u into a 12-bit head
+    (k*u_hi is EXACT in f32 for |k| <= 4096) and a small tail, reduce the
+    head modulo 1 exactly, and add the tail: phase error ~ ulp, not k*ulp.
+    """
+    u = coord * inv_l
+    u = u - jnp.floor(u)
+    scale = 4096.0
+    u_hi = jnp.round(u * scale) * (1.0 / scale)
+    u_lo = u - u_hi
+    a = k_int[None, :] * u_hi[:, None]
+    a = a - jnp.floor(a)
+    ph = a + k_int[None, :] * u_lo[:, None]
+    return ph - jnp.round(ph)
+
+
 def axis_tables_kv(x, kxy, kz, unitk):
     """Array-level phase tables — kxy may be a device-local shard."""
     dtype = x.dtype
     ux, uy, uz = unitk
-    kxy = jnp.asarray(kxy, dtype)
-    phase_xy = x[:, 0:1] * (ux * kxy[:, 0])[None, :] + \
-        x[:, 1:2] * (uy * kxy[:, 1])[None, :]
+    two_pi = 2.0 * math.pi
+    kxi = jnp.asarray(kxy[:, 0], dtype)
+    kyi = jnp.asarray(kxy[:, 1], dtype)
+    # unitk = 2*pi/L -> coord/L = coord * unitk / (2*pi)
+    fx = _frac_ku(x[:, 0], ux / two_pi, kxi)
+    fy = _frac_ku(x[:, 1], uy / two_pi, kyi)
+    fxy = fx + fy
+    phase_xy = two_pi * (fxy - jnp.round(fxy))
     pr, pi = jnp.cos(phase_xy), jnp.sin(phase_xy)
-    phase_z = x[:, 2:3] * (uz * jnp.asarray(kz, dtype))[None, :]
+    fz = _frac_ku(x[:, 2], uz / two_pi, jnp.asarray(kz, dtype))
+    phase_z = two_pi * fz
     zr, zi = jnp.cos(phase_z), jnp.sin(phase_z)
     return (pr, pi), (zr, zi)
 
@@ -120,11 +145,14 @@ def structure_factor_f(fk: FactoredKSpace, x, q):
 
 
 def structure_factor_fkv(x, q, kxy, kz, unitk):
+    # HIGHEST matmul precision: TPU default is bf16 passes, which injects
+    # ~1e-3 relative error into the charge solve
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     (pr, pi), (zr, zi) = axis_tables_kv(x, kxy, kz, unitk)
     qzr = q[:, None] * zr
     qzi = q[:, None] * zi
-    sr = pr.T @ qzr - pi.T @ qzi
-    si = pr.T @ qzi + pi.T @ qzr
+    sr = mm(pr.T, qzr) - mm(pi.T, qzi)
+    si = mm(pr.T, qzi) + mm(pi.T, qzr)
     return sr, si
 
 
@@ -134,13 +162,14 @@ def potential_on_points_f(fk: FactoredKSpace, xe, sr, si):
 
 
 def potential_on_points_fkv(xe, sr, si, kxy, kz, unitk, ug):
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     (per, pei), (zer, zei) = axis_tables_kv(xe, kxy, kz, unitk)
     ug = jnp.asarray(ug, xe.dtype)
     mr = 2.0 * ug * sr
     mi = 2.0 * ug * si
     # T(e, xy) = sum_z M(xy,z) conj(Ze)(z) -> (Ne, nxy)
-    tr = zer @ mr.T + zei @ mi.T
-    ti = -zei @ mr.T + zer @ mi.T
+    tr = mm(zer, mr.T) + mm(zei, mi.T)
+    ti = -mm(zei, mr.T) + mm(zer, mi.T)
     # Re[conj(Pe) T] summed over xy
     return jnp.sum(per * tr + pei * ti, axis=1)
 
@@ -152,31 +181,33 @@ def energy_forces_f(fk: FactoredKSpace, x, q):
 
 def energy_forces_fkv(x, q, kxy, kz, unitk, ug):
     dtype = x.dtype
+    # HIGH (bf16x3 on TPU) keeps force error ~1e-6 relative at 3x DEFAULT cost
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     (pr, pi), (zr, zi) = axis_tables_kv(x, kxy, kz, unitk)
     ug = jnp.asarray(ug, dtype)
     qzr = q[:, None] * zr
     qzi = q[:, None] * zi
-    sr = pr.T @ qzr - pi.T @ qzi
-    si = pr.T @ qzi + pi.T @ qzr
+    sr = mm(pr.T, qzr) - mm(pi.T, qzi)
+    si = mm(pr.T, qzi) + mm(pi.T, qzr)
     e = jnp.sum(ug * (sr * sr + si * si))
 
     # W = ug conj(S); G_j(xy) = sum_z W Z_j ; Gz with extra kz weight
     wr = ug * sr
     wi = -ug * si
-    gr = zr @ wr.T - zi @ wi.T          # (N, nxy)
-    gi = zr @ wi.T + zi @ wr.T
+    gr = mm(zr, wr.T) - mm(zi, wi.T)    # (N, nxy)
+    gi = mm(zr, wi.T) + mm(zi, wr.T)
     ux, uy, uz = unitk
     kzv = jnp.asarray(kz, dtype) * uz
-    gzr = zr @ (wr * kzv).T - zi @ (wi * kzv).T
-    gzi = zr @ (wi * kzv).T + zi @ (wr * kzv).T
+    gzr = mm(zr, (wr * kzv).T) - mm(zi, (wi * kzv).T)
+    gzi = mm(zr, (wi * kzv).T) + mm(zi, (wr * kzv).T)
 
     # Im[P G] per (j, xy)
     im_pg = pr * gi + pi * gr
     im_pgz = pr * gzi + pi * gzr
     kxv = jnp.asarray(kxy[:, 0], dtype) * ux
     kyv = jnp.asarray(kxy[:, 1], dtype) * uy
-    fx = im_pg @ kxv
-    fy = im_pg @ kyv
+    fx = mm(im_pg, kxv)
+    fy = mm(im_pg, kyv)
     fz = jnp.sum(im_pgz, axis=1)
     f = 2.0 * q[:, None] * jnp.stack([fx, fy, fz], axis=1)
     return e, f

@@ -107,10 +107,13 @@ def pair_rowblock(xi, qi, ti, exi, exv, rowvalid, i0, x, q, type_idx, tables, *,
     r6inv = r2inv * r2inv * r2inv
     lj_on = inrange & (si > 0.0)
     oh = tables.onehot.T                      # (nt+1, N)
-    l1 = tables.lj1[ti] @ oh
-    l2 = tables.lj2[ti] @ oh
-    l3 = tables.lj3[ti] @ oh
-    l4 = tables.lj4[ti] @ oh
+    # HIGHEST: bf16 default would round the LJ coefficients (up to ~1e7) at
+    # ~0.4% relative — visible in forces
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    l1 = mm(tables.lj1[ti], oh)
+    l2 = mm(tables.lj2[ti], oh)
+    l3 = mm(tables.lj3[ti], oh)
+    l4 = mm(tables.lj4[ti], oh)
     flj = jnp.where(lj_on, si * r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
     elj = jnp.where(lj_on, si * r6inv * (l3 * r6inv - l4), 0.0)
     # Coulomb (erfc + kspace compensation for excluded pairs)

@@ -322,7 +322,8 @@ def spread(grid: PPPMGrid, x, q):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
         wxy = WX[:, :, None] * WY[:, None, :]             # (N, nx, ny)
         wxy = wxy.reshape(x.shape[0], grid.nx * grid.ny)
-        rho = wxy.T @ (q[:, None] * WZ)                   # (nx*ny, nz) matmul
+        rho = jnp.matmul(wxy.T, q[:, None] * WZ,
+                         precision=jax.lax.Precision.HIGHEST)
         return rho.reshape(grid.nx, grid.ny, grid.nz)
     (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
     nmesh = grid.nx * grid.ny * grid.nz
@@ -340,7 +341,8 @@ def gather(grid: PPPMGrid, brick, x):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
         wxy = (WX[:, :, None] * WY[:, None, :]).reshape(
             x.shape[0], grid.nx * grid.ny)
-        t = WZ @ brick.reshape(grid.nx * grid.ny, grid.nz).T  # (N, nx*ny)
+        t = jnp.matmul(WZ, brick.reshape(grid.nx * grid.ny, grid.nz).T,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.sum(wxy * t, axis=1)
     (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
     lin = (ix[:, :, None, None] * grid.ny + iy[:, None, :, None]) * grid.nz \
@@ -359,7 +361,8 @@ def gather3(grid: PPPMGrid, bricks, x):
             x.shape[0], grid.nx * grid.ny)
         outs = []
         for b in bricks:
-            t = WZ @ b.reshape(grid.nx * grid.ny, grid.nz).T
+            t = jnp.matmul(WZ, b.reshape(grid.nx * grid.ny, grid.nz).T,
+                           precision=jax.lax.Precision.HIGHEST)
             outs.append(jnp.sum(wxy * t, axis=1))
         return jnp.stack(outs, axis=1)
     return jnp.stack([gather(grid, b, x) for b in bricks], axis=1)

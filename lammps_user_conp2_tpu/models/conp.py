@@ -54,6 +54,7 @@ class ConpSolver:
     solve_dtype: object = jnp.float64
     pppm_grid: object = None     # PPPMGrid when cfg.kspace is PPPM
     fksp: object = None          # FactoredKSpace — MXU fast path for b
+    one_electrode: bool = False  # group1 == group2 (fix_conp.cpp:295)
 
     @property
     def ne(self) -> int:
@@ -151,6 +152,8 @@ class ConpSolver:
         elif cfg.mode is Mode.CONQ:
             netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
             scalar = -(target - netcharge_right) / ctx.totsetq
+            if self.one_electrode:
+                scalar = scalar + 2.0 * target / ctx.totsetq  # fix_conq.cpp:79
             potdiff = scalar
         else:  # COND
             elyte = jnp.asarray(self.elyte_mask)
@@ -385,4 +388,5 @@ def _setup_conp_f64(
         type_idx=system.type, box=box, periodic=system.periodic,
         cut_coulsq=cut_coulsq, qqr2e=units.qqr2e, evscale=units.evscale,
         ee_diag=ee, solve_dtype=solve_dtype, pppm_grid=pppm_grid,
+        one_electrode=one_electrode,
     )

@@ -149,7 +149,11 @@ def build_system(
 
     lmask = as_mask(ele_left)
     rmask = as_mask(ele_right)
-    if (lmask & rmask).any():
+    if lmask.any() and (lmask == rmask).all():
+        # one-electrode setup: the reference detects group1 == group2
+        # (fix_conp.cpp:295) and defers the projection until after setq
+        rmask = np.zeros_like(rmask)
+    elif (lmask & rmask).any():
         raise ValueError("an atom is in both electrode groups")
 
     return System(

@@ -109,3 +109,39 @@ def test_nonneutral_skips_projection(dilute0):
     assert float(np.abs(np.asarray(sn.ctx.ainv).sum(axis=1)).max()) > 1e-6
     q, _ = sn.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
     assert np.isfinite(np.asarray(q)).all()
+
+
+def test_one_electrode_setup():
+    """group1 == group2 (fix_conp.cpp:295): single electrode, projection
+    deferred until after setq (fix_conp.cpp:958,1115), conq doubling."""
+    from lammps_user_conp2_tpu.models.system import build_system
+    from lammps_user_conp2_tpu.utils import data_io
+    from lammps_user_conp2_tpu.utils.config import Mode
+    from lammps_user_conp2_tpu.workloads import REF_TESTS, _DILUTE_PAIR_COEFFS
+    data = data_io.parse_data_file(f"{REF_TESTS}/dilute/data")
+    groups = {"sol": np.isin(data.type, [1, 2, 4])}
+    system = build_system(
+        data, units="real", periodic=(True, True, False), mix="geometric",
+        pair_coeff_overrides=_DILUTE_PAIR_COEFFS,
+        ele_left=[81, 82], ele_right=[81, 82], groups=groups)
+    assert not system.ele_right_mask.any()
+    assert (system.elecheck[system.ele_mask] == 1).all()
+    from lammps_user_conp2_tpu.utils.config import MDConfig, ThermostatConfig
+    md = MDConfig(units="real", dt=1.0, cutoff=4.0, kspace_accuracy=1e-6,
+                  slab=3.0, thermostats=(ThermostatConfig("sol", 298., 298., 100.),))
+    cfg = dataclasses.replace(workloads.dilute(0)[2])
+    solver = setup_conp(system, md, cfg)
+    q, scal = solver.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    assert np.isfinite(np.asarray(q)).all()
+    # projected AFTER setq: totsetq reflects the unprojected inverse
+    assert abs(float(solver.ctx.totsetq)) > 1e-6
+    # the projected matvec keeps the single electrode exactly neutral at dV=0
+    cfg0 = dataclasses.replace(cfg, target=0.0)
+    s0 = setup_conp(system, md, cfg0)
+    q0, _ = s0.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    assert abs(float(q0[system.ele_mask].sum())) < 1e-9
+    # conq one-electrode: scalar gets the 2*target/totsetq shift (fix_conq.cpp:79)
+    cfgq = dataclasses.replace(cfg, mode=Mode.CONQ, target=0.05)
+    sq = setup_conp(system, md, cfgq)
+    qq, dv = sq.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    assert np.isfinite(float(dv))

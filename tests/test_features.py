@@ -145,3 +145,47 @@ def test_one_electrode_setup():
     sq = setup_conp(system, md, cfgq)
     qq, dv = sq.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
     assert np.isfinite(float(dv))
+
+
+def test_ehgo_nonzero_kappa_overlap_term(dilute0):
+    """kappa != 0 activates the Gaussian-overlap fo term; the A matrix stays
+    symmetric positive definite and the solve remains neutral."""
+    system, md, cfg, solver = dilute0
+    # note: with u0='auto', f_i = u0 - sqrt(2/pi)*eta == 0 and the overlap
+    # term vanishes for ANY kappa (fix_conp.cpp:1530-1535); use explicit u0
+    import math
+    u0 = 1.2 * math.sqrt(2 / math.pi) * cfg.eta / system.units().evscale
+    cfge = dataclasses.replace(
+        cfg, pairmode=PairMode.EHGO,
+        ehgo=EhgoConfig(kappa=0.5, eta_by_type=((3, cfg.eta, u0),)))
+    se = setup_conp(system, md, cfge)
+    from lammps_user_conp2_tpu.models.electrodes import assemble_amatrix
+    ele_idx = se.ele_idx
+    xe = jnp.asarray(system.x0[ele_idx])
+    a = np.asarray(assemble_amatrix(
+        xe, jnp.asarray(system.type[ele_idx]), se.kernels.self_diag[ele_idx],
+        se.ksp, se.kernels, box=system.box, periodic=system.periodic,
+        cut_coulsq=se.cut_coulsq))
+    np.testing.assert_allclose(a, a.T, atol=1e-12)
+    assert np.linalg.eigvalsh(a).min() > 0
+    q, _ = se.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    qe = np.asarray(q[system.ele_mask])
+    assert abs(qe.sum()) < 1e-10
+    # and it differs from kappa=0 (the term is active)
+    q0, _ = solver.solve(jnp.asarray(system.x0), jnp.asarray(system.q0), 0)
+    assert np.abs(qe - np.asarray(q0[system.ele_mask])).max() > 1e-8
+
+
+def test_nevery_gating(dilute0):
+    """Nevery=2: charges update only on even steps (fix conp Nevery arg)."""
+    system, md, cfg, solver = dilute0
+    from lammps_user_conp2_tpu.models.md import build_engine
+    cfg2 = dataclasses.replace(cfg, nevery=2)
+    s2 = setup_conp(system, md, cfg2)
+    eng = build_engine(system, md, s2)
+    st = eng.init_state()
+    q0 = np.asarray(st.q[system.ele_mask])
+    st1 = eng.step(st)        # step 1: no solve
+    np.testing.assert_array_equal(np.asarray(st1.q[system.ele_mask]), q0)
+    st2 = eng.step(st1)       # step 2: solve
+    assert np.abs(np.asarray(st2.q[system.ele_mask]) - q0).max() > 1e-8

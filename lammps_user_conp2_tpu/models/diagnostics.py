@@ -104,3 +104,11 @@ def nghosts(x, *, box, box_lo, cutoff, periodic):
                ((hi - x[:, ax]) < cutoff).astype(np.int64)
         count *= 1 + near
     return count - 1
+
+
+def group_potential(x, q, group_mask, **kw):
+    """Average potential of a group in volts — compute_group_potential
+    equivalent (pppm_conp.cpp:490-534; consumed per-electrode by users)."""
+    pot = potential_atom(x, q, group_mask=group_mask, **kw)
+    g = jnp.asarray(group_mask)
+    return jnp.sum(jnp.where(g, pot, 0.0)) / jnp.sum(g)

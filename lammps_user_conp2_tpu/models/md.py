@@ -46,6 +46,7 @@ class Engine:
     pppm_grid: object            # PPPMGrid or None — mesh force path
     zmirror: object              # ZMirror or None — mirror-symmetry fix
     fksp: object                 # FactoredKSpace or None — MXU Ewald fast path
+    cell_grid: object            # CellGrid or None — large-N pair path
     # device constants
     type_idx: jnp.ndarray
     exclusions: tuple            # (excl_idx, excl_val) — sparse special bonds
@@ -67,7 +68,15 @@ class Engine:
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
-        if self.md.use_pallas_pair:
+        if self.cell_grid is not None:
+            from ..ops.cells import cell_pair_forces
+            f, evdwl, ecoul, overflow = cell_pair_forces(
+                self.cell_grid, x, q, self.type_idx, self.tables,
+                self.exclusions, g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
+            # fail loud on cell overflow: poison the energy (checked by
+            # callers/bench; silent truncation would corrupt physics)
+            evdwl = jnp.where(overflow, jnp.nan, evdwl)
+        elif self.md.use_pallas_pair:
             from ..ops.pallas.pair_kernel import pair_forces_pallas
             f, evdwl, ecoul = pair_forces_pallas(
                 x, q, self.type_idx, self.tables, self.exclusions,
@@ -292,6 +301,17 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
             slab_volfactor=md.slab if md.slab is not None else 1.0,
             g_ewald=ksp.g_ewald)
 
+    cell_grid = None
+    want_cell = md.pair_path == "cell"
+    if md.pair_path == "auto":
+        want_cell = (system.natoms > 8192 and
+                     all(b >= 4.0 * md.cutoff for b in system.box))
+    if want_cell:
+        from ..ops.cells import build_cell_grid
+        cell_grid = build_cell_grid(system.box, tuple(system.box_lo),
+                                    md.cutoff, system.natoms,
+                                    periodic=system.periodic)
+
     zmirror = None
     if md.zmirror is not None:
         from .zmirror import build_zmirror
@@ -306,6 +326,7 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
         ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror, fksp=fksp,
+        cell_grid=cell_grid,
         type_idx=jnp.asarray(system.type),
         exclusions=tuple(jnp.asarray(a) for a in exclusion_lists(system)),
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, system.type, dtype),

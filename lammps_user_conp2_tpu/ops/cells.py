@@ -1,0 +1,224 @@
+"""Cell-list pair interactions for large N (beyond the reference's scales).
+
+The dense all-pairs path (ops/pairs.py) is optimal up to ~10^4 atoms; past
+that the O(N^2) sweep loses to a cell list.  This is a jit-static, TPU-shaped
+cell list:
+
+  * cells of edge >= cutoff; atoms binned and sorted by cell id (one sort),
+  * fixed per-cell capacity (host-estimated; overflow detected and reported),
+  * per atom, candidates = the 27 neighboring cells' slots -> a padded
+    (N, 27*cap) candidate matrix processed with the same fused arithmetic as
+    the dense path, fully masked, no dynamic shapes.
+
+Cost O(N * 27 * cap) — the crossover vs dense is around box/cutoff ~ 4.
+LAMMPS equivalent: neighbor bins + half lists (we use full candidate lists;
+each pair evaluated from both sides, matching the dense path's convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .erfc import EWALD_F
+from .pairs import PairTables
+
+EWALD_P = 0.3275911
+A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
+                      -1.453152027, 1.061405429)
+
+
+@dataclasses.dataclass(frozen=True)
+class CellGrid:
+    """Static cell decomposition (host-derived)."""
+    ncells: tuple          # (cx, cy, cz)
+    cap: int               # max atoms per cell (static)
+    box: tuple
+    box_lo: tuple
+    periodic: tuple
+    cutoff: float
+
+    @property
+    def total(self):
+        cx, cy, cz = self.ncells
+        return cx * cy * cz
+
+
+def build_cell_grid(box, box_lo, cutoff, natoms, *, periodic,
+                    density_safety=3.0, cap=None) -> CellGrid:
+    ns = tuple(max(1, int(b // cutoff)) for b in box)
+    vol_cell = (box[0] / ns[0]) * (box[1] / ns[1]) * (box[2] / ns[2])
+    mean_per_cell = natoms * vol_cell / (box[0] * box[1] * box[2])
+    if cap is None:
+        cap = int(math.ceil(mean_per_cell * density_safety)) + 8
+    return CellGrid(ncells=ns, cap=cap, box=tuple(box), box_lo=tuple(box_lo),
+                    periodic=periodic, cutoff=cutoff)
+
+
+def bin_atoms(grid: CellGrid, x):
+    """Returns (cell_table (C, cap) atom indices padded with N, overflow flag)."""
+    n = x.shape[0]
+    cx, cy, cz = grid.ncells
+    ids = []
+    for ax, nc in enumerate(grid.ncells):
+        u = (x[:, ax] - grid.box_lo[ax]) / grid.box[ax]
+        u = u - jnp.floor(u)           # wrap into [0,1) (also non-periodic pad)
+        ids.append(jnp.clip((u * nc).astype(jnp.int32), 0, nc - 1))
+    cell = (ids[0] * cy + ids[1]) * cz + ids[2]            # (N,)
+    order = jnp.argsort(cell)
+    cell_sorted = cell[order]
+    # rank within cell = position - first position of this cell value
+    first_idx = jnp.searchsorted(cell_sorted, cell_sorted, side="left")
+    rank = jnp.arange(n) - first_idx
+    overflow = jnp.max(rank) >= grid.cap
+    table = jnp.full((grid.total * grid.cap,), n, jnp.int32)
+    slot = cell_sorted * grid.cap + jnp.minimum(rank, grid.cap - 1)
+    table = table.at[slot].set(order.astype(jnp.int32))
+    return table.reshape(grid.total, grid.cap), cell, overflow
+
+
+def _neighbor_cells(grid: CellGrid):
+    """(C, 27) neighbor cell ids (host numpy, static)."""
+    cx, cy, cz = grid.ncells
+    idx = np.arange(cx * cy * cz)
+    ix, iy, iz = idx // (cy * cz), (idx // cz) % cy, idx % cz
+    out = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                jx = (ix + dx) % cx
+                jy = (iy + dy) % cy
+                jz = (iz + dz) % cz
+                out.append((jx * cy + jy) * cz + jz)
+    nb = np.stack(out, axis=1)
+    # duplicated neighbors when an axis has <3 cells: mask duplicates so a
+    # pair is never counted twice
+    uniq = np.ones_like(nb, dtype=bool)
+    for c in range(nb.shape[0]):
+        seen = set()
+        for k in range(27):
+            if nb[c, k] in seen:
+                uniq[c, k] = False
+            else:
+                seen.add(nb[c, k])
+    return nb, uniq
+
+
+def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
+                     exclusions, *, g_ewald, qqr2e, block=1024):
+    """Cell-list LJ + real-space Coulomb; same returns as dense_pair_forces.
+
+    Also returns the overflow flag as a 4th output (callers should surface
+    it; physics is silently wrong if a cell overflows its capacity)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    table, cell, overflow = bin_atoms(grid, x)
+    nb, uniq = _neighbor_cells(grid)
+    nbj = jnp.asarray(nb)
+    uniqj = jnp.asarray(uniq)
+
+    # candidate atoms per atom: (N, 27*cap)
+    cand = table[nbj[cell]]                    # (N, 27, cap)
+    cand_valid = uniqj[cell][:, :, None] & (cand < n)
+    cand = jnp.where(cand_valid, cand, n)
+    m = 27 * grid.cap
+    cand = cand.reshape(n, m)
+    cand_valid = cand_valid.reshape(n, m)
+
+    # pad x/q/type by one sentinel row
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qp = jnp.pad(q, (0, 1))
+    tp = jnp.pad(type_idx, (0, 1))
+    cutsq = grid.cutoff ** 2
+    boxj = jnp.asarray(grid.box, dtype)
+
+    nblk = -(-n // block)
+    pad = nblk * block - n
+    candp = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=n)
+    validp = jnp.pad(cand_valid, ((0, pad), (0, 0)))
+    rowidx = jnp.pad(jnp.arange(n), (0, pad), constant_values=n)
+
+    oh = tables.onehot  # unused here; per-pair types via small-table gather
+    mmp = jax.lax.Precision.HIGHEST
+
+    def body(carry, blk):
+        ev, ec = carry
+        rows, cnd, vld = blk                       # (B,), (B,m), (B,m)
+        xi = xp[rows]                              # (B,3)
+        qi = qp[rows]
+        ti = tp[rows]
+        xj = xp[cnd]                               # (B,m,3)
+        qj = qp[cnd]
+        tj = tp[cnd]
+        dxv = xi[:, None, :] - xj
+        out = []
+        for ax in range(3):
+            da = dxv[..., ax]
+            if grid.periodic[ax]:
+                L = grid.box[ax]
+                da = da - L * jnp.round(da / L)
+            out.append(da)
+        rsq = out[0] ** 2 + out[1] ** 2 + out[2] ** 2
+        mask = vld & (rsq < cutsq) & (cnd != rows[:, None])
+        rsq_safe = jnp.where(mask, rsq, 1.0)
+        r2inv = 1.0 / rsq_safe
+        r6inv = r2inv * r2inv * r2inv
+        l1 = tables.lj1[ti[:, None], tj]
+        l2 = tables.lj2[ti[:, None], tj]
+        l3 = tables.lj3[ti[:, None], tj]
+        l4 = tables.lj4[ti[:, None], tj]
+        flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
+        elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)
+        r = jnp.sqrt(rsq_safe)
+        grij = g_ewald * r
+        expm2 = jnp.exp(-grij * grij)
+        tt = 1.0 / (1.0 + EWALD_P * grij)
+        erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
+        pref = qqr2e * qi[:, None] * qj / r
+        fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
+        ecoul = jnp.where(mask, pref * erfc, 0.0)
+        fpair = flj + fcoul * r2inv
+        frow = jnp.stack([jnp.sum(fpair * out[0], axis=1),
+                          jnp.sum(fpair * out[1], axis=1),
+                          jnp.sum(fpair * out[2], axis=1)], axis=1)
+        return (ev + 0.5 * jnp.sum(elj), ec + 0.5 * jnp.sum(ecoul)), frow
+
+    (ev, ec), fb = jax.lax.scan(
+        body, (jnp.zeros((), dtype), jnp.zeros((), dtype)),
+        (rowidx.reshape(nblk, block), candp.reshape(nblk, block, m),
+         validp.reshape(nblk, block, m)))
+    f = fb.reshape(nblk * block, 3)[:n]
+
+    # exclusion corrections (identical to the pallas-path correction pass)
+    from .pallas.pair_kernel import pair_forces_pallas  # noqa: F401 (doc ref)
+    exi, exv = exclusions
+    me = exi.shape[1]
+    rows = jnp.repeat(jnp.arange(n), me)
+    cols = exi.reshape(-1)
+    sval = exv.reshape(-1).astype(dtype)
+    valid = cols < n
+    cols_safe = jnp.where(valid, cols, 0)
+    from .pairs import min_image
+    dx_ = min_image(x[rows] - x[cols_safe], boxj, grid.periodic)
+    rsq = jnp.sum(dx_ * dx_, axis=1)
+    valid = valid & (rsq < cutsq)
+    rsq_safe = jnp.where(valid, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    r6inv = r2inv ** 3
+    ti = type_idx[rows]
+    tj = type_idx[cols_safe]
+    ds = sval - 1.0
+    dflj = ds * r6inv * (tables.lj1[ti, tj] * r6inv - tables.lj2[ti, tj]) * r2inv
+    delj = ds * r6inv * (tables.lj3[ti, tj] * r6inv - tables.lj4[ti, tj])
+    r = jnp.sqrt(rsq_safe)
+    pref = qqr2e * q[rows] * q[cols_safe] / r
+    dfpair = jnp.where(valid, dflj + ds * pref * r2inv, 0.0)
+    f = f.at[rows].add(jnp.where(valid[:, None], dfpair[:, None] * dx_, 0.0))
+    ev = ev + 0.5 * jnp.sum(jnp.where(valid, delj, 0.0))
+    ec = ec + 0.5 * jnp.sum(jnp.where(valid, ds * pref, 0.0))
+    return f, ev, ec, overflow

@@ -125,6 +125,9 @@ class MDConfig:
     # use the Pallas pair kernel instead of the XLA dense path (both are
     # within ~10% on v5e; the kernel wins as N grows)
     use_pallas_pair: bool = False
+    # real-space pair path: "auto" (cell list when N is large and the box is
+    # much bigger than the cutoff, else dense), "dense", or "cell"
+    pair_path: str = "auto"
     # dtype for the force/integration path; solve path is configured separately
     dtype: str = "float64"
     solve_dtype: str = "float64"

@@ -138,6 +138,12 @@ class ConpSolver:
         b, rho_elyte = self.b_vector_full(x, q)
         if cfg.solver is Solver.CG:
             eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
+        elif cfg.solver is Solver.CG_MATFREE:
+            xe = x.astype(self.solve_dtype)[self.ele_idx]
+            apply_a = make_matfree_operator(
+                self.fksp, xe, ctx.real_block, ctx.diag_extra,
+                slabflag=self.ksp.slabflag, volume=self.ksp.volume)
+            eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
         else:
             eleallq = jnp.matmul(ctx.ainv, b,
                                  precision=jax.lax.Precision.HIGHEST)
@@ -172,8 +178,13 @@ def cg_solve(amat, b, tol: float, maxiter: int):
     """Neutrality-projected conjugate gradient (FixConp::cg,
     fix_conp.cpp:864-930): residuals and search directions are de-meaned
     every iteration to stay on the charge-neutral subspace; convergence when
-    <r, p>/Ne < tol.  jit-compatible lax.while_loop."""
+    <r, p>/Ne < tol.  jit-compatible lax.while_loop.
+
+    ``amat`` may be an (Ne, Ne) matrix or a callable p -> A @ p
+    (the matrix-free production-scale path)."""
     ne = b.shape[0]
+    apply_a = amat if callable(amat) else (
+        lambda p: jnp.matmul(amat, p, precision=jax.lax.Precision.HIGHEST))
 
     def demeaned(res):
         netr = jnp.sum(res)
@@ -190,7 +201,7 @@ def cg_solve(amat, b, tol: float, maxiter: int):
 
     def body(carry):
         it, x, res, p, lresnorm, lgamma = carry
-        ap = amat @ p
+        ap = apply_a(p)
         alpha = lresnorm / jnp.sum(p * ap)
         x = x + alpha * p
         res = res - alpha * ap
@@ -204,6 +215,45 @@ def cg_solve(amat, b, tol: float, maxiter: int):
         cond, body, (jnp.zeros((), jnp.int32), x0, res0, p0, lresnorm0,
                      lresnorm0))
     return x, it
+
+
+def make_matfree_operator(fksp, xe, real_block, diag_extra, *, slabflag,
+                          volume):
+    """A.p as a function: k-space via factored Ewald on the electrode set
+    (the on-the-fly S_p includes the ug_tot diagonal), plus the cached
+    real-space erfc block, the non-kspace diagonal (-2g/sqrt(pi) + self), and
+    the slab rank-1 term (4pi/V) z z^T.
+
+    Nothing O(Ne^2) in k-space is ever formed; cost per apply is
+    O(Ne*(nxy+nz)) trig + O(Ne*nxy*nz) MXU flops."""
+    from ..ops import ewald_factored as ewf
+    z = xe[:, 2]
+
+    def apply_a(p):
+        sr, si = ewf.structure_factor_f(fksp, xe, p)
+        out = ewf.potential_on_points_f(fksp, xe, sr, si)
+        out = out + jnp.matmul(real_block, p,
+                               precision=jax.lax.Precision.HIGHEST)
+        out = out + diag_extra * p
+        if slabflag:
+            out = out + (4.0 * math.pi / volume) * z * jnp.sum(z * p)
+        return out
+
+    return apply_a
+
+
+def _realspace_block(xe, type_e, kernels, *, g, box, periodic, cut_coulsq,
+                     dtype):
+    """The (Ne, Ne) real-space erfc + Gaussian block of A (off-diagonal)."""
+    ne = xe.shape[0]
+    dx = min_image(xe[:, None, :] - xe[None, :, :], jnp.asarray(box, dtype),
+                   periodic)
+    rsq = jnp.sum(dx * dx, axis=-1)
+    mask = (rsq < cut_coulsq) & (~jnp.eye(ne, dtype=bool))
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    dudq = erfcr_sqrt(g * g * rsq_safe) * g + kernels.potential_A(
+        rsq_safe, type_e[:, None], type_e[None, :])
+    return jnp.where(mask, dudq, 0.0)
 
 
 def setup_conp(
@@ -296,8 +346,29 @@ def _setup_conp_f64(
 
     # --- A matrix, inverse, projection
     use_cg = cfg.solver is Solver.CG
+    matfree = cfg.solver is Solver.CG_MATFREE
     amat = jnp.zeros((1, 1), solve_dtype)
-    if cfg.ainv_file is not None:
+    real_block = jnp.zeros((1, 1), solve_dtype)
+    diag_extra = jnp.zeros((1,), solve_dtype)
+    from ..ops.ewald_factored import factorize
+    fksp = factorize(ksp) if cfg.kspace is not KSpaceStyle.PPPM else None
+    if matfree:
+        # production-scale path: never assemble the k-space block
+        if fksp is None:
+            raise ValueError("CG_MATFREE requires the Ewald kspace style")
+        real_block = _realspace_block(
+            xe, type_e, kernels, g=g_ewald, box=box,
+            periodic=system.periodic, cut_coulsq=cut_coulsq,
+            dtype=solve_dtype)
+        diag_extra = jnp.asarray(
+            kernels.self_diag[ele_idx] - 2.0 / math.sqrt(math.pi) * g_ewald,
+            solve_dtype)
+        apply_a = make_matfree_operator(
+            fksp, xe, real_block, diag_extra,
+            slabflag=ksp.slabflag, volume=ksp.volume)
+        ainv = jnp.zeros((1, 1), solve_dtype)
+        ee = float("nan")
+    elif cfg.ainv_file is not None:
         from ..utils import matio
         ainv = jnp.asarray(
             matio.read_matrix(cfg.ainv_file, system.tag[ele_idx])[1], solve_dtype)
@@ -335,7 +406,9 @@ def _setup_conp_f64(
     # --- d vector and elesetq (b_setq_cal + get_setq)
     d = build_d_vector(system, cfg, x0[ele_idx])
     d_j = jnp.asarray(d, solve_dtype)
-    if use_cg:
+    if matfree:
+        elesetq, _ = cg_solve(apply_a, d_j, cfg.cg_tolerance, cfg.cg_maxiter)
+    elif use_cg:
         elesetq, _ = cg_solve(amat, d_j, cfg.cg_tolerance, cfg.cg_maxiter)
     else:
         elesetq = ainv @ d_j
@@ -373,14 +446,12 @@ def _setup_conp_f64(
         vmult = jnp.zeros((), solve_dtype)
 
     ctx = ConpContext(
-        ainv=ainv, amat=amat, d=d_j, elesetq=elesetq, totsetq=totsetq,
+        ainv=ainv, amat=amat, real_block=real_block, diag_extra=diag_extra,
+        d=d_j, elesetq=elesetq, totsetq=totsetq,
         eleinitq=eleinitq, elecheck_ele=elecheck_ele,
         ele_idx=jnp.asarray(ele_idx), setzvec=setzvec,
         vmult=jnp.asarray(vmult, solve_dtype),
     )
-
-    from ..ops.ewald_factored import factorize
-    fksp = factorize(ksp) if pppm_grid is None else None
 
     return ConpSolver(
         cfg=cfg, ksp=ksp, kernels=kernels, ctx=ctx, fksp=fksp,

@@ -39,6 +39,8 @@ class ConpContext(NamedTuple):
     """Device-resident static context for the per-step charge solve."""
     ainv: jnp.ndarray        # (Ne, Ne) projected inverse (INV solver)
     amat: jnp.ndarray        # (Ne, Ne) raw A (CG solver; (1,1) zeros otherwise)
+    real_block: jnp.ndarray  # (Ne, Ne) real-space A block (CG_MATFREE; else (1,1))
+    diag_extra: jnp.ndarray  # (Ne,) non-kspace diagonal (CG_MATFREE; else (1,))
     d: jnp.ndarray           # (Ne,) applied-potential coupling vector
     elesetq: jnp.ndarray     # (Ne,) A^-1 d
     totsetq: jnp.ndarray     # () sum over left electrode of elesetq

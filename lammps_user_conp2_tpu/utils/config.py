@@ -39,6 +39,9 @@ class KSpaceStyle(enum.Enum):
 class Solver(enum.Enum):
     INV = "inv"              # dense inverse, projected (default; fix_conp.cpp:90)
     CG = "cg"                # neutrality-projected conjugate gradient (fix_conp.cpp:864-930)
+    CG_MATFREE = "cg_matfree"  # matrix-free CG: A.p applied via factored Ewald
+                               # + cached real-space block — no O(Ne^2) k-space
+                               # assembly or O(Ne^3) inverse; production scale
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,3 +71,23 @@ def test_cg_solver_matches_inverse():
     assert abs(float(fi) - float(fc)) < 1e-7
     # CG iterates stay exactly charge-neutral (de-meaned residuals)
     assert abs(float(qc[ele].sum())) < 1e-10
+
+
+def test_matfree_cg_matches_inverse():
+    """Matrix-free CG (A.p via factored Ewald, no k-space assembly) must
+    agree with the projected inverse — the production-scale solver."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lammps_user_conp2_tpu.utils.config import Solver
+    system, md, cfg = workloads.dilute(0)
+    s_inv = setup_conp(system, md, cfg)
+    s_mf = setup_conp(system, md, dataclasses.replace(
+        cfg, solver=Solver.CG_MATFREE, cg_tolerance=1e-18, cg_maxiter=500))
+    x0 = jnp.asarray(system.x0)
+    q0 = jnp.asarray(system.q0)
+    qi, fi = s_inv.solve(x0, q0, 0)
+    qm, fm = s_mf.solve(x0, q0, 0)
+    ele = system.ele_mask
+    rmse = float(np.sqrt(np.mean((np.asarray(qi[ele]) - np.asarray(qm[ele])) ** 2)))
+    assert rmse < 1e-7
+    assert abs(float(fi) - float(fm)) < 1e-7

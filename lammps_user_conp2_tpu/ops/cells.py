@@ -109,69 +109,74 @@ def _neighbor_cells(grid: CellGrid):
 
 
 def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
-                     exclusions, *, g_ewald, qqr2e, block=1024):
+                     exclusions, *, g_ewald, qqr2e, cell_block=32):
     """Cell-list LJ + real-space Coulomb; same returns as dense_pair_forces.
+
+    Cell-blocked formulation: per cell, its atoms (cap) interact with the
+    27 neighbor cells' atoms (27*cap) as a DENSE tile — gathers are O(N*28)
+    elements (TPU vector gathers are the bottleneck, not flops), the pair
+    math is fused elementwise over (cell_block, cap, 27*cap) tiles, and the
+    result scatters back through the sort permutation once.
 
     Also returns the overflow flag as a 4th output (callers should surface
     it; physics is silently wrong if a cell overflows its capacity)."""
     n = x.shape[0]
     dtype = x.dtype
-    table, cell, overflow = bin_atoms(grid, x)
+    table, cell, overflow = bin_atoms(grid, x)   # (C, cap) atom ids (pad n)
     nb, uniq = _neighbor_cells(grid)
-    nbj = jnp.asarray(nb)
-    uniqj = jnp.asarray(uniq)
+    nbj = jnp.asarray(nb)                        # (C, 27)
+    uniqj = jnp.asarray(uniq)                    # (C, 27)
+    C, cap = table.shape
+    m = 27 * cap
 
-    # candidate atoms per atom: (N, 27*cap)
-    cand = table[nbj[cell]]                    # (N, 27, cap)
-    cand_valid = uniqj[cell][:, :, None] & (cand < n)
-    cand = jnp.where(cand_valid, cand, n)
-    m = 27 * grid.cap
-    cand = cand.reshape(n, m)
-    cand_valid = cand_valid.reshape(n, m)
-
-    # pad x/q/type by one sentinel row
+    # sentinel-padded per-atom arrays (index n = far-away, q=0)
     sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
     xp = jnp.concatenate([x, sentinel], axis=0)
     qp = jnp.pad(q, (0, 1))
     tp = jnp.pad(type_idx, (0, 1))
     cutsq = grid.cutoff ** 2
-    boxj = jnp.asarray(grid.box, dtype)
 
-    nblk = -(-n // block)
-    pad = nblk * block - n
-    candp = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=n)
-    validp = jnp.pad(cand_valid, ((0, pad), (0, 0)))
-    rowidx = jnp.pad(jnp.arange(n), (0, pad), constant_values=n)
+    # neighbor atom ids per cell: (C, 27, cap) -> mask invalid/duplicate cells
+    cols = table[nbj]                            # (C, 27, cap)
+    cols = jnp.where(uniqj[:, :, None], cols, n).reshape(C, m)
 
-    oh = tables.onehot  # unused here; per-pair types via small-table gather
-    mmp = jax.lax.Precision.HIGHEST
+    nblk = -(-C // cell_block)
+    padc = nblk * cell_block - C
+    rows_p = jnp.pad(table, ((0, padc), (0, 0)), constant_values=n)
+    cols_p = jnp.pad(cols, ((0, padc), (0, 0)), constant_values=n)
 
     def body(carry, blk):
         ev, ec = carry
-        rows, cnd, vld = blk                       # (B,), (B,m), (B,m)
-        xi = xp[rows]                              # (B,3)
-        qi = qp[rows]
-        ti = tp[rows]
-        xj = xp[cnd]                               # (B,m,3)
-        qj = qp[cnd]
-        tj = tp[cnd]
-        dxv = xi[:, None, :] - xj
-        out = []
+        rws, cls = blk                           # (B, cap), (B, m)
+        xi = xp[rws]                             # (B, cap, 3)
+        qi = qp[rws]
+        ti = tp[rws]
+        xj = xp[cls]                             # (B, m, 3)
+        qj = qp[cls]
+        tj = tp[cls]
+        d = []
+        rsq = jnp.zeros((rws.shape[0], cap, m), dtype)
         for ax in range(3):
-            da = dxv[..., ax]
+            da = xi[:, :, None, ax] - xj[:, None, :, ax]   # (B, cap, m)
             if grid.periodic[ax]:
                 L = grid.box[ax]
-                da = da - L * jnp.round(da / L)
-            out.append(da)
-        rsq = out[0] ** 2 + out[1] ** 2 + out[2] ** 2
-        mask = vld & (rsq < cutsq) & (cnd != rows[:, None])
+                da = da - L * jnp.round(da * (1.0 / L))
+            d.append(da)
+            rsq = rsq + da * da
+        mask = (rsq < cutsq) & (rws[:, :, None] != cls[:, None, :]) \
+            & (rws[:, :, None] < n)
         rsq_safe = jnp.where(mask, rsq, 1.0)
         r2inv = 1.0 / rsq_safe
         r6inv = r2inv * r2inv * r2inv
-        l1 = tables.lj1[ti[:, None], tj]
-        l2 = tables.lj2[ti[:, None], tj]
-        l3 = tables.lj3[ti[:, None], tj]
-        l4 = tables.lj4[ti[:, None], tj]
+        # per-pair LJ coefficients via one-hot batched matmuls — a (B,cap,m)
+        # vector gather would dominate the whole kernel on TPU
+        nt1 = tables.lj1.shape[0]
+        ohj = (tj[:, :, None] == jnp.arange(nt1)[None, None, :]).astype(dtype)
+        hp = jax.lax.Precision.HIGHEST
+        ein = lambda tab: jnp.einsum("bit,bjt->bij", tab[ti], ohj,
+                                     precision=hp)
+        l1, l2, l3, l4 = (ein(tables.lj1), ein(tables.lj2),
+                          ein(tables.lj3), ein(tables.lj4))
         flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
         elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)
         r = jnp.sqrt(rsq_safe)
@@ -179,20 +184,23 @@ def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
         expm2 = jnp.exp(-grij * grij)
         tt = 1.0 / (1.0 + EWALD_P * grij)
         erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
-        pref = qqr2e * qi[:, None] * qj / r
+        pref = qqr2e * qi[:, :, None] * qj[:, None, :] / r
         fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
         ecoul = jnp.where(mask, pref * erfc, 0.0)
         fpair = flj + fcoul * r2inv
-        frow = jnp.stack([jnp.sum(fpair * out[0], axis=1),
-                          jnp.sum(fpair * out[1], axis=1),
-                          jnp.sum(fpair * out[2], axis=1)], axis=1)
+        frow = jnp.stack([jnp.sum(fpair * d[0], axis=2),
+                          jnp.sum(fpair * d[1], axis=2),
+                          jnp.sum(fpair * d[2], axis=2)], axis=2)  # (B,cap,3)
         return (ev + 0.5 * jnp.sum(elj), ec + 0.5 * jnp.sum(ecoul)), frow
 
     (ev, ec), fb = jax.lax.scan(
         body, (jnp.zeros((), dtype), jnp.zeros((), dtype)),
-        (rowidx.reshape(nblk, block), candp.reshape(nblk, block, m),
-         validp.reshape(nblk, block, m)))
-    f = fb.reshape(nblk * block, 3)[:n]
+        (rows_p.reshape(nblk, cell_block, cap),
+         cols_p.reshape(nblk, cell_block, m)))
+    # scatter per-slot forces back to atom order (each atom owns one slot)
+    fslots = fb.reshape(nblk * cell_block * cap, 3)[:C * cap]
+    f = jnp.zeros((n + 1, 3), dtype).at[table.reshape(-1)].add(fslots)[:n]
+    boxj = jnp.asarray(grid.box, dtype)
 
     # exclusion corrections (identical to the pallas-path correction pass)
     from .pallas.pair_kernel import pair_forces_pallas  # noqa: F401 (doc ref)

@@ -205,20 +205,3 @@ def exclusion_lists(system: System):
             idx[i, c] = j
             val[i, c] = v
     return idx, val
-
-
-def exclusion_factors(system: System):
-    """Special-bond factor matrix: (N, N) float 0/1 with default LAMMPS
-    ``special_bonds`` 0,0,0 — 1-2 (bond) and 1-3 (angle end) pairs excluded.
-    Dense (N^2) on host; fine for the test-scale systems, and the dense pair
-    path consumes it as a static constant."""
-    n = system.natoms
-    fac = np.ones((n, n))
-    for (_, i, j) in system.bonds:
-        fac[i, j] = fac[j, i] = 0.0
-    for (_, i, j, k) in system.angles:
-        fac[i, k] = fac[k, i] = 0.0
-        fac[i, j] = fac[j, i] = 0.0
-        fac[j, k] = fac[k, j] = 0.0
-    np.fill_diagonal(fac, 0.0)
-    return fac

@@ -47,3 +47,22 @@ def test_sharded_multi_step_trajectory(engines):
     s8 = sheng.run(st, 5)
     np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-10)
     np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x), atol=1e-10)
+
+
+def test_sharded_pppm_mode():
+    """PPPM-mode solve under shard_map (mesh replicated, A^-1 rows sharded)."""
+    import dataclasses
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle
+    system, md, cfg = workloads.dilute(0)
+    cfgp = dataclasses.replace(cfg, kspace=KSpaceStyle.PPPM)
+    mdp = dataclasses.replace(md, kspace_style=KSpaceStyle.PPPM)
+    solver = setup_conp(system, mdp, cfgp)
+    eng = build_engine(system, mdp, solver)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    st = eng.init_state()
+    s1 = jax.jit(eng.step)(st)
+    s8 = sheng.step(st)
+    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                               atol=1e-7, rtol=1e-9)

@@ -19,9 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,7 +28,7 @@ from ..ops import ewald as ewald_ops
 from ..ops.erfc import ERFC_MAX, erfcr_sqrt
 from ..ops.pairs import (build_ehgo_tables, ehgo_pair_kernels, eta_pair_kernels,
                          min_image)
-from ..utils.config import ConpConfig, FFMode, Mode, PairMode
+from ..utils.config import ConpConfig, FFMode, PairMode
 from .system import System
 
 MY_PIS = math.sqrt(math.pi)

@@ -21,9 +21,9 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
-from ..ops.bonded import bond_forces  # noqa: F401 (doc ref)
 from ..ops.pairs import min_image
 
 
@@ -33,7 +33,7 @@ def pair_virial_scalar(x, q, type_idx, tables, exclusions, *, box, periodic,
     Coulomb incl. exclusion corrections.  Returns W (no volume factor)."""
     import jax
 
-    from ..ops.pairs import pair_rowblock, _pad_rows
+    from ..ops.pairs import _pad_rows
     n = x.shape[0]
     exi, exv = exclusions
     block = min(block, n)
@@ -45,21 +45,9 @@ def pair_virial_scalar(x, q, type_idx, tables, exclusions, *, box, periodic,
     exvp = jnp.pad(exv, ((0, pad), (0, 0)))
     rowvalid = jnp.pad(jnp.ones(n, bool), (0, pad))
 
-    # W = sum_i x_i . f_i is wrong under PBC; instead accumulate
-    # sum_rows sum_j fpair * rsq via a variant: f_rows dotted with row
-    # displacements is exactly sum_j fpair (dx . dx) per row = sum fpair rsq.
-    def body(w, blk):
-        xi, qi, ti, ei, evl, rv, i0 = blk
-        f_rows, _, _ = pair_rowblock(
-            xi, qi, ti, ei, evl, rv, i0, x, q, type_idx, tables,
-            box=box, periodic=periodic, cutoff=cutoff, g_ewald=g_ewald,
-            qqr2e=qqr2e)
-        # f_rows = sum_j fpair*dx ; dot with xi gives sum fpair (xi . dx) —
-        # not translation invariant.  Instead recompute fpair*rsq directly:
-        return w, f_rows
-
-    # direct implementation: reuse the rowblock internals via a small local
-    # computation (duplicated arithmetic kept in ops/pairs.py conventions)
+    # W = sum_i x_i . f_i is not translation invariant under PBC; instead
+    # accumulate sum_pairs fpair * rsq per row block (arithmetic mirrors
+    # ops/pairs.py::pair_rowblock conventions)
     from ..ops.erfc import EWALD_F
     cutsq = cutoff * cutoff
     boxj = jnp.asarray(box, x.dtype)
@@ -77,8 +65,7 @@ def pair_virial_scalar(x, q, type_idx, tables, exclusions, *, box, periodic,
         rsq_safe = jnp.where(inrange, rsq, 1.0)
         r2inv = 1.0 / rsq_safe
         r6inv = r2inv ** 3
-        import jax as _j
-        mm = lambda a, b: jnp.matmul(a, b, precision=_j.lax.Precision.HIGHEST)
+        mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
         oh = tables.onehot.T
         l1 = mm(tables.lj1[ti], oh)
         l2 = mm(tables.lj2[ti], oh)
@@ -95,7 +82,6 @@ def pair_virial_scalar(x, q, type_idx, tables, exclusions, *, box, periodic,
         fpair = flj + fcoul * r2inv
         return w + 0.5 * jnp.sum(fpair * rsq), None
 
-    import jax
     m = exi.shape[1]
     w, _ = jax.lax.scan(
         wblock, jnp.zeros((), x.dtype),
@@ -119,17 +105,8 @@ def bonded_virial_scalar(x, bonds, bond_coeffs, angles, angle_coeffs, *,
         r = jnp.sqrt(jnp.sum(dx * dx, axis=1))
         fmag = -2.0 * k * (r - r0)      # along r-hat
         w = w + jnp.sum(fmag * r)
-    if angles.shape[0]:
-        # angle virial: sum over the three sites of f_s . r_s relative to the
-        # angle's center — translation invariant because sum f_s = 0
-        from ..ops.bonded import angle_forces
-        fa, _ = angle_forces(x, angles, angle_coeffs, box=box, periodic=periodic)
-        i, j, k = angles[:, 1], angles[:, 2], angles[:, 3]
-        # reconstruct per-angle site forces is costly; use the identity that
-        # the angular potential depends only on the SHAPE (scale-invariant
-        # cos theta) -> zero contribution to the isotropic virial.
-        # E(theta) is invariant under uniform dilation, so dE/dlnV = 0.
-        w = w + 0.0
+    # harmonic-angle energy depends only on theta, which is invariant under
+    # uniform dilation -> zero contribution to the ISOTROPIC virial
     return w
 
 

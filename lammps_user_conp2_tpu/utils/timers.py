@@ -14,7 +14,6 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
 
 
 def _time_it(fn, args, iters=10):
@@ -30,7 +29,7 @@ def _time_it(fn, args, iters=10):
 def profile_step(engine, state, *, iters: int = 10, log_path: str | None = None):
     """Returns {phase: seconds} — b-vector (Btime+Ktime analogue), charge
     solve, pair forces, k-space forces, constraint, full step."""
-    from ..ops.pairs import conp_correction_forces, dense_pair_forces
+    from ..ops.pairs import dense_pair_forces
 
     sys = engine.system
     u = sys.units()

@@ -63,17 +63,25 @@ class ShardedEngine:
     def step(self, state: MDState) -> MDState:
         return self.step_fn(state, *self.shards)
 
-    def run(self, state: MDState, nsteps: int):
+    def run(self, state: MDState, nsteps: int, *, thermo_every: int = 0):
+        """Scan nsteps; with thermo_every > 0 also returns the thermo rows
+        (same schema as Engine.thermo) subsampled every thermo_every steps."""
         shards = self.shards
+        eng = self.engine
 
         @jax.jit
         def go(st):
             def body(s, _):
-                return self.step_fn(s, *shards), None
-            st, _ = jax.lax.scan(body, st, None, length=nsteps)
-            return st
+                s = self.step_fn(s, *shards)
+                out = eng.thermo(s) if thermo_every else 0
+                return s, out
+            return jax.lax.scan(body, st, None, length=nsteps)
 
-        return go(state)
+        final, th = go(state)
+        if thermo_every:
+            th = jax.tree.map(lambda a: a[thermo_every - 1::thermo_every], th)
+            return final, th
+        return final
 
 
 def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> ShardedEngine:

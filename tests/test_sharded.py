@@ -44,9 +44,11 @@ def test_sharded_multi_step_trajectory(engines):
     s1 = st
     for _ in range(5):
         s1 = jax.jit(eng.step)(s1)
-    s8 = sheng.run(st, 5)
+    s8, th = sheng.run(st, 5, thermo_every=5)
     np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-10)
     np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x), atol=1e-10)
+    assert int(np.asarray(th["step"])[-1]) == 5
+    assert np.isfinite(float(np.asarray(th["temp"])[-1]))
 
 
 def test_sharded_pppm_mode():

@@ -130,7 +130,7 @@ class Engine:
             fc, ecorr = conp_correction_forces(
                 x, q, self.elecheck, kern.force, kern.potential, self.type_idx,
                 box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-                qqr2e=u.qqr2e)
+                qqr2e=u.qqr2e, ele_idx=jnp.asarray(self.conp.ele_idx))
             f = f + fc
             qsq_ele = jnp.sum(jnp.where(self.elecheck != 0,
                                         jnp.asarray(kern.self_diag) * q * q, 0.0))

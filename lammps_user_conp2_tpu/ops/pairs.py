@@ -200,15 +200,41 @@ def conp_correction_rowblock(xi, qi, ti, ei, rowvalid, x, q, is_ele,
 
 def conp_correction_forces(
     x, q, elecheck, pair_force_fn, pair_potential_fn, type_idx, *,
-    box, periodic, cutoff, qqr2e, block=512,
+    box, periodic, cutoff, qqr2e, ele_idx=None, block=512,
 ):
     """Gaussian correction force on electrode<->electrolyte pairs.
 
     pair_force_fn/pair_potential_fn: (rsq, itype, jtype) -> kernel value
     (ETA: fix_conp.cpp:1472-1480; EHGO: fix_conp.cpp:1560-1573).
     Returns (forces, ecoul_correction).
+
+    With ``ele_idx`` given, only the (Ne x N) electrode-row block is swept —
+    the electrolyte side comes from the same block's column sums (Newton's
+    third law), turning an O(N^2) sweep into O(Ne*N).
     """
     n = x.shape[0]
+    is_ele = elecheck != 0
+    if ele_idx is not None:
+        xi = x[ele_idx]
+        qi = q[ele_idx]
+        ti = type_idx[ele_idx]
+        boxj = jnp.asarray(box, x.dtype)
+        dx = min_image(xi[:, None, :] - x[None, :, :], boxj, periodic)
+        rsq = jnp.sum(dx * dx, axis=-1)
+        # ele rows vs elyte columns only (the xor condition with ele rows)
+        mask = (~is_ele)[None, :] & (rsq < cutoff * cutoff)
+        rsq_safe = jnp.where(mask, rsq, 1.0)
+        prefactor = qqr2e * qi[:, None] * q[None, :]
+        fk = pair_force_fn(rsq_safe, ti[:, None], type_idx[None, :])
+        ek = pair_potential_fn(rsq_safe, ti[:, None], type_idx[None, :])
+        forcecoul = jnp.where(mask, prefactor * fk, 0.0)
+        epair = jnp.where(mask, prefactor * ek, 0.0)
+        fpair = forcecoul / rsq_safe
+        f_rows = jnp.einsum("en,enc->ec", fpair, dx)
+        f_cols = -jnp.einsum("en,enc->nc", fpair, dx)
+        f = f_cols.at[ele_idx].add(f_rows)
+        return f, jnp.sum(epair)
+
     block = min(block, n)
     nb, pad = _pad_rows(n, block)
     xp = jnp.pad(x, ((0, pad), (0, 0)))
@@ -216,7 +242,6 @@ def conp_correction_forces(
     tp = jnp.pad(type_idx, (0, pad))
     ep = jnp.pad(elecheck, (0, pad))
     rowvalid = jnp.pad(jnp.ones(n, bool), (0, pad))
-    is_ele = elecheck != 0
 
     def body(ecoul, blk):
         xi, qi, ti, ei, rv = blk

@@ -51,9 +51,10 @@ def test_electrode_potentials_equal_applied_voltage(dilute_solved):
     # constant within each electrode...
     assert pl.std() < 2e-4
     assert pr.std() < 2e-4
-    # ...and split by exactly dV = 1.0 V (left = -dV/2 side: d_i<0 for eci=+1)
+    # ...and group2 (right) sits exactly DV = 1.0 V ABOVE group1 (left)
+    # (README.md:52 sign convention)
     dv = pr.mean() - pl.mean()
-    assert abs(abs(dv) - 1.0) < 1e-3
+    assert abs(dv - 1.0) < 1e-3
 
 
 def test_potential_atom_pppm_matches_ewald(dilute_solved):

@@ -53,6 +53,7 @@ class Engine:
     tables: object
     elecheck: jnp.ndarray
     dtype: object
+    use_pallas: bool
     # jitted-scan cache keyed by (nsteps,) so repeated run() calls don't
     # retrace (frozen dataclass: the dict itself is mutable)
     _run_cache: dict = dataclasses.field(default_factory=dict, compare=False)
@@ -76,7 +77,7 @@ class Engine:
             # fail loud on cell overflow: poison the energy (checked by
             # callers/bench; silent truncation would corrupt physics)
             evdwl = jnp.where(overflow, jnp.nan, evdwl)
-        elif self.md.use_pallas_pair:
+        elif self.use_pallas:
             from ..ops.pallas.pair_kernel import pair_forces_pallas
             f, evdwl, ecoul = pair_forces_pallas(
                 x, q, self.type_idx, self.tables, self.exclusions,
@@ -312,6 +313,13 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
                                     md.cutoff, system.natoms,
                                     periodic=system.periodic)
 
+    use_pallas = md.use_pallas_pair
+    if use_pallas is None:
+        # auto: the fused kernel wins ~11% at N >= a few thousand but its
+        # fixed tile padding loses at small N (432-atom dilute: -17%)
+        import jax as _jax
+        use_pallas = _jax.default_backend() == "tpu" and system.natoms >= 2048
+
     zmirror = None
     if md.zmirror is not None:
         from .zmirror import build_zmirror
@@ -332,4 +340,5 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, system.type, dtype),
         elecheck=jnp.asarray(system.elecheck),
         dtype=dtype,
+        use_pallas=use_pallas,
     )

@@ -69,15 +69,16 @@ def _kernel(xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
     cr = cr_ref[:]
     ohc = ohc_ref[:]
     t = ohc.shape[1]
-    # cr is (TR, 4T): split the contraction into the 4 tables
-    l1 = jax.lax.dot_general(cr[:, 0 * t:1 * t], ohc, (((1,), (1,)), ((), ())),
-                             preferred_element_type=xr.dtype)
-    l2 = jax.lax.dot_general(cr[:, 1 * t:2 * t], ohc, (((1,), (1,)), ((), ())),
-                             preferred_element_type=xr.dtype)
-    l3 = jax.lax.dot_general(cr[:, 2 * t:3 * t], ohc, (((1,), (1,)), ((), ())),
-                             preferred_element_type=xr.dtype)
-    l4 = jax.lax.dot_general(cr[:, 3 * t:4 * t], ohc, (((1,), (1,)), ((), ())),
-                             preferred_element_type=xr.dtype)
+    # cr is (TR, 4T): split the contraction into the 4 tables.
+    # precision HIGHEST: Mosaic's default f32 matmul rounds operands to
+    # bf16, corrupting the large LJ coefficients by ~0.4%
+    dg = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=xr.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    l1 = dg(cr[:, 0 * t:1 * t], ohc)
+    l2 = dg(cr[:, 1 * t:2 * t], ohc)
+    l3 = dg(cr[:, 2 * t:3 * t], ohc)
+    l4 = dg(cr[:, 3 * t:4 * t], ohc)
 
     flj = jnp.where(inrange, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
     elj = jnp.where(inrange, r6inv * (l3 * r6inv - l4), 0.0)

@@ -125,9 +125,9 @@ class MDConfig:
     thermostats: tuple = ()         # tuple[ThermostatConfig]
     shake: Optional[ShakeConfig] = None
     zmirror: Optional[ZMirrorConfig] = None
-    # use the Pallas pair kernel instead of the XLA dense path (both are
-    # within ~10% on v5e; the kernel wins as N grows)
-    use_pallas_pair: bool = False
+    # use the Pallas pair kernel instead of the XLA dense path; None = auto
+    # (on for TPU backends — ~11%% faster steps — off elsewhere)
+    use_pallas_pair: Optional[bool] = None
     # real-space pair path: "auto" (cell list when N is large and the box is
     # much bigger than the cutoff, else dense), "dense", or "cell"
     pair_path: str = "auto"

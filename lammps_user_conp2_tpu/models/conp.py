@@ -140,8 +140,18 @@ class ConpSolver:
             eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
         elif cfg.solver is Solver.CG_MATFREE:
             xe = x.astype(self.solve_dtype)[self.ele_idx]
+            real_block = ctx.real_block
+            if cfg.mobile_electrodes:
+                # true mobile-electrode support (beyond the reference, whose
+                # A is frozen at setup): rebuild the real-space block and let
+                # the k-space operator use live positions
+                te = jnp.asarray(self.type_idx[self.ele_idx])
+                real_block = _realspace_block(
+                    xe, te, self.kernels, g=self.ksp.g_ewald, box=self.box,
+                    periodic=self.periodic, cut_coulsq=self.cut_coulsq,
+                    dtype=self.solve_dtype)
             apply_a = make_matfree_operator(
-                self.fksp, xe, ctx.real_block, ctx.diag_extra,
+                self.fksp, xe, real_block, ctx.diag_extra,
                 slabflag=self.ksp.slabflag, volume=self.ksp.volume)
             eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
         else:

@@ -260,8 +260,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             slabcorr = (4.0 * math.pi / ksp.volume) * jnp.sum(q_elyte * x[:, 2])
             b = b - xe_all[:, 2] * slabcorr
 
-        # A^-1 rows matvec
-        eleallq_l = ainv_l @ b
+        # A^-1 rows matvec (HIGHEST: TPU bf16 default corrupts charges)
+        eleallq_l = jnp.matmul(ainv_l, b, precision=jax.lax.Precision.HIGHEST)
         eleallq = jax.lax.all_gather(eleallq_l, axis, axis=0, tiled=True)[:ne]
 
         target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
@@ -273,6 +273,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         elif cfg.mode is Mode.CONQ:
             netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
             scalar = -(target - netcharge_right) / ctx.totsetq
+            if conp.one_electrode:
+                scalar = scalar + 2.0 * target / ctx.totsetq
             potdiff = scalar
         else:
             dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])
@@ -290,7 +292,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         cfg = conp.cfg
         ctx = conp.ctx
         b, _ = conp.b_vector_full(x, q)
-        eleallq_l = ainv_l @ b
+        eleallq_l = jnp.matmul(ainv_l, b, precision=jax.lax.Precision.HIGHEST)
         eleallq = jax.lax.all_gather(eleallq_l, axis, axis=0, tiled=True)[:ne]
         target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
             cfg.target, b.dtype)
@@ -302,6 +304,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         elif cfg.mode is Mode.CONQ:
             netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
             scalar = -(target - netcharge_right) / ctx.totsetq
+            if conp.one_electrode:
+                scalar = scalar + 2.0 * target / ctx.totsetq
             potdiff = scalar
         else:
             dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])

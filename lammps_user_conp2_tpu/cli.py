@@ -105,6 +105,34 @@ def cmd_compare(args):
     return 0
 
 
+SUITE_TRIALS = {
+    # cross-comparable trials per deck (same physics, different modes) and
+    # the charge column used by the reference's compare.gnu overlays
+    "dilute": ([0, 1, 2], "c_qleft"),
+    "il_onelayer": ([0, 1, 3], "c_qleft"),
+    "il_twolayer": ([0, 1, 2], "c_qleft"),
+}
+
+
+def cmd_run_suite(args):
+    """Run a deck's equivalent-mode trials and report their agreement —
+    the whole reference validation workflow (env-var runs + compare.gnu)
+    in one command."""
+    trials, col = SUITE_TRIALS[args.workload]
+    logs = []
+    for n in trials:
+        log = f"log.{args.workload}_{n}"
+        a = argparse.Namespace(**vars(args))
+        a.trial = n
+        a.log = log
+        a.dump = None
+        a.checkpoint = None
+        cmd_run(a)
+        logs.append(log)
+    a = argparse.Namespace(logs=logs, column=col)
+    return cmd_compare(a)
+
+
 def cmd_profile(args):
     system, eng = _build(args)
     from .utils.timers import profile_step
@@ -130,6 +158,12 @@ def main(argv=None):
     p.add_argument("--dump", default=None)
     p.add_argument("--checkpoint", default=None)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("run-suite")
+    add_common(p)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--thermo", type=int, default=20)
+    p.set_defaults(fn=cmd_run_suite)
 
     p = sub.add_parser("rerun")
     add_common(p)

@@ -279,15 +279,29 @@ def eta_pair_kernels(eta: float):
 def ehgo_pair_kernels(eta_ij: jnp.ndarray, fo_ij: jnp.ndarray, u0_i: jnp.ndarray):
     """EHGO-mode kernels with per-type-pair widths and overlap term
     (fix_conp.cpp:1560-1573).  eta_ij/fo_ij indexed by 1-based types."""
+    nt1 = eta_ij.shape[0]
+
+    def lookup(tab, itype, jtype):
+        # (R,1) x (1,N) index pattern -> one-hot MXU contraction instead of
+        # a (R,N) vector gather (the gather costs tens of ms on TPU)
+        if (hasattr(itype, "ndim") and hasattr(jtype, "ndim")
+                and itype.ndim == 2 and jtype.ndim == 2
+                and itype.shape[1] == 1 and jtype.shape[0] == 1):
+            oh = (jtype[0][:, None] == jnp.arange(nt1)[None, :])
+            rows = tab[itype[:, 0]]                  # (R, T)
+            return jnp.matmul(rows, oh.T.astype(tab.dtype),
+                              precision=jax.lax.Precision.HIGHEST)
+        return tab[itype, jtype]
+
     def potential(rsq, itype, jtype):
-        et = eta_ij[itype, jtype]
-        fo = fo_ij[itype, jtype]
+        et = lookup(eta_ij, itype, jtype)
+        fo = lookup(fo_ij, itype, jtype)
         e2 = et * et * rsq
         return fo * jnp.exp(-0.5 * e2) - erfcr_sqrt(e2) * et
 
     def force(rsq, itype, jtype):
-        et = eta_ij[itype, jtype]
-        fo = fo_ij[itype, jtype]
+        et = lookup(eta_ij, itype, jtype)
+        fo = lookup(fo_ij, itype, jtype)
         e2 = et * et * rsq
         return e2 * fo * jnp.exp(-0.5 * e2) - ferfcr_sqrt(e2) * et
 

@@ -235,13 +235,15 @@ def make_matfree_operator(fksp, xe, real_block, diag_extra, *, slabflag,
     the slab rank-1 term (4pi/V) z z^T.
 
     Nothing O(Ne^2) in k-space is ever formed; cost per apply is
-    O(Ne*(nxy+nz)) trig + O(Ne*nxy*nz) MXU flops."""
+    O(Ne*(nxy+nz)) trig + O(Ne*nxy*nz) MXU flops.  The electrode phase
+    tables are hoisted out of the apply so CG iterations reuse them."""
     from ..ops import ewald_factored as ewf
     z = xe[:, 2]
+    apply_phi = ewf.make_phi_operator_kv(xe, fksp.kxy, fksp.kz, fksp.unitk,
+                                         fksp.ug)
 
     def apply_a(p):
-        sr, si = ewf.structure_factor_f(fksp, xe, p)
-        out = ewf.potential_on_points_f(fksp, xe, sr, si)
+        out = apply_phi(p)
         out = out + jnp.matmul(real_block, p,
                                precision=jax.lax.Precision.HIGHEST)
         out = out + diag_extra * p

@@ -66,7 +66,11 @@ def bin_atoms(grid: CellGrid, x):
     ids = []
     for ax, nc in enumerate(grid.ncells):
         u = (x[:, ax] - grid.box_lo[ax]) / grid.box[ax]
-        u = u - jnp.floor(u)           # wrap into [0,1) (also non-periodic pad)
+        if grid.periodic[ax]:
+            u = u - jnp.floor(u)       # wrap into [0,1)
+        # non-periodic axes clip only: an atom drifting past a slab boundary
+        # must bin at the boundary cell (wrapping would place it at the
+        # opposite end where its real neighbors fall outside the stencil)
         ids.append(jnp.clip((u * nc).astype(jnp.int32), 0, nc - 1))
     cell = (ids[0] * cy + ids[1]) * cz + ids[2]            # (N,)
     order = jnp.argsort(cell)
@@ -108,26 +112,30 @@ def _neighbor_cells(grid: CellGrid):
     return nb, uniq
 
 
-def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
-                     exclusions, *, g_ewald, qqr2e, cell_block=32):
-    """Cell-list LJ + real-space Coulomb; same returns as dense_pair_forces.
+def candidate_columns(grid: CellGrid, x):
+    """Bin atoms and build the per-cell candidate matrix.
 
-    Cell-blocked formulation: per cell, its atoms (cap) interact with the
-    27 neighbor cells' atoms (27*cap) as a DENSE tile — gathers are O(N*28)
-    elements (TPU vector gathers are the bottleneck, not flops), the pair
-    math is fused elementwise over (cell_block, cap, 27*cap) tiles, and the
-    result scatters back through the sort permutation once.
+    Returns (table (C, cap) atom ids padded with N, cols (C, 27*cap)
+    candidate atom ids with duplicate-cell slots masked to N, overflow)."""
+    n = x.shape[0]
+    table, _cell, overflow = bin_atoms(grid, x)
+    nb, uniq = _neighbor_cells(grid)
+    cols = table[jnp.asarray(nb)]                # (C, 27, cap)
+    cols = jnp.where(jnp.asarray(uniq)[:, :, None], cols, n)
+    return table, cols.reshape(grid.total, 27 * grid.cap), overflow
 
-    Also returns the overflow flag as a 4th output (callers should surface
-    it; physics is silently wrong if a cell overflows its capacity)."""
+
+def sweep_cell_blocks(grid: CellGrid, x, q, type_idx, tables: PairTables,
+                      rows_blocks, cols_blocks, *, g_ewald, qqr2e):
+    """The cell-tile pair sweep over pre-blocked (nblk, B, cap)/(nblk, B, m)
+    row/candidate ids.  Returns (evdwl, ecoul, fslots (nblk, B, cap, 3)).
+
+    Shared by the single-device path and the shard_map cell path (each
+    device sweeps its own block slice and psums the scattered forces)."""
     n = x.shape[0]
     dtype = x.dtype
-    table, cell, overflow = bin_atoms(grid, x)   # (C, cap) atom ids (pad n)
-    nb, uniq = _neighbor_cells(grid)
-    nbj = jnp.asarray(nb)                        # (C, 27)
-    uniqj = jnp.asarray(uniq)                    # (C, 27)
-    C, cap = table.shape
-    m = 27 * cap
+    cap = rows_blocks.shape[2]
+    m = cols_blocks.shape[2]
 
     # sentinel-padded per-atom arrays (index n = far-away, q=0)
     sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
@@ -135,15 +143,6 @@ def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
     qp = jnp.pad(q, (0, 1))
     tp = jnp.pad(type_idx, (0, 1))
     cutsq = grid.cutoff ** 2
-
-    # neighbor atom ids per cell: (C, 27, cap) -> mask invalid/duplicate cells
-    cols = table[nbj]                            # (C, 27, cap)
-    cols = jnp.where(uniqj[:, :, None], cols, n).reshape(C, m)
-
-    nblk = -(-C // cell_block)
-    padc = nblk * cell_block - C
-    rows_p = jnp.pad(table, ((0, padc), (0, 0)), constant_values=n)
-    cols_p = jnp.pad(cols, ((0, padc), (0, 0)), constant_values=n)
 
     def body(carry, blk):
         ev, ec = carry
@@ -195,15 +194,57 @@ def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
 
     (ev, ec), fb = jax.lax.scan(
         body, (jnp.zeros((), dtype), jnp.zeros((), dtype)),
-        (rows_p.reshape(nblk, cell_block, cap),
-         cols_p.reshape(nblk, cell_block, m)))
+        (rows_blocks, cols_blocks))
+    return ev, ec, fb
+
+
+def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
+                     exclusions, *, g_ewald, qqr2e, cell_block=32):
+    """Cell-list LJ + real-space Coulomb; same returns as dense_pair_forces.
+
+    Cell-blocked formulation: per cell, its atoms (cap) interact with the
+    27 neighbor cells' atoms (27*cap) as a DENSE tile — gathers are O(N*28)
+    elements (TPU vector gathers are the bottleneck, not flops), the pair
+    math is fused elementwise over (cell_block, cap, 27*cap) tiles, and the
+    result scatters back through the sort permutation once.
+
+    Also returns the overflow flag as a 4th output (callers should surface
+    it; physics is silently wrong if a cell overflows its capacity)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    table, cols, overflow = candidate_columns(grid, x)
+    C, cap = table.shape
+    m = cols.shape[1]
+    nblk = -(-C // cell_block)
+    padc = nblk * cell_block - C
+    rows_p = jnp.pad(table, ((0, padc), (0, 0)), constant_values=n)
+    cols_p = jnp.pad(cols, ((0, padc), (0, 0)), constant_values=n)
+
+    ev, ec, fb = sweep_cell_blocks(
+        grid, x, q, type_idx, tables,
+        rows_p.reshape(nblk, cell_block, cap),
+        cols_p.reshape(nblk, cell_block, m),
+        g_ewald=g_ewald, qqr2e=qqr2e)
     # scatter per-slot forces back to atom order (each atom owns one slot)
     fslots = fb.reshape(nblk * cell_block * cap, 3)[:C * cap]
     f = jnp.zeros((n + 1, 3), dtype).at[table.reshape(-1)].add(fslots)[:n]
-    boxj = jnp.asarray(grid.box, dtype)
 
-    # exclusion corrections (identical to the pallas-path correction pass)
-    from .pallas.pair_kernel import pair_forces_pallas  # noqa: F401 (doc ref)
+    df, dev, dec = exclusion_correction(
+        x, q, type_idx, tables, exclusions, box=grid.box,
+        periodic=grid.periodic, cutsq=grid.cutoff ** 2, qqr2e=qqr2e)
+    return f + df, ev + dev, ec + dec, overflow
+
+
+def exclusion_correction(x, q, type_idx, tables: PairTables, exclusions, *,
+                         box, periodic, cutsq, qqr2e):
+    """Special-bond corrections applied after an exclusion-blind pair sweep.
+
+    Returns (df (N,3), devdwl, decoul) to ADD to the sweep's outputs; the
+    Coulomb part keeps the k-space compensation convention of ops/pairs.py
+    (excluded pairs retain -erf(g r)/r)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    boxj = jnp.asarray(box, dtype)
     exi, exv = exclusions
     me = exi.shape[1]
     rows = jnp.repeat(jnp.arange(n), me)
@@ -212,7 +253,7 @@ def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
     valid = cols < n
     cols_safe = jnp.where(valid, cols, 0)
     from .pairs import min_image
-    dx_ = min_image(x[rows] - x[cols_safe], boxj, grid.periodic)
+    dx_ = min_image(x[rows] - x[cols_safe], boxj, periodic)
     rsq = jnp.sum(dx_ * dx_, axis=1)
     valid = valid & (rsq < cutsq)
     rsq_safe = jnp.where(valid, rsq, 1.0)
@@ -226,7 +267,8 @@ def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
     r = jnp.sqrt(rsq_safe)
     pref = qqr2e * q[rows] * q[cols_safe] / r
     dfpair = jnp.where(valid, dflj + ds * pref * r2inv, 0.0)
-    f = f.at[rows].add(jnp.where(valid[:, None], dfpair[:, None] * dx_, 0.0))
-    ev = ev + 0.5 * jnp.sum(jnp.where(valid, delj, 0.0))
-    ec = ec + 0.5 * jnp.sum(jnp.where(valid, ds * pref, 0.0))
-    return f, ev, ec, overflow
+    df = jnp.zeros((n, 3), dtype).at[rows].add(
+        jnp.where(valid[:, None], dfpair[:, None] * dx_, 0.0))
+    dev = 0.5 * jnp.sum(jnp.where(valid, delj, 0.0))
+    dec = 0.5 * jnp.sum(jnp.where(valid, ds * pref, 0.0))
+    return df, dev, dec

@@ -213,6 +213,32 @@ def energy_forces_fkv(x, q, kxy, kz, unitk, ug):
     return e, f
 
 
+def make_phi_operator_kv(xe, kxy, kz, unitk, ug):
+    """p -> phi(xe) for charges p placed AT xe (the self-adjoint k-space
+    operator used by matrix-free CG): phi = sum_k 2 ug Re[S(p) conj(E_e)].
+
+    The phase tables of xe are hoisted out of the returned closure so CG
+    reuses them across iterations (they dominate the per-apply cost
+    otherwise).  With a kxy/ug device shard this returns the shard's partial
+    sum — the caller psums over the k axis."""
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    (pr, pi), (zr, zi) = axis_tables_kv(xe, kxy, kz, unitk)
+    ug = jnp.asarray(ug, xe.dtype)
+
+    def apply_phi(p):
+        qzr = p[:, None] * zr
+        qzi = p[:, None] * zi
+        sr = mm(pr.T, qzr) - mm(pi.T, qzi)
+        si = mm(pr.T, qzi) + mm(pi.T, qzr)
+        mr = 2.0 * ug * sr
+        mi = 2.0 * ug * si
+        tr = mm(zr, mr.T) + mm(zi, mi.T)
+        ti = -mm(zi, mr.T) + mm(zr, mi.T)
+        return jnp.sum(pr * tr + pi * ti, axis=1)
+
+    return apply_phi
+
+
 def amatrix_kspace_f(fk: FactoredKSpace, xe, dtype=jnp.float64):
     """K-space A block via factorized tables (for mobile-electrode rebuilds).
 

@@ -37,7 +37,7 @@ from ..models.md import Engine
 from ..models.system import MDState
 from ..ops import ewald as ewald_ops
 from ..ops.erfc import erfcr_sqrt
-from ..ops.pairs import conp_correction_rowblock, min_image, pair_rowblock
+from ..ops.pairs import min_image, pair_rowblock
 from ..utils.config import Mode, PairMode
 
 
@@ -108,15 +108,28 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     xpadmask = np.zeros(exi.shape[0], bool)
     xpadmask[:n] = True                                            # valid-row mask (N',)
 
+    from ..utils.config import Solver as _Solver
     ele_idx = conp.ele_idx if conp is not None else np.zeros(0, np.int64)
     ne = len(ele_idx)
     if conp is not None:
-        ainv = _pad_to(np.asarray(conp.ctx.ainv, dtype), d)        # (Ne', Ne)
+        # the row-sharded solve matrix depends on the solver:
+        #   INV        -> A^-1 rows  (matvec + all_gather)
+        #   CG         -> A rows     (distributed A.p inside the CG loop)
+        #   CG_MATFREE -> real-space erfc block rows (k-space applied
+        #                 matrix-free over the k shard; km_ewald_split.cpp's
+        #                 distributed-operator semantics, :616-667)
+        if conp.cfg.solver is _Solver.CG:
+            solve_mat = conp.ctx.amat
+        elif conp.cfg.solver is _Solver.CG_MATFREE:
+            solve_mat = conp.ctx.real_block
+        else:
+            solve_mat = conp.ctx.ainv
+        asolve = _pad_to(np.asarray(solve_mat, dtype), d)          # (Ne', Ne)
         ele_idx_p = _pad_to(ele_idx, d)                            # (Ne',)
         ele_valid = np.zeros(len(ele_idx_p), bool)
         ele_valid[:ne] = True
     else:
-        ainv = np.zeros((d, 1), dtype)
+        asolve = np.zeros((d, 1), dtype)
         ele_idx_p = np.zeros(d, np.int64)
         ele_valid = np.zeros(d, bool)
 
@@ -128,7 +141,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         jax.device_put(jnp.asarray(exi), sh2),
         jax.device_put(jnp.asarray(exv), sh2),
         jax.device_put(jnp.asarray(xpadmask), sh),
-        jax.device_put(jnp.asarray(ainv), sh2),
+        jax.device_put(jnp.asarray(asolve), sh2),
         jax.device_put(jnp.asarray(ele_idx_p), sh),
         jax.device_put(jnp.asarray(ele_valid), sh),
     )
@@ -143,15 +156,58 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     qqr2e = u.qqr2e
 
     nrow = exi.shape[0] // d           # atom rows per device
-    nele_row = ainv.shape[0] // d      # electrode rows per device
+    nele_row = asolve.shape[0] // d    # electrode rows per device
 
     # ------------------------------------------------------------------
     npad_rows = exi.shape[0] - n       # row padding so N' = d * nrow
 
-    def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l, i0, e0):
-        """Per-device partial force computation; returns replicated (f, pe)."""
-        # pair rows (my atoms vs all); slice from padded arrays so the last
-        # device's block never clamps onto wrong atoms (pad rows are masked)
+    # cell-list statics (sharded large-N pair path): each device sweeps a
+    # contiguous slice of cell blocks; forces scatter to each cell's own
+    # slots, so one psum((N,3)) reassembles the full array — the TPU
+    # re-expression of LAMMPS spatial decomposition (SURVEY.md 2.3-1)
+    cell_grid = engine.cell_grid
+    if cell_grid is not None:
+        from ..ops import cells as cells_ops
+        _cell_block = 32
+        _C = cell_grid.total
+        _nblk_tot = -(-_C // _cell_block)
+        _nblk_loc = -(-_nblk_tot // d)             # blocks per device
+        _padc = _nblk_loc * d * _cell_block - _C   # pad cells to d multiple
+
+    def sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0):
+        """Per-device pair sweep -> replicated (f (N,3), evdwl, ecoul)."""
+        if cell_grid is not None:
+            from ..ops import cells as cells_ops
+            table, cols, overflow = cells_ops.candidate_columns(cell_grid, x)
+            cap = table.shape[1]
+            mcol = cols.shape[1]
+            rows_p = jnp.pad(table, ((0, _padc), (0, 0)), constant_values=n)
+            cols_p = jnp.pad(cols, ((0, _padc), (0, 0)), constant_values=n)
+            c0 = jax.lax.axis_index(axis) * (_nblk_loc * _cell_block)
+            rows_l = jax.lax.dynamic_slice_in_dim(
+                rows_p, c0, _nblk_loc * _cell_block)
+            cols_l = jax.lax.dynamic_slice_in_dim(
+                cols_p, c0, _nblk_loc * _cell_block)
+            ev_l, ec_l, fb_l = cells_ops.sweep_cell_blocks(
+                cell_grid, x, q, type_idx, engine.tables,
+                rows_l.reshape(_nblk_loc, _cell_block, cap),
+                cols_l.reshape(_nblk_loc, _cell_block, mcol),
+                g_ewald=ksp.g_ewald, qqr2e=qqr2e)
+            # scatter my cells' slot forces, then psum((N,3)) over devices
+            f_l = jnp.zeros((n + 1, 3), x.dtype).at[rows_l.reshape(-1)].add(
+                fb_l.reshape(-1, 3))[:n]
+            f = jax.lax.psum(f_l, axis)
+            ev = jax.lax.psum(ev_l, axis)
+            ec = jax.lax.psum(ec_l, axis)
+            df, dev, dec = cells_ops.exclusion_correction(
+                x, q, type_idx, engine.tables, engine.exclusions,
+                box=box, periodic=periodic, cutsq=md.cutoff ** 2, qqr2e=qqr2e)
+            f = f + df
+            # fail loud on cell overflow, as the single-device path does
+            ev = jnp.where(overflow, jnp.nan, ev + dev)
+            return f, ev, ec + dec
+        # dense: pair rows (my atoms vs all); slice from padded arrays so the
+        # last device's block never clamps onto wrong atoms (pads are masked)
         xp = jnp.pad(x, ((0, npad_rows), (0, 0)))
         qp = jnp.pad(q, (0, npad_rows))
         tp = jnp.pad(type_idx, (0, npad_rows))
@@ -165,6 +221,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         f = jax.lax.all_gather(f_rows, axis, axis=0, tiled=True)[:n]
         ev = jax.lax.psum(ev, axis)
         ec = jax.lax.psum(ec, axis)
+        return f, ev, ec
+
+    def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l,
+                       i0, eidx_l, evalid_l):
+        """Per-device partial force computation; returns replicated (f, pe)."""
+        f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0)
 
         if engine.pppm_grid is not None:
             # mesh k-space replicated (grid FFTs; XLA may shard internally)
@@ -203,15 +265,31 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             pe = pe + qqr2e * es
 
         if conp is not None:
+            # Gaussian correction over MY electrode rows vs all atoms —
+            # O(Ne*N/D) instead of the O(N^2/D) xor sweep; reaction forces
+            # on the electrolyte come from the same tile's column sums
+            # (blist_coul_cal_post_force, fix_conp.cpp:1368-1444)
             kern = conp.kernels
-            ei = jax.lax.dynamic_slice_in_dim(jnp.pad(elecheck, (0, npad_rows)),
-                                              i0, nrow)
-            fc_rows, ecorr_l = conp_correction_rowblock(
-                xi, qi, ti, ei, rvalid_l, x, q, elecheck != 0,
-                kern.force, kern.potential, type_idx,
-                box=box, periodic=periodic, cutoff=md.cutoff, qqr2e=qqr2e)
-            f = f + jax.lax.all_gather(fc_rows, axis, axis=0, tiled=True)[:n]
-            pe = pe + jax.lax.psum(ecorr_l, axis)
+            xe_l = x[eidx_l]
+            qe_l = q[eidx_l]
+            te_l = type_idx[eidx_l]
+            is_ele = elecheck != 0
+            dxe = min_image(xe_l[:, None, :] - x[None, :, :],
+                            jnp.asarray(box, x.dtype), periodic)
+            rsq = jnp.sum(dxe * dxe, axis=-1)
+            cmask = (~is_ele)[None, :] & (rsq < md.cutoff ** 2) \
+                & evalid_l[:, None]
+            rsq_safe = jnp.where(cmask, rsq, 1.0)
+            pref = qqr2e * qe_l[:, None] * q[None, :]
+            fkern = kern.force(rsq_safe, te_l[:, None], type_idx[None, :])
+            ekern = kern.potential(rsq_safe, te_l[:, None], type_idx[None, :])
+            forcecoul = jnp.where(cmask, pref * fkern, 0.0)
+            epair = jnp.where(cmask, pref * ekern, 0.0)
+            fpair = forcecoul / rsq_safe
+            f_part = -jnp.einsum("en,enc->nc", fpair, dxe)
+            f_part = f_part.at[eidx_l].add(jnp.einsum("en,enc->ec", fpair, dxe))
+            f = f + jax.lax.psum(f_part, axis)
+            pe = pe + jax.lax.psum(jnp.sum(epair), axis)
             qsq_ele = jnp.sum(jnp.where(elecheck != 0,
                                         jnp.asarray(kern.self_diag, x.dtype) * q * q, 0.0))
             fac = 0.5 if conp.cfg.pairmode is PairMode.ETA else 1.0
@@ -225,10 +303,97 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return f, pe
 
     # ------------------------------------------------------------------
-    def sharded_solve(x, q, step, kv_l, ug_l, ainv_l, eidx_l, evalid_l, e0):
-        """Row/k-sharded charge solve; returns replicated (q_new, scalar)."""
+    def _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
+        """Replicated b -> replicated eleallq via the configured solver.
+
+        INV:        my A^-1 rows matvec + all_gather (fix_conp.cpp:1132-1141)
+        CG:         distributed A.p — my A rows per iteration + all_gather
+        CG_MATFREE: k-space applied over my k shard (psum) + my real-block
+                    rows (all_gather); CG iterates replicated.  This is the
+                    split module's distributed operator (km_ewald_split.cpp:
+                    616-667) re-expressed as XLA collectives."""
+        from ..models.conp import cg_solve
+        from ..utils.config import Solver as _Solver
+        cfg = conp.cfg
+        hp = jax.lax.Precision.HIGHEST  # TPU bf16 default corrupts charges
+        if cfg.solver is _Solver.INV:
+            el = jnp.matmul(asolve_l, b, precision=hp)
+            return jax.lax.all_gather(el, axis, axis=0, tiled=True)[:ne]
+        if cfg.solver is _Solver.CG:
+            def apply_a(p):
+                ap_l = jnp.matmul(asolve_l, p, precision=hp)
+                return jax.lax.all_gather(ap_l, axis, axis=0, tiled=True)[:ne]
+            eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
+            return eleallq
+        # CG_MATFREE
+        from ..ops import ewald_factored as ewf
+        ctx = conp.ctx
+        xe_all = x[jnp.asarray(ele_idx)]
+        apply_phi = ewf.make_phi_operator_kv(
+            xe_all, kv_l, jnp.asarray(fk.kz), fk.unitk, ug_l)
+        rb_l = asolve_l
+        if cfg.mobile_electrodes:
+            # rebuild MY rows of the real-space block from live positions
+            # (the split module rebuilds per reneighbor for mobile
+            # electrodes, km_ewald_split.cpp:205-219)
+            xe_l = x[eidx_l]
+            te_l = type_idx[eidx_l]
+            te_all = type_idx[jnp.asarray(ele_idx)]
+            g = ksp.g_ewald
+            dxe = min_image(xe_l[:, None, :] - xe_all[None, :, :],
+                            jnp.asarray(box, x.dtype), periodic)
+            rsq = jnp.sum(dxe * dxe, axis=-1)
+            gid = e0 + jnp.arange(nele_row)
+            rmask = (rsq < conp.cut_coulsq) & evalid_l[:, None] \
+                & (gid[:, None] != jnp.arange(ne)[None, :])
+            rsq_safe = jnp.where(rmask, rsq, 1.0)
+            dudq = erfcr_sqrt(g * g * rsq_safe) * g + conp.kernels.potential_A(
+                rsq_safe, te_l[:, None], te_all[None, :])
+            rb_l = jnp.where(rmask, dudq, 0.0)
+        diag_extra = ctx.diag_extra
+        z_e = xe_all[:, 2]
+
+        def apply_a(p):
+            out = jax.lax.psum(apply_phi(p), axis)
+            rb_rows = jnp.matmul(rb_l, p, precision=hp)
+            out = out + jax.lax.all_gather(rb_rows, axis, axis=0,
+                                           tiled=True)[:ne]
+            out = out + diag_extra * p
+            if ksp.slabflag:
+                out = out + (4.0 * math.pi / ksp.volume) * z_e * jnp.sum(z_e * p)
+            return out
+
+        eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
+        return eleallq
+
+    def _finish_update(x, q, step, eleallq):
+        """Mode feedback (conp/conq/cond) + charge write; replicated."""
         cfg = conp.cfg
         ctx = conp.ctx
+        elyte = jnp.asarray(conp.elyte_mask)
+        target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
+            cfg.target, eleallq.dtype)
+        left = (ctx.elecheck_ele == 1)
+        if cfg.mode is Mode.CONP:
+            potdiff = target
+            scalar = potdiff * ctx.totsetq + jnp.sum(jnp.where(left, eleallq, 0.0))
+        elif cfg.mode is Mode.CONQ:
+            netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
+            scalar = -(target - netcharge_right) / ctx.totsetq
+            if conp.one_electrode:
+                scalar = scalar + 2.0 * target / ctx.totsetq
+            potdiff = scalar
+        else:
+            dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])
+            potdiff = ctx.vmult * (
+                target - dipole / box[2] - jnp.sum(ctx.setzvec * eleallq))
+            scalar = potdiff
+        q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
+        q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
+        return q_new, scalar
+
+    def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
+        """Row/k-sharded charge solve; returns replicated (q_new, scalar)."""
         elyte = jnp.asarray(conp.elyte_mask)
         q_elyte = jnp.where(elyte, q, 0.0)
         xe_all = x[jnp.asarray(ele_idx)]
@@ -260,63 +425,17 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             slabcorr = (4.0 * math.pi / ksp.volume) * jnp.sum(q_elyte * x[:, 2])
             b = b - xe_all[:, 2] * slabcorr
 
-        # A^-1 rows matvec (HIGHEST: TPU bf16 default corrupts charges)
-        eleallq_l = jnp.matmul(ainv_l, b, precision=jax.lax.Precision.HIGHEST)
-        eleallq = jax.lax.all_gather(eleallq_l, axis, axis=0, tiled=True)[:ne]
-
-        target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
-            cfg.target, b.dtype)
-        left = (ctx.elecheck_ele == 1)
-        if cfg.mode is Mode.CONP:
-            potdiff = target
-            scalar = potdiff * ctx.totsetq + jnp.sum(jnp.where(left, eleallq, 0.0))
-        elif cfg.mode is Mode.CONQ:
-            netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
-            scalar = -(target - netcharge_right) / ctx.totsetq
-            if conp.one_electrode:
-                scalar = scalar + 2.0 * target / ctx.totsetq
-            potdiff = scalar
-        else:
-            dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])
-            potdiff = ctx.vmult * (
-                target - dipole / box[2] - jnp.sum(ctx.setzvec * eleallq))
-            scalar = potdiff
-
-        q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
-        q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
-        return q_new, scalar
+        eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0)
+        return _finish_update(x, q, step, eleallq)
 
     # ------------------------------------------------------------------
-    def sharded_solve_pppm(x, q, step, ainv_l, eidx_l, evalid_l):
-        """PPPM-mode solve: replicated mesh b-vector + row-sharded matvec."""
-        cfg = conp.cfg
-        ctx = conp.ctx
+    def sharded_solve_pppm(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
+        """PPPM-mode solve: replicated mesh b-vector + sharded linear solve."""
         b, _ = conp.b_vector_full(x, q)
-        eleallq_l = jnp.matmul(ainv_l, b, precision=jax.lax.Precision.HIGHEST)
-        eleallq = jax.lax.all_gather(eleallq_l, axis, axis=0, tiled=True)[:ne]
-        target = cfg.target(step) if callable(cfg.target) else jnp.asarray(
-            cfg.target, b.dtype)
-        left = (ctx.elecheck_ele == 1)
-        elyte = jnp.asarray(conp.elyte_mask)
-        if cfg.mode is Mode.CONP:
-            potdiff = target
-            scalar = potdiff * ctx.totsetq + jnp.sum(jnp.where(left, eleallq, 0.0))
-        elif cfg.mode is Mode.CONQ:
-            netcharge_right = -jnp.sum(jnp.where(left, eleallq, 0.0))
-            scalar = -(target - netcharge_right) / ctx.totsetq
-            if conp.one_electrode:
-                scalar = scalar + 2.0 * target / ctx.totsetq
-            potdiff = scalar
-        else:
-            dipole = -jnp.sum(jnp.where(elyte, q, 0.0) * x[:, 2])
-            potdiff = ctx.vmult * (
-                target - dipole / box[2] - jnp.sum(ctx.setzvec * eleallq))
-            scalar = potdiff
-        q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
-        q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
-        return q_new, scalar
+        eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0)
+        return _finish_update(x, q, step, eleallq)
 
-    def step_inner(state, kv_l, ug_l, exi_l, exv_l, rvalid_l, ainv_l, eidx_l, evalid_l):
+    def step_inner(state, kv_l, ug_l, exi_l, exv_l, rvalid_l, asolve_l, eidx_l, evalid_l):
         i0 = jax.lax.axis_index(axis) * nrow
         e0 = jax.lax.axis_index(axis) * nele_row
         x, v, q = state.x, state.v, state.q
@@ -335,25 +454,23 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         scalar = state.scalar_out
         if conp is not None:
             nevery = conp.cfg.nevery
-            from ..utils.config import Solver as _Solver
-            if conp.cfg.solver is _Solver.CG:
-                # CG iterates are replicated (A kept whole per device)
-                solve = lambda: conp.solve_full(x, q, state.step + 1)[:2]
-            elif conp.pppm_grid is not None:
+            if conp.pppm_grid is not None:
                 # PPPM b-vector: mesh solve replicated (XLA shards FFTs
-                # internally when beneficial); A^-1 matvec stays row-sharded
-                solve = lambda: sharded_solve_pppm(x, q, state.step + 1,
-                                                   ainv_l, eidx_l, evalid_l)
+                # internally when beneficial); the linear solve is sharded
+                solve = lambda: sharded_solve_pppm(
+                    x, q, state.step + 1, kv_l, ug_l, asolve_l, eidx_l,
+                    evalid_l, e0)
             else:
                 solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
-                                              ainv_l, eidx_l, evalid_l, e0)
+                                              asolve_l, eidx_l, evalid_l, e0)
             if nevery == 1:
                 q, scalar = solve()
             else:
                 q, scalar = jax.lax.cond((state.step + 1) % nevery == 0,
                                          solve, lambda: (q, scalar))
 
-        f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l, i0, e0)
+        f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l,
+                               i0, eidx_l, evalid_l)
         v = itg.kick(v, f)
         if engine.cons is not None:
             from ..models.shake import rattle_velocities

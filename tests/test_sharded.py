@@ -70,3 +70,67 @@ def test_sharded_pppm_mode():
     np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-11)
     np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
                                atol=1e-7, rtol=1e-9)
+
+
+# --- the solver x kspace x pair-path shard-invariance matrix ----------------
+# (VERDICT round 1: the matfree crash shipped because only INV+dense was
+# covered).  CG_MATFREE x PPPM is invalid by construction (the matfree
+# operator is factored-Ewald-based; setup_conp raises).
+
+_MATRIX = [
+    ("inv", "ewald"), ("cg", "ewald"), ("cg_matfree", "ewald"),
+    ("inv", "pppm"), ("cg", "pppm"),
+]
+
+
+@pytest.mark.parametrize("solver_name,kspace_name", _MATRIX)
+def test_sharded_solver_matrix(solver_name, kspace_name):
+    """8-dev == 1-dev for every solver x kspace x {dense, cell} combination."""
+    import dataclasses
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+    solver_e = Solver(solver_name)
+    kspace_e = KSpaceStyle(kspace_name)
+    system, md, cfg = workloads.dilute(0)
+    cfgx = dataclasses.replace(cfg, solver=solver_e, kspace=kspace_e)
+    mdx = dataclasses.replace(md, kspace_style=kspace_e)
+    conp = setup_conp(system, mdx, cfgx)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    for pair_path in ("dense", "cell"):
+        mdp = dataclasses.replace(mdx, pair_path=pair_path,
+                                  use_pallas_pair=False)
+        eng = build_engine(system, mdp, conp)
+        if pair_path == "cell":
+            assert eng.cell_grid is not None
+        sheng = build_sharded_engine(eng, mesh)
+        st = eng.init_state()
+        s1 = jax.jit(eng.step)(st)
+        s8 = sheng.step(st)
+        np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q),
+                                   atol=1e-10,
+                                   err_msg=f"{solver_name}/{kspace_name}/{pair_path}")
+        np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                                   atol=1e-7, rtol=1e-9,
+                                   err_msg=f"{solver_name}/{kspace_name}/{pair_path}")
+        assert np.isfinite(float(s8.energy))
+
+
+def test_sharded_matfree_synthetic_largeish():
+    """CG_MATFREE sharded on a bigger synthetic capacitor (the production-
+    scale configuration: matfree solve + cell pair path under shard_map)."""
+    import dataclasses
+    from lammps_user_conp2_tpu.utils.config import Solver
+    system, md, cfg = workloads.synthetic(n_elyte=512, nele_side=8, lz=60.0,
+                                          lxy=24.0)
+    cfgx = dataclasses.replace(cfg, solver=Solver.CG_MATFREE)
+    mdx = dataclasses.replace(md, pair_path="cell", use_pallas_pair=False)
+    conp = setup_conp(system, mdx, cfgx)
+    eng = build_engine(system, mdx, conp)
+    assert eng.cell_grid is not None
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    st = eng.init_state()
+    s1 = jax.jit(eng.step)(st)
+    s8 = sheng.step(st)
+    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                               atol=1e-6, rtol=1e-8)

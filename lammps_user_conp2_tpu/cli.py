@@ -22,6 +22,10 @@ import numpy as np
 
 def _build(args):
     import jax
+    if getattr(args, "cpu", False):
+        # env vars are too late in this session (jax imports at interpreter
+        # start); the config update works any time before backend init
+        jax.config.update("jax_platforms", "cpu")
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
@@ -149,6 +153,9 @@ def main(argv=None):
         p.add_argument("workload", help="dilute | il_onelayer | il_twolayer | cond | zmirror | synthetic")
         p.add_argument("trial", type=int, nargs="?", default=0)
         p.add_argument("--f32", action="store_true", help="float32 step path (TPU)")
+        p.add_argument("--cpu", action="store_true",
+                       help="force the CPU platform (env vars are too late "
+                            "once jax is imported at interpreter start)")
 
     p = sub.add_parser("run")
     add_common(p)

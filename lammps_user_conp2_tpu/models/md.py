@@ -100,8 +100,9 @@ class Engine:
                 rho_elyte = pppm_ops.spread(grid, x, jnp.where(is_ele, 0.0, q))
             rho_ele = pppm_ops.spread(grid, x, jnp.where(is_ele, q, 0.0))
             rho = rho_elyte + rho_ele
-            ek = pppm_ops.pppm_energy(grid, rho) * u.qqr2e
-            fk = pppm_ops.pppm_forces(grid, rho, x, q) * u.qqr2e
+            ek, efield = pppm_ops.pppm_energy_efield(grid, rho)
+            ek = ek * u.qqr2e
+            fk = u.qqr2e * q[:, None] * pppm_ops.gather3(grid, efield, x)
         elif self.fksp is not None:
             from ..ops import ewald_factored as ewf
             ek, fk = ewf.energy_forces_f(self.fksp, x, q)
@@ -316,9 +317,11 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     use_pallas = md.use_pallas_pair
     if use_pallas is None:
         # auto: the fused kernel wins ~11% at N >= a few thousand but its
-        # fixed tile padding loses at small N (432-atom dilute: -17%)
+        # fixed tile padding loses at small N (432-atom dilute: -17%);
+        # Mosaic has no f64 dot lowering, so f64 runs stay on the XLA path
         import jax as _jax
-        use_pallas = _jax.default_backend() == "tpu" and system.natoms >= 2048
+        use_pallas = (_jax.default_backend() == "tpu"
+                      and system.natoms >= 2048 and dtype != jnp.float64)
 
     zmirror = None
     if md.zmirror is not None:

@@ -403,6 +403,27 @@ def pppm_energy(grid: PPPMGrid, rho):
     return e
 
 
+def pppm_energy_efield(grid: PPPMGrid, rho):
+    """(energy, (ex, ey, ez)) sharing ONE forward FFT of rho.
+
+    The reference's force compute reuses the charge-solve FFT within a step
+    (pppm_conp.cpp:428-450); here the energy readout reuses the force path's
+    forward transform — one fftn + three ifftn per step instead of two fftn."""
+    cplx = jnp.complex64 if rho.dtype == jnp.float32 else jnp.complex128
+    rhok = jnp.fft.fftn(rho.astype(cplx))
+    gk = jnp.asarray(grid.greens, rho.dtype)
+    e = 0.5 * jnp.sum(gk * jnp.abs(rhok) ** 2) / grid.volume
+    phik = rhok * gk
+    scale = grid.nx * grid.ny * grid.nz / grid.volume
+    out = []
+    for ax, fk in enumerate((grid.fkx, grid.fky, grid.fkz)):
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(cplx)
+        out.append(jnp.real(jnp.fft.ifftn(-ik * phik)) * scale)
+    return e, tuple(out)
+
+
 def pppm_forces(grid: PPPMGrid, rho, x, q):
     """Forces from a (possibly combined) density mesh at positions x."""
     ex, ey, ez = poisson_efield(grid, rho)

@@ -224,18 +224,31 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return f, ev, ec
 
     def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                       i0, eidx_l, evalid_l):
+                       i0, eidx_l, evalid_l, rho_elyte=None):
         """Per-device partial force computation; returns replicated (f, pe)."""
         f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0)
 
         if engine.pppm_grid is not None:
-            # mesh k-space replicated (grid FFTs; XLA may shard internally)
+            # mesh k-space: spread sharded over atom rows (psum the mesh),
+            # FFTs replicated, force gather sharded over atom rows.  When the
+            # solve ran this step, its electrolyte mesh is reused and only
+            # the Ne electrode charges are re-spread (pppm_conp.cpp:428-450).
             from ..ops import pppm as pppm_ops
             grid_p = engine.pppm_grid
-            is_ele_m = elecheck != 0
-            rho = pppm_ops.spread(grid_p, x, q)
-            ek = qqr2e * pppm_ops.pppm_energy(grid_p, rho)
-            f = f + qqr2e * pppm_ops.pppm_forces(grid_p, rho, x, q)
+            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)))
+            qp_ = jnp.pad(q, (0, npad_rows))
+            xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
+            qi_l = jax.lax.dynamic_slice_in_dim(qp_, i0, nrow)
+            if rho_elyte is not None and conp is not None:
+                eix = jnp.asarray(conp.ele_idx)
+                rho = rho_elyte + pppm_ops.spread(grid_p, x[eix], q[eix])
+            else:
+                rho = jax.lax.psum(pppm_ops.spread(grid_p, xi_l, qi_l), axis)
+            ek, efield = pppm_ops.pppm_energy_efield(grid_p, rho)
+            ek = qqr2e * ek
+            f_rows = qi_l[:, None] * pppm_ops.gather3(grid_p, efield, xi_l)
+            f = f + qqr2e * jax.lax.all_gather(f_rows, axis, axis=0,
+                                               tiled=True)[:n]
         else:
             # factored k-space over my kxy-row shard (ops/ewald_factored.py)
             from ..ops import ewald_factored as ewf
@@ -393,18 +406,41 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return q_new, scalar
 
     def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
-        """Row/k-sharded charge solve; returns replicated (q_new, scalar)."""
+        """Row/k-sharded charge solve.
+
+        Returns replicated (q_new, scalar, rho_elyte) — rho_elyte is the
+        electrolyte density mesh in PPPM mode (the force path reuses it:
+        pppm_conp.cpp:428-450 invariant), None otherwise."""
         elyte = jnp.asarray(conp.elyte_mask)
         q_elyte = jnp.where(elyte, q, 0.0)
         xe_all = x[jnp.asarray(ele_idx)]
+        rho_elyte = None
 
-        # k-space: my kxy-shard's structure factor and electrode projection
-        from ..ops import ewald_factored as ewf
-        sr_l, si_l = ewf.structure_factor_fkv(
-            x, q_elyte, kv_l, jnp.asarray(fk.kz), fk.unitk)
-        b = -ewf.potential_on_points_fkv(
-            xe_all, sr_l, si_l, kv_l, jnp.asarray(fk.kz), fk.unitk, ug_l)
-        b = jax.lax.psum(b, axis)
+        if conp.pppm_grid is not None:
+            # mesh b-vector: spread MY atom rows -> psum the mesh (the TPU
+            # analogue of GridComm halo reduction, pppm_conp.cpp:113-124);
+            # FFT Poisson replicated (mesh is small; XLA may shard it
+            # internally); electrode stencil gather over MY electrode rows.
+            from ..ops import pppm as pppm_ops
+            grid_p = conp.pppm_grid
+            i0 = jax.lax.axis_index(axis) * nrow
+            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)))
+            qep = jnp.pad(q_elyte, (0, npad_rows))
+            xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
+            qi_l = jax.lax.dynamic_slice_in_dim(qep, i0, nrow)
+            rho_elyte = jax.lax.psum(pppm_ops.spread(grid_p, xi_l, qi_l), axis)
+            u_mesh = pppm_ops.poisson_u(grid_p, rho_elyte)
+            b_l = -pppm_ops.gather(grid_p, u_mesh, x[eidx_l])
+            b_l = jnp.where(evalid_l, b_l, 0.0)
+            b = jax.lax.all_gather(b_l, axis, axis=0, tiled=True)[:ne]
+        else:
+            # k-space: my kxy-shard's structure factor and electrode readout
+            from ..ops import ewald_factored as ewf
+            sr_l, si_l = ewf.structure_factor_fkv(
+                x, q_elyte, kv_l, jnp.asarray(fk.kz), fk.unitk)
+            b = -ewf.potential_on_points_fkv(
+                xe_all, sr_l, si_l, kv_l, jnp.asarray(fk.kz), fk.unitk, ug_l)
+            b = jax.lax.psum(b, axis)
 
         # real-space: my electrode rows vs all atoms
         xe_l = x[eidx_l]
@@ -426,14 +462,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             b = b - xe_all[:, 2] * slabcorr
 
         eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0)
-        return _finish_update(x, q, step, eleallq)
-
-    # ------------------------------------------------------------------
-    def sharded_solve_pppm(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
-        """PPPM-mode solve: replicated mesh b-vector + sharded linear solve."""
-        b, _ = conp.b_vector_full(x, q)
-        eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0)
-        return _finish_update(x, q, step, eleallq)
+        q_new, scalar = _finish_update(x, q, step, eleallq)
+        return q_new, scalar, rho_elyte
 
     def step_inner(state, kv_l, ug_l, exi_l, exv_l, rvalid_l, asolve_l, eidx_l, evalid_l):
         i0 = jax.lax.axis_index(axis) * nrow
@@ -452,25 +482,20 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             x = engine.zmirror.apply(x, state.step + 1)
 
         scalar = state.scalar_out
+        rho_elyte = None
         if conp is not None:
             nevery = conp.cfg.nevery
-            if conp.pppm_grid is not None:
-                # PPPM b-vector: mesh solve replicated (XLA shards FFTs
-                # internally when beneficial); the linear solve is sharded
-                solve = lambda: sharded_solve_pppm(
-                    x, q, state.step + 1, kv_l, ug_l, asolve_l, eidx_l,
-                    evalid_l, e0)
-            else:
-                solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
-                                              asolve_l, eidx_l, evalid_l, e0)
+            solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
+                                          asolve_l, eidx_l, evalid_l, e0)
             if nevery == 1:
-                q, scalar = solve()
+                q, scalar, rho_elyte = solve()
             else:
                 q, scalar = jax.lax.cond((state.step + 1) % nevery == 0,
-                                         solve, lambda: (q, scalar))
+                                         lambda: solve()[:2],
+                                         lambda: (q, scalar))
 
         f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                               i0, eidx_l, evalid_l)
+                               i0, eidx_l, evalid_l, rho_elyte)
         v = itg.kick(v, f)
         if engine.cons is not None:
             from ..models.shake import rattle_velocities

@@ -146,6 +146,14 @@ def _onehot_cols(idx, K, dtype):
     return (idx[..., None] == jnp.arange(K)[None, None, :]).astype(dtype)
 
 
+def _use_pallas(dtype) -> bool:
+    # the fused VMEM kernel (ops/pallas/shake_kernel.py) cuts the
+    # latency-bound iteration from ~1.4 ms to ~20 us on il_twolayer;
+    # Mosaic has no f64, so f64/CPU runs keep this XLA path
+    import jax as _jax
+    return _jax.default_backend() == "tpu" and dtype == jnp.float32
+
+
 def shake_positions(cons: ShakeConstraints, x_new, x_old, dt, *, box, periodic,
                     iters: int = 12, omega: float = 1.0):
     """Correct x_new so constraints hold; returns (x, dv = (xc-x_new)/dt).
@@ -153,6 +161,11 @@ def shake_positions(cons: ShakeConstraints, x_new, x_old, dt, *, box, periodic,
     Classic SHAKE with reference geometry from pre-drift positions; iterated
     Gauss-Seidel over the cluster's constraint slots (registers only).
     """
+    if _use_pallas(x_new.dtype):
+        from ..ops.pallas.shake_kernel import shake_positions_pallas
+        return shake_positions_pallas(cons, x_new, x_old, dt, box=box,
+                                      periodic=periodic, iters=iters,
+                                      omega=omega)
     M, K = cons.atoms.shape
     C = cons.ci.shape[1]
     dtype = x_new.dtype
@@ -202,6 +215,10 @@ def shake_positions(cons: ShakeConstraints, x_new, x_old, dt, *, box, periodic,
 def rattle_velocities(cons: ShakeConstraints, x, v, *, box, periodic,
                       iters: int = 12, omega: float = 1.0):
     """Project velocities onto the constraint manifold (sum v_ij . r_ij = 0)."""
+    if _use_pallas(v.dtype):
+        from ..ops.pallas.shake_kernel import rattle_velocities_pallas
+        return rattle_velocities_pallas(cons, x, v, box=box, periodic=periodic,
+                                        iters=iters, omega=omega)
     M, K = cons.atoms.shape
     C = cons.ci.shape[1]
     dtype = x.dtype

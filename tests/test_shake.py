@@ -82,3 +82,27 @@ def test_rattle_zeroes_bond_rates():
         vij = vn[i] - vn[j]
         rate = np.abs((rij * vij).sum(1))
         assert rate.max() < 1e-6
+
+
+def test_pallas_shake_matches_xla_interpret():
+    """The fused VMEM SHAKE/RATTLE kernels are bit-compatible (to f32
+    roundoff) with the XLA cluster-batched path (interpret mode on CPU)."""
+    from lammps_user_conp2_tpu.ops.pallas import shake_kernel as sk
+    system, cons = _il_constraints()
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(system.x0)
+    xn = x0 + jnp.asarray(rng.normal(0, 0.05, x0.shape))
+    v = jnp.asarray(rng.normal(0, 0.01, x0.shape))
+    box, per = system.box, system.periodic
+
+    x_ref, dv_ref = shake_positions(cons, xn, x0, 1.0, box=box, periodic=per)
+    x_pal, dv_pal = sk.shake_positions_pallas(
+        cons, xn, x0, 1.0, box=box, periodic=per, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_pal), np.asarray(x_ref),
+                               atol=1e-12)
+
+    v_ref = rattle_velocities(cons, x_ref, v, box=box, periodic=per)
+    v_pal = sk.rattle_velocities_pallas(
+        cons, x_ref, v, box=box, periodic=per, interpret=True)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               atol=1e-14)

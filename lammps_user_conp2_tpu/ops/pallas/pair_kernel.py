@@ -110,7 +110,7 @@ def _kernel(xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
 
 
 def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
-                       cutoff, g_ewald, qqr2e, tr=256, tc=512,
+                       cutoff, g_ewald, qqr2e, tr=256, tc=256,
                        interpret=False):
     """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values)."""
     n = x.shape[0]

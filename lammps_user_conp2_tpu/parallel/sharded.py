@@ -264,13 +264,13 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         pe = ev + ec + ek
 
         # bonded: replicated (tiny)
-        from ..ops.bonded import angle_forces, bond_forces
-        fb, eb = bond_forces(x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
-                             box=box, periodic=periodic)
-        fa, ea = angle_forces(x, jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),
-                              box=box, periodic=periodic)
-        f = f + fb + fa
-        pe = pe + eb + ea
+        from ..ops.bonded import bonded_forces
+        fba, eba = bonded_forces(
+            x, jnp.asarray(sys.bonds), jnp.asarray(sys.bond_coeffs),
+            jnp.asarray(sys.angles), jnp.asarray(sys.angle_coeffs),
+            box=box, periodic=periodic)
+        f = f + fba
+        pe = pe + eba
 
         if ksp.slabflag:
             es, fs = ewald_ops.slab_correction_energy_forces(x, q, ksp.volume)

@@ -39,6 +39,19 @@ _DILUTE_PAIR_COEFFS = [
 ]
 
 
+def _sol_thermostats(data, groups, doubled: bool, temp: float):
+    """Thermostat configs matching the reference decks: single NHC on 'sol'
+    normally; TWO independent NHCs (solpos + solneg) for doubled-cell trials
+    (il_onelayer/input:113-116 'fix 1 solpos nvt' + 'fix 2 solneg nvt')."""
+    if not doubled:
+        return (ThermostatConfig("sol", temp, temp, 100.0),)
+    pos = data.x[:, 2] > 0.0
+    groups["solpos"] = groups["sol"] & pos
+    groups["solneg"] = groups["sol"] & ~pos
+    return (ThermostatConfig("solpos", temp, temp, 100.0),
+            ThermostatConfig("solneg", temp, temp, 100.0))
+
+
 def _doubled_cell(data, molleft, molright, sym: bool, flip_vz: bool = False):
     """replicate 1 1 2 + change_box + sym/anti mol reassignment
     (tests/dilute/input:44-57, il_onelayer/input:34-47)."""
@@ -131,6 +144,7 @@ def dilute(n: int = 0, *, data_path: Optional[str] = None):
         "sol": np.isin(data.type, [1, 2, 4]),
         "ele": data.type == 3,
     }
+    thermos = _sol_thermostats(data, groups, doubled, 298.0)
     system = build_system(
         data, units="real", periodic=periodic, mix="geometric",
         pair_coeff_overrides=_DILUTE_PAIR_COEFFS,
@@ -143,7 +157,7 @@ def dilute(n: int = 0, *, data_path: Optional[str] = None):
         units="real", dt=1.0, cutoff=4.0, kspace_accuracy=1e-6,
         slab=3.0 if n <= 1 else None,
         efield=(0.0, 0.0, -v / system.box[2]) if ff is FFMode.FFIELD else None,
-        thermostats=(ThermostatConfig("sol", 298.0, 298.0, 100.0),),
+        thermostats=thermos,
     )
     cfg = ConpConfig(mode=Mode.CONP, nevery=1, eta=1.979, target=v,
                      ff=ff, zneutr=doubled)
@@ -165,6 +179,7 @@ def il_onelayer(n: int = 0, *, data_path: Optional[str] = None):
         "bmi": np.isin(data.type, [1, 2, 3]),
         "ele": data.type == etype,
     }
+    thermos = _sol_thermostats(data, groups, doubled, 500.0)
     system = build_system(
         data, units="real", periodic=periodic, mix="arithmetic",
         ele_left=[molleft], ele_right=[molright], groups=groups)
@@ -184,6 +199,10 @@ def il_onelayer(n: int = 0, *, data_path: Optional[str] = None):
         kspace = KSpaceStyle.PPPM
     if n == 4:
         kspace = KSpaceStyle.PPPM
+        # the reference deck drives trial 4 with the equal-style variable
+        # v_v (il_onelayer/input:103) — wire it as a callable target to
+        # exercise the same machinery (fix_conp.cpp:112-117, 1143)
+        target = lambda step: v  # noqa: E731
     ehgo = None
     from .utils.config import EhgoConfig, PairMode
     pairmode = PairMode.ETA
@@ -195,7 +214,7 @@ def il_onelayer(n: int = 0, *, data_path: Optional[str] = None):
         units="real", dt=2.0, cutoff=16.0, kspace_accuracy=1e-7,
         slab=3.0 if n <= 2 else None,
         efield=(0.0, 0.0, -v / system.box[2]) if ff is FFMode.FFIELD else None,
-        thermostats=(ThermostatConfig("sol", 500.0, 500.0, 100.0),),
+        thermostats=thermos,
         shake=ShakeConfig(group="bmi", btypes=(1, 2), atypes=(1,)),
     )
     cfg = ConpConfig(mode=mode, nevery=1, eta=1.979, target=target,
@@ -302,6 +321,7 @@ def il_twolayer(n: int = 0, *, data_path: Optional[str] = None):
         "bmi": np.isin(data.type, [1, 2, 3]),
         "ele": data.type == etype,
     }
+    thermos = _sol_thermostats(data, groups, doubled, 500.0)
     system = build_system(
         data, units="real", periodic=periodic, mix="arithmetic",
         ele_left=[molleft], ele_right=[molright], groups=groups)
@@ -313,7 +333,7 @@ def il_twolayer(n: int = 0, *, data_path: Optional[str] = None):
         units="real", dt=2.0, cutoff=16.0, kspace_accuracy=1e-7,
         slab=3.0 if n <= 1 else None,
         efield=(0.0, 0.0, -v / system.box[2]) if ff is FFMode.FFIELD else None,
-        thermostats=(ThermostatConfig("sol", 500.0, 500.0, 100.0),),
+        thermostats=thermos,
         shake=ShakeConfig(group="bmi", btypes=(1, 2), atypes=(1,)),
     )
     cfg = ConpConfig(mode=Mode.CONP, nevery=1, eta=1.979, target=v,

@@ -27,3 +27,64 @@ def test_pallas_pair_matches_dense():
                                rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(float(ev2), float(ev1), rtol=1e-12)
     np.testing.assert_allclose(float(ec2), float(ec1), rtol=1e-12)
+
+
+def test_ele_rows_kernels_match_xla_interpret():
+    """Fused electrode-row kernels (b real block + Gaussian correction)
+    reproduce the XLA paths exactly (interpret mode, f64)."""
+    import numpy as np
+    from lammps_user_conp2_tpu import workloads
+    from lammps_user_conp2_tpu.models.conp import setup_conp
+    from lammps_user_conp2_tpu.models.md import build_engine
+    from lammps_user_conp2_tpu.ops.erfc import erfcr_sqrt
+    from lammps_user_conp2_tpu.ops.pairs import (conp_correction_forces,
+                                                 min_image)
+    from lammps_user_conp2_tpu.ops.pallas.ele_rows_kernel import (
+        b_realspace_pallas, conp_correction_pallas)
+
+    system, md, cfg = workloads.dilute(0)
+    conp = setup_conp(system, md, cfg)
+    eng = build_engine(system, md, conp)
+    st = eng.init_state()
+    x, q = st.x, st.q
+    u = system.units()
+    kern = conp.kernels
+    te = np.asarray(conp.type_idx)[conp.ele_idx]
+    nt1 = kern.eta_ij.shape[0]
+    ohc = (jnp.asarray(conp.type_idx)[:, None]
+           == jnp.arange(nt1)[None, :]).astype(x.dtype)
+    eidx = jnp.asarray(conp.ele_idx)
+
+    f_ref, e_ref = conp_correction_forces(
+        x, q, eng.elecheck, kern.force, kern.potential, eng.type_idx,
+        box=eng.ksp_force.box, periodic=system.periodic, cutoff=md.cutoff,
+        qqr2e=u.qqr2e, ele_idx=eidx)
+    f_p, e_p = conp_correction_pallas(
+        x, q, eidx, jnp.asarray(conp.elyte_mask, x.dtype),
+        jnp.asarray(kern.eta_ij[te], x.dtype),
+        jnp.asarray(kern.fo_ij[te], x.dtype), ohc,
+        box=eng.ksp_force.box, periodic=system.periodic, cutoff=md.cutoff,
+        qqr2e=u.qqr2e, interpret=True)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_ref), atol=1e-13)
+    assert abs(float(e_p - e_ref)) < 1e-12
+
+    dt = x.dtype
+    xe = x[eidx]
+    elyte = jnp.asarray(conp.elyte_mask)
+    q_elyte = jnp.where(elyte, q, 0.0)
+    g = conp.ksp.g_ewald
+    dx = min_image(xe[:, None, :] - x[None, :, :], jnp.asarray(conp.box, dt),
+                   conp.periodic)
+    rsq = jnp.sum(dx * dx, axis=-1)
+    mask = elyte[None, :] & (rsq < conp.cut_coulsq)
+    rsq_s = jnp.where(mask, rsq, 1.0)
+    dudq = erfcr_sqrt(g * g * rsq_s) * g + kern.potential(
+        rsq_s, jnp.asarray(te)[:, None], jnp.asarray(conp.type_idx)[None, :])
+    br_ref = -jnp.sum(jnp.where(mask, dudq, 0.0) * q_elyte[None, :], axis=1)
+    br_p = b_realspace_pallas(
+        x, q_elyte, eidx, jnp.asarray(conp.elyte_mask, dt),
+        jnp.asarray(kern.eta_ij[te], dt), jnp.asarray(kern.fo_ij[te], dt),
+        ohc, box=conp.box, periodic=conp.periodic,
+        cut_coulsq=conp.cut_coulsq, g_ewald=g, interpret=True)
+    np.testing.assert_allclose(np.asarray(br_p), np.asarray(br_ref),
+                               atol=1e-13)

@@ -31,7 +31,11 @@ def _build(workload, n):
     return eng
 
 
-def bench_steps_per_sec(eng, nsteps=100, repeats=3):
+def bench_steps_per_sec(eng, nsteps=100, repeats=4):
+    """Chained fori_loop (state feeds back) — repeated identical calls are
+    memoized by the axon relay and read ~0 ms (CLAUDE.md).  Best-of-N keeps
+    the measurement robust to tunnel stall episodes (a stall only ever slows
+    a trial, so max(steps/s) discards it)."""
     import jax
 
     state = eng.init_state()
@@ -48,17 +52,27 @@ def bench_steps_per_sec(eng, nsteps=100, repeats=3):
     return best
 
 
-def bench_charge_solve_ms(eng, iters=50):
+def bench_charge_solve_ms(eng, iters=50, repeats=3):
+    """CHAINED charge solves (q feeds back — identical-input repeats are
+    memoized somewhere in the relay and would read ~0 ms); min over repeats
+    discards stall-inflated trials."""
     import jax
 
     state = eng.init_state()
-    solve = jax.jit(lambda x, q: eng.conp.solve(x, q, 0))
-    jax.block_until_ready(solve(state.x, state.q))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = solve(state.x, state.q)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    x = state.x
+
+    def body(i, q):
+        qn, _ = eng.conp.solve(x, q, 0)
+        return qn
+
+    run = jax.jit(lambda q: jax.lax.fori_loop(0, iters, body, q))
+    q = jax.block_until_ready(run(state.q))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        q = jax.block_until_ready(run(q))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
 
 
 def main():
@@ -78,9 +92,9 @@ def main():
         try:
             eng2 = _build("il_twolayer", 0)
             result["il_twolayer_steps_per_sec"] = round(
-                bench_steps_per_sec(eng2, nsteps=20, repeats=2), 3)
+                bench_steps_per_sec(eng2, nsteps=50, repeats=4), 3)
             result["il_twolayer_charge_solve_ms"] = round(
-                bench_charge_solve_ms(eng2, iters=20), 3)
+                bench_charge_solve_ms(eng2, iters=50), 3)
         except Exception as e:  # noqa: BLE001 — report partial results
             result["il_twolayer_error"] = repr(e)[:200]
 

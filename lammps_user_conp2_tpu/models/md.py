@@ -292,7 +292,7 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         gmask = system.groups[tc.group]
         ncons_g = 0
         if cons is not None:
-            ncons_g = int(cons.n_in_group[gmask].sum())
+            ncons_g = cons.n_in_group(gmask)
         thermos.append(make_nhc_params(
             gmask, tc.t_start, tc.t_stop, tc.damp,
             nconstraints=ncons_g, tchain=tc.tchain))

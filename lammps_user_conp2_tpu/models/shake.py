@@ -44,8 +44,15 @@ class ShakeConstraints:
     dist2: jnp.ndarray
     cmask: jnp.ndarray
     invm: jnp.ndarray
-    n_in_group: np.ndarray   # host (N,) — constraints per atom (dof bookkeeping)
+    pair_atoms: np.ndarray   # host (ncons, 2) — constrained atom pairs
     ncons: int
+
+    def n_in_group(self, gmask) -> int:
+        """Constraints removed from a thermostatted group's DOF count: a
+        constraint is attributed to the group when BOTH its atoms are in it
+        (a pair straddling the boundary doesn't remove an internal DOF)."""
+        p = self.pair_atoms
+        return int((gmask[p[:, 0]] & gmask[p[:, 1]]).sum())
 
     @property
     def nclusters(self) -> int:
@@ -129,15 +136,12 @@ def build_constraints(system, shake_cfg) -> ShakeConstraints | None:
             cmask[m, s] = True
 
     invm = np.where(amask, 1.0 / system.mass[atoms], 0.0)
-    ncount = np.zeros(system.natoms, np.int64)
-    for (i, j) in pairs:
-        ncount[i] += 1
     return ShakeConstraints(
         atoms=jnp.asarray(atoms), amask=jnp.asarray(amask),
         ci=jnp.asarray(ci), cj=jnp.asarray(cj),
         dist2=jnp.asarray(dist2), cmask=jnp.asarray(cmask),
         invm=jnp.asarray(invm),
-        n_in_group=ncount, ncons=len(pairs),
+        pair_atoms=np.asarray(pairs, np.int64), ncons=len(pairs),
     )
 
 

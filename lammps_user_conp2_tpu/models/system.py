@@ -190,9 +190,22 @@ def exclusion_lists(system: System):
     O(N*m) instead of an (N, N) constant."""
     n = system.natoms
     ex = [dict() for _ in range(n)]
+    adj = [set() for _ in range(n)]
     for (_, i, j) in system.bonds:
         ex[i][int(j)] = 0.0
         ex[j][int(i)] = 0.0
+        adj[int(i)].add(int(j))
+        adj[int(j)].add(int(i))
+    # 1-3 pairs from bond CONNECTIVITY (LAMMPS special_bonds semantics) —
+    # a bonded triple without an explicit angle still excludes its 1-3 pair
+    for j in range(n):
+        nb = sorted(adj[j])
+        for ai in range(len(nb)):
+            for bi in range(ai + 1, len(nb)):
+                a, b = nb[ai], nb[bi]
+                ex[a][b] = 0.0
+                ex[b][a] = 0.0
+    # angles additionally (covers angle-defined triples not sharing bonds)
     for (_, i, j, k) in system.angles:
         for (a, b) in ((i, j), (j, k), (i, k)):
             ex[int(a)][int(b)] = 0.0

@@ -37,6 +37,8 @@ def get_lib():
         lib.conp2_close.argtypes = [ctypes.c_void_p]
         lib.conp2_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 14
         lib.conp2_fill.restype = None
+        lib.conp2_fill_pair_ij.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.conp2_fill_pair_ij.restype = None
         lib.conp2_write_dump_frame.restype = ctypes.c_int
         lib.conp2_write_dump_frame.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
@@ -86,10 +88,15 @@ def parse_data_native(path: str):
         lib.conp2_fill(h, _ptr(boxlo), _ptr(boxhi), _ptr(tag), _ptr(mol),
                        _ptr(typ), _ptr(q), _ptr(x), _ptr(v), _ptr(mass),
                        _ptr(pc), _ptr(bc), _ptr(ac), _ptr(bonds), _ptr(angles))
+        pc_ij = None
+        if g("has_pair_ij") == 1:
+            pc_ij = np.zeros((nt + 1, nt + 1, 2))
+            lib.conp2_fill_pair_ij(h, _ptr(pc_ij))
         return dict(natoms=n, natomtypes=nt, box_lo=boxlo, box_hi=boxhi,
                     tag=tag, mol=mol, type=typ, q=q, x=x, v=v,
                     mass_by_type=mass, pair_coeffs=pc, bond_coeffs=bc,
-                    angle_coeffs=ac, bonds=bonds[:nb], angles=angles[:na])
+                    angle_coeffs=ac, bonds=bonds[:nb], angles=angles[:na],
+                    pair_coeffs_ij=pc_ij)
     finally:
         lib.conp2_close(h)
 

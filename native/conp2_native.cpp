@@ -28,6 +28,8 @@ struct Parsed {
   std::vector<double> q, x, v;        // x,v: 3N
   std::vector<double> mass;           // ntypes+1
   std::vector<double> pair_coeffs;    // (ntypes+1)*2
+  std::vector<double> pair_coeffs_ij; // (ntypes+1)^2*2 when PairIJ present
+  bool has_pair_ij = false;
   std::vector<double> bond_coeffs;    // (nbondtypes+1)*2
   std::vector<double> angle_coeffs;   // (nangletypes+1)*2
   std::vector<long> bonds;            // 3*nbonds [type,i,j] (0-based atom idx)
@@ -99,6 +101,16 @@ void *conp2_open_data(const char *path) {
       }
     }
     if (is_section(s, "Masses")) { section = "Masses"; continue; }
+    // "PairIJ" must be tested before "Pair " (is_section is prefix-based;
+    // an unmatched PairIJ header would leak its rows into the previous
+    // section and silently zero the LJ tables)
+    if (is_section(s, "PairIJ Coeffs")) {
+      section = "PairIJCoeffs";
+      p->has_pair_ij = true;
+      long nt1 = p->natomtypes + 1;
+      p->pair_coeffs_ij.assign(2 * nt1 * nt1, 0.0);
+      continue;
+    }
     if (is_section(s, "Pair Coeffs")) { section = "PairCoeffs"; continue; }
     if (is_section(s, "Bond Coeffs")) { section = "BondCoeffs"; continue; }
     if (is_section(s, "Angle Coeffs")) { section = "AngleCoeffs"; continue; }
@@ -118,6 +130,16 @@ void *conp2_open_data(const char *path) {
       long t; double e, sg;
       if (sscanf(s, "%ld %lf %lf", &t, &e, &sg) == 3 && t <= p->natomtypes) {
         p->pair_coeffs[2 * t] = e; p->pair_coeffs[2 * t + 1] = sg;
+      }
+    } else if (section == "PairIJCoeffs") {
+      long ti, tj; double e, sg;
+      if (sscanf(s, "%ld %ld %lf %lf", &ti, &tj, &e, &sg) == 4 &&
+          ti <= p->natomtypes && tj <= p->natomtypes) {
+        long nt1 = p->natomtypes + 1;
+        p->pair_coeffs_ij[2 * (ti * nt1 + tj)] = e;
+        p->pair_coeffs_ij[2 * (ti * nt1 + tj) + 1] = sg;
+        p->pair_coeffs_ij[2 * (tj * nt1 + ti)] = e;
+        p->pair_coeffs_ij[2 * (tj * nt1 + ti) + 1] = sg;
       }
     } else if (section == "BondCoeffs") {
       long t; double k, r0;
@@ -204,7 +226,16 @@ long conp2_get_long(void *h, const char *field) {
   if (f == "natomtypes") return p->natomtypes;
   if (f == "nbondtypes") return p->nbondtypes;
   if (f == "nangletypes") return p->nangletypes;
+  if (f == "has_pair_ij") return p->has_pair_ij ? 1 : 0;
   return -1;
+}
+
+// fills (ntypes+1)^2 * 2 doubles, row-major [i][j][eps, sigma]
+void conp2_fill_pair_ij(void *h, double *out) {
+  auto *p = static_cast<Parsed *>(h);
+  if (p->has_pair_ij)
+    memcpy(out, p->pair_coeffs_ij.data(),
+           p->pair_coeffs_ij.size() * sizeof(double));
 }
 
 void conp2_fill(void *h, double *boxlo, double *boxhi, long *tag, long *mol,
@@ -220,13 +251,15 @@ void conp2_fill(void *h, double *boxlo, double *boxhi, long *tag, long *mol,
   memcpy(q, p->q.data(), p->natoms * sizeof(double));
   memcpy(x, p->x.data(), 3 * p->natoms * sizeof(double));
   memcpy(v, p->v.data(), 3 * p->natoms * sizeof(double));
-  memcpy(mass, p->mass.data(), (p->natomtypes + 1) * sizeof(double));
-  memcpy(pair_coeffs, p->pair_coeffs.data(),
-         2 * (p->natomtypes + 1) * sizeof(double));
-  memcpy(bond_coeffs, p->bond_coeffs.data(),
-         2 * (p->nbondtypes + 1) * sizeof(double));
-  memcpy(angle_coeffs, p->angle_coeffs.data(),
-         2 * (p->nangletypes + 1) * sizeof(double));
+  // guarded: a file without "bond types"/"angle types" headers leaves these
+  // vectors empty while the caller still passes (ntypes+1)-sized buffers
+  auto cpy = [](double *dst, const std::vector<double> &src, size_t want) {
+    memcpy(dst, src.data(), std::min(src.size(), want) * sizeof(double));
+  };
+  cpy(mass, p->mass, p->natomtypes + 1);
+  cpy(pair_coeffs, p->pair_coeffs, 2 * (p->natomtypes + 1));
+  cpy(bond_coeffs, p->bond_coeffs, 2 * (p->nbondtypes + 1));
+  cpy(angle_coeffs, p->angle_coeffs, 2 * (p->nangletypes + 1));
   if (p->nbonds) memcpy(bonds, p->bonds.data(), 3 * p->nbonds * sizeof(long));
   if (p->nangles) memcpy(angles, p->angles.data(), 4 * p->nangles * sizeof(long));
 }

@@ -107,3 +107,37 @@ def test_zmirror_pairing_and_transform():
                                zm.zoffset - system.x0[src, 2])
     # the symmetric doubled cell is already mirror-symmetric: apply == no-op
     np.testing.assert_allclose(x2[dst, 2], system.x0[dst, 2], atol=1e-9)
+
+
+@pytest.mark.slow
+def test_pppm_slab_z_resolution_converged():
+    """Pin the documented z-grid deviation (ops/pppm.py docstring) as safe:
+    step-0 charges on dilute trial 0 must be converged in the slab z mesh —
+    doubling nz changes electrode charges by < 1e-6 e."""
+    import dataclasses
+    from lammps_user_conp2_tpu.ops import pppm as pppm_ops
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle
+
+    system, md, cfg = workloads.dilute(0)
+    cfgp = dataclasses.replace(cfg, kspace=KSpaceStyle.PPPM)
+    mdp = dataclasses.replace(md, kspace_style=KSpaceStyle.PPPM)
+    solver = setup_conp(system, mdp, cfgp)
+    g1 = solver.pppm_grid
+    u = system.units()
+    q2sum = float((system.q0 ** 2).sum()) * u.qqr2e
+    g_fine = pppm_ops.setup_pppm(
+        box=system.box, box_lo=tuple(system.box_lo),
+        accuracy_abs=mdp.kspace_accuracy * u.qqr2e, natoms=system.natoms,
+        q2=max(q2sum, 1e-10), cutoff=mdp.cutoff, slabflag=True,
+        slab_volfactor=mdp.slab,
+        g_ewald=g1.g_ewald,
+        grid=(g1.lammps_grid[0], g1.lammps_grid[1], 2 * g1.lammps_grid[2]))
+    assert g_fine.nz >= 2 * g1.lammps_grid[2]
+    solver_fine = dataclasses.replace(solver, pppm_grid=g_fine)
+
+    x = jnp.asarray(system.x0)
+    q = jnp.asarray(system.q0)
+    q1, _, _ = solver.solve_full(x, q, 0)
+    q2_, _, _ = solver_fine.solve_full(x, q, 0)
+    dq = np.abs(np.asarray(q1) - np.asarray(q2_)).max()
+    assert dq < 1e-6, f"slab z-mesh not converged: max charge shift {dq:.2e} e"

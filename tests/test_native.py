@@ -53,3 +53,47 @@ def test_native_dump_roundtrip(tmp_path):
         np.stack([frames[0][2]["xu"], frames[0][2]["yu"], frames[0][2]["zu"]],
                  axis=1), x, rtol=1e-7)
     np.testing.assert_allclose(frames[0][2]["q"], q, rtol=1e-7)
+
+
+_PAIRIJ_DATA = """test PairIJ
+4 atoms
+2 atom types
+0.0 10.0 xlo xhi
+0.0 10.0 ylo yhi
+0.0 10.0 zlo zhi
+
+Masses
+
+1 1.0
+2 2.0
+
+PairIJ Coeffs
+
+1 1 0.1 3.0
+1 2 0.2 3.5
+2 2 0.3 4.0
+
+Atoms
+
+1 1 1 0.5 1.0 1.0 1.0
+2 1 1 -0.5 2.0 2.0 2.0
+3 2 2 0.5 3.0 3.0 3.0
+4 2 2 -0.5 4.0 4.0 4.0
+"""
+
+
+@pytest.mark.skipif(native.get_lib() is None, reason="native lib unavailable")
+def test_native_pair_ij_coeffs(tmp_path):
+    """PairIJ Coeffs must parse natively (a data file using it would
+    otherwise silently get all-zero LJ tables; round-1 advisor finding).
+    Also covers bond/angle-type-free files (guarded fills)."""
+    from lammps_user_conp2_tpu.utils import data_io
+    path = str(tmp_path / "pij.data")
+    with open(path, "w") as f:
+        f.write(_PAIRIJ_DATA)
+    d_nat = data_io.parse_data_file(path)
+    d_py = data_io.parse_data_file(path, use_native=False)
+    assert d_nat.pair_coeffs_ij is not None
+    np.testing.assert_allclose(d_nat.pair_coeffs_ij, d_py.pair_coeffs_ij)
+    np.testing.assert_allclose(d_nat.pair_coeffs_ij[1, 2], [0.2, 3.5])
+    np.testing.assert_allclose(d_nat.pair_coeffs_ij[2, 1], [0.2, 3.5])

@@ -19,6 +19,20 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: bench compiles (~20-40 s each) are
+    identical run-to-run, so repeat bench invocations skip them entirely."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
 def _build(workload, n):
     import jax.numpy as jnp
     from lammps_user_conp2_tpu import workloads
@@ -31,11 +45,16 @@ def _build(workload, n):
     return eng
 
 
-def bench_steps_per_sec(eng, nsteps=100, repeats=4):
+def bench_steps_per_sec(eng, nsteps=1000, repeats=4):
     """Chained fori_loop (state feeds back) — repeated identical calls are
     memoized by the axon relay and read ~0 ms (CLAUDE.md).  Best-of-N keeps
     the measurement robust to tunnel stall episodes (a stall only ever slows
-    a trial, so max(steps/s) discards it)."""
+    a trial, so max(steps/s) discards it).
+
+    nsteps must be large: the axon tunnel adds ~35 ms of fixed overhead per
+    device call (measured: a trivial 1000-iter chain costs the same ~35 ms
+    as a 10-iter one), so short chains inflate per-step time by 35/nsteps ms.
+    At nsteps=1000 the bias is <2% of a 2 ms step."""
     import jax
 
     state = eng.init_state()
@@ -52,10 +71,11 @@ def bench_steps_per_sec(eng, nsteps=100, repeats=4):
     return best
 
 
-def bench_charge_solve_ms(eng, iters=50, repeats=3):
+def bench_charge_solve_ms(eng, iters=1000, repeats=3):
     """CHAINED charge solves (q feeds back — identical-input repeats are
     memoized somewhere in the relay and would read ~0 ms); min over repeats
-    discards stall-inflated trials."""
+    discards stall-inflated trials.  iters large to amortize the ~35 ms
+    fixed per-call tunnel overhead (see bench_steps_per_sec)."""
     import jax
 
     state = eng.init_state()
@@ -77,12 +97,13 @@ def bench_charge_solve_ms(eng, iters=50, repeats=3):
 
 def main():
     t_start = time.time()
+    _enable_compile_cache()
     result = {"metric": "dilute_steps_per_sec", "value": 0.0,
               "unit": "steps/s", "vs_baseline": 0.0}
 
     try:
         eng = _build("dilute", 0)
-        dilute_sps = bench_steps_per_sec(eng, nsteps=100)
+        dilute_sps = bench_steps_per_sec(eng, nsteps=4000)
         result["value"] = round(dilute_sps, 3)
         result["vs_baseline"] = round(dilute_sps / 7.171, 2)
     except Exception as e:  # noqa: BLE001 — always emit the JSON line
@@ -92,9 +113,9 @@ def main():
         try:
             eng2 = _build("il_twolayer", 0)
             result["il_twolayer_steps_per_sec"] = round(
-                bench_steps_per_sec(eng2, nsteps=50, repeats=4), 3)
+                bench_steps_per_sec(eng2, nsteps=1000, repeats=4), 3)
             result["il_twolayer_charge_solve_ms"] = round(
-                bench_charge_solve_ms(eng2, iters=50), 3)
+                bench_charge_solve_ms(eng2, iters=1000), 3)
         except Exception as e:  # noqa: BLE001 — report partial results
             result["il_twolayer_error"] = repr(e)[:200]
 

@@ -6,25 +6,34 @@ HBM (~2.4 ms on il_twolayer).  This kernel tiles the pair matrix into
 LJ via one-hot MXU matmuls, erfc Coulomb, force reduction — entirely
 on-chip; only (N,3) forces and per-row energies ever leave VMEM.
 
+Newton's third law halves the sweep (the reference's "compute half, mirror"
+checkerboard, fix_conp.cpp:826-831 / km_ewald.cpp:604, re-expressed for
+tiles): with an ODD number NI of square tiles per side, the round-robin
+pairing (i, (i+jp) mod NI) for jp = 0..(NI-1)/2 visits every unordered tile
+pair exactly once.  Each off-diagonal tile emits BOTH its row forces
+(accumulated in the standard output) and its column forces (-sum over rows,
+written to a per-(jp, col-block) side buffer reduced outside the kernel).
+The diagonal tile (jp=0) contains both orderings of its pairs already, so
+its column output is zero and its energies carry a 0.5 factor.
+
 Special-bond exclusions are handled OUTSIDE the kernel: the kernel computes
 the uniform si=1 sweep, and the (few thousand) excluded pairs get a flat
 correction pass (exact algebraic difference).  This keeps the kernel free of
 per-pair gathers.
 
 The kernel assumes row/col padding to the tile sizes with q=0, x placed at
-a far-away sentinel (> cutoff from everything) for pad atoms.
+a far-away sentinel (> cutoff from everything) for pad atoms.  Pad-pad
+pairs sit at zero distance and generate inf/nan — only into pad rows/cols,
+which are sliced away before any reduction.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from ..erfc import EWALD_F
 
@@ -34,10 +43,10 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
 
 
 def _kernel(xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
-            f_ref, ev_ref, ec_ref, *, box, periodic, cutsq, g_ewald, qqr2e,
-            tr, tc):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
+            f_ref, fcols_ref, ev_ref, ec_ref, *, box, periodic, cutsq,
+            g_ewald, qqr2e, tr, tc, ni):
+    i = pl.program_id(0)
+    jp = pl.program_id(1)
 
     xr = xr_ref[:]                      # (TR, 3)
     xc = xc_ref[:]                      # (TC, 3)
@@ -55,8 +64,9 @@ def _kernel(xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
         d.append(da)
         rsq = rsq + da * da
 
-    i0 = pl.program_id(0) * tr
-    j0 = j * tc
+    jc = (i + jp) % ni
+    i0 = i * tr
+    j0 = jc * tc
     rows = i0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
     cols = j0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
     inrange = (rsq < cutsq) & (rows != cols)
@@ -98,26 +108,45 @@ def _kernel(xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
     fz = jnp.sum(fpair * d[2], axis=1)
     fblk = jnp.stack([fx, fy, fz], axis=1)           # (TR, 3)
 
-    @pl.when(j == 0)
+    # Newton mirror: force on the column atoms = -sum over rows.
+    # Zero on the diagonal tile (it already holds both pair orderings).
+    diag = (jp == 0)
+    csc = jnp.where(diag, 0.0, 1.0).astype(xr.dtype)
+    gx = jnp.sum(fpair * d[0], axis=0)
+    gy = jnp.sum(fpair * d[1], axis=0)
+    gz = jnp.sum(fpair * d[2], axis=0)
+    fcols_ref[0, :, :] = -csc * jnp.stack([gx, gy, gz], axis=1)   # (TC, 3)
+
+    # energies live on the row side; the diagonal tile double-counts its
+    # unordered pairs, off-diagonal round-robin tiles count each pair once
+    esc = jnp.where(diag, 0.5, 1.0).astype(xr.dtype)
+
+    @pl.when(diag)
     def _():
         f_ref[:] = jnp.zeros_like(f_ref)
         ev_ref[:] = jnp.zeros_like(ev_ref)
         ec_ref[:] = jnp.zeros_like(ec_ref)
 
     f_ref[:] = f_ref[:] + fblk
-    ev_ref[:] = ev_ref[:] + jnp.sum(elj, axis=1, keepdims=True)
-    ec_ref[:] = ec_ref[:] + jnp.sum(ecoul, axis=1, keepdims=True)
+    ev_ref[:] = ev_ref[:] + esc * jnp.sum(elj, axis=1, keepdims=True)
+    ec_ref[:] = ec_ref[:] + esc * jnp.sum(ecoul, axis=1, keepdims=True)
 
 
 def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
                        cutoff, g_ewald, qqr2e, tr=256, tc=256,
                        interpret=False):
     """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values)."""
+    assert tr == tc, "Newton round-robin tiling requires square tiles"
     n = x.shape[0]
     dtype = x.dtype
     nt1 = tables.lj1.shape[0]
-    npad = (-n) % max(tr, tc)
-    npr = n + npad
+    npr = n + (-n) % tr
+    ni = npr // tr
+    if ni % 2 == 0:
+        # round-robin pairing needs an odd tile count; add one pad tile
+        npr += tr
+        ni += 1
+    npad = npr - n
     # sentinel far outside every cutoff so pad pairs are out of range
     sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
     xp = jnp.concatenate([x, jnp.tile(sentinel, (npad, 1))], axis=0)
@@ -129,38 +158,42 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
                           tables.lj3[tp], tables.lj4[tp]], axis=1).astype(dtype)
     ohc = (tp[:, None] == jnp.arange(nt1)[None, :]).astype(dtype)
 
-    grid = (npr // tr, npr // tc)
+    njp = (ni + 1) // 2
+    grid = (ni, njp)
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald), qqr2e=float(qqr2e),
-        tr=tr, tc=tc)
-    f, ev_rows, ec_rows = pl.pallas_call(
+        tr=tr, tc=tc, ni=ni)
+    cmap = lambda i, j: ((i + j) % ni, 0)
+    f, fcols, ev_rows, ec_rows = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, 4 * nt1), lambda i, j: (i, 0)),
-            pl.BlockSpec((tc, 3), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, nt1), lambda i, j: (j, 0)),
+            pl.BlockSpec((tc, 3), cmap),
+            pl.BlockSpec((tc, 1), cmap),
+            pl.BlockSpec((tc, nt1), cmap),
         ],
         out_specs=[
             pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tc, 3), lambda i, j: (j, (i + j) % ni, 0)),
             pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((npr, 3), dtype),
+            jax.ShapeDtypeStruct((njp, npr, 3), dtype),
             jax.ShapeDtypeStruct((npr, 1), dtype),
             jax.ShapeDtypeStruct((npr, 1), dtype),
         ],
         interpret=interpret,
     )(xp, qp[:, None], cr, xp, qp[:, None], ohc)
 
-    f = f[:n]
-    ev = 0.5 * jnp.sum(ev_rows[:n])
-    ec = 0.5 * jnp.sum(ec_rows[:n])
+    f = (f + jnp.sum(fcols, axis=0))[:n]
+    ev = jnp.sum(ev_rows[:n])
+    ec = jnp.sum(ec_rows[:n])
 
     # exclusion corrections: exact algebraic difference between si=s and si=1
     exi, exv = exclusions

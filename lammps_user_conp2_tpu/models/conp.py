@@ -387,11 +387,13 @@ def _setup_conp_f64(
     real_block = jnp.zeros((1, 1), solve_dtype)
     diag_extra = jnp.zeros((1,), solve_dtype)
     from ..ops.ewald_factored import factorize
-    fksp = factorize(ksp) if cfg.kspace is not KSpaceStyle.PPPM else None
+    # the factored tables also back the CG_MATFREE electrode operator in PPPM
+    # mode: exact-Ewald A + mesh b is the reference's own architecture
+    # (pppm_conp.cpp:91-101 builds a KSpaceModuleEwald just for a_cal)
+    fksp = (factorize(ksp)
+            if (cfg.kspace is not KSpaceStyle.PPPM or matfree) else None)
     if matfree:
         # production-scale path: never assemble the k-space block
-        if fksp is None:
-            raise ValueError("CG_MATFREE requires the Ewald kspace style")
         real_block = _realspace_block(
             xe, type_e, kernels, g=g_ewald, box=box,
             periodic=system.periodic, cut_coulsq=cut_coulsq,

@@ -115,10 +115,10 @@ def _frac_ku(coord, inv_l, k_int):
     return ph - jnp.round(ph)
 
 
-def axis_tables_kv(x, kxy, kz, unitk):
-    """Array-level phase tables — kxy may be a device-local shard."""
+def _xy_tables(x, kxy, unitk):
+    """(Pr, Pi) (N, nxy) phase tables for the xy axis only."""
     dtype = x.dtype
-    ux, uy, uz = unitk
+    ux, uy, _ = unitk
     two_pi = 2.0 * math.pi
     kxi = jnp.asarray(kxy[:, 0], dtype)
     kyi = jnp.asarray(kxy[:, 1], dtype)
@@ -127,11 +127,36 @@ def axis_tables_kv(x, kxy, kz, unitk):
     fy = _frac_ku(x[:, 1], uy / two_pi, kyi)
     fxy = fx + fy
     phase_xy = two_pi * (fxy - jnp.round(fxy))
-    pr, pi = jnp.cos(phase_xy), jnp.sin(phase_xy)
-    fz = _frac_ku(x[:, 2], uz / two_pi, jnp.asarray(kz, dtype))
+    return jnp.cos(phase_xy), jnp.sin(phase_xy)
+
+
+def _z_tables(x, kz, unitk):
+    """(Zr, Zi) (N, nz) phase tables for the z axis only."""
+    dtype = x.dtype
+    two_pi = 2.0 * math.pi
+    fz = _frac_ku(x[:, 2], unitk[2] / two_pi, jnp.asarray(kz, dtype))
     phase_z = two_pi * fz
-    zr, zi = jnp.cos(phase_z), jnp.sin(phase_z)
-    return (pr, pi), (zr, zi)
+    return jnp.cos(phase_z), jnp.sin(phase_z)
+
+
+def axis_tables_kv(x, kxy, kz, unitk):
+    """Array-level phase tables — kxy may be a device-local shard."""
+    return _xy_tables(x, kxy, unitk), _z_tables(x, kz, unitk)
+
+
+# Above this kxy count the (N, nxy) tables are scanned in chunks instead of
+# materialized (at 100k atoms x 5000+ kxy vectors they are GBs of HBM and the
+# sums become memory-bound; S itself is only (nxy, nz) — always small)
+KXY_CHUNK = 1024
+
+
+def _pad_kxy(kxy, chunk):
+    nxy = len(kxy)
+    npad = (-nxy) % chunk
+    if npad:
+        kxy = np.concatenate([np.asarray(kxy),
+                              np.zeros((npad, 2), np.asarray(kxy).dtype)])
+    return kxy, nxy
 
 
 def axis_tables(fk: FactoredKSpace, x):
@@ -148,12 +173,36 @@ def structure_factor_fkv(x, q, kxy, kz, unitk):
     # HIGHEST matmul precision: TPU default is bf16 passes, which injects
     # ~1e-3 relative error into the charge solve
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    if len(kxy) > KXY_CHUNK:
+        return _structure_factor_chunked(x, q, kxy, kz, unitk)
     (pr, pi), (zr, zi) = axis_tables_kv(x, kxy, kz, unitk)
     qzr = q[:, None] * zr
     qzi = q[:, None] * zi
     sr = mm(pr.T, qzr) - mm(pi.T, qzi)
     si = mm(pr.T, qzi) + mm(pi.T, qzr)
     return sr, si
+
+
+def _structure_factor_chunked(x, q, kxy, kz, unitk, chunk=KXY_CHUNK):
+    """S(kxy, kz) via a lax.scan over kxy chunks: peak memory O(N*chunk)
+    instead of O(N*nxy) — required above ~10^4 atoms where the full xy
+    tables are GBs."""
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    kxy_p, nxy = _pad_kxy(kxy, chunk)
+    blocks = jnp.asarray(np.asarray(kxy_p).reshape(-1, chunk, 2))
+    zr, zi = _z_tables(x, kz, unitk)
+    qzr = q[:, None] * zr
+    qzi = q[:, None] * zi
+
+    def body(_, kxy_c):
+        pr, pi = _xy_tables(x, kxy_c, unitk)
+        sr = mm(pr.T, qzr) - mm(pi.T, qzi)
+        si = mm(pr.T, qzi) + mm(pi.T, qzr)
+        return None, (sr, si)
+
+    _, (sr, si) = jax.lax.scan(body, None, blocks)
+    nz = zr.shape[1]
+    return sr.reshape(-1, nz)[:nxy], si.reshape(-1, nz)[:nxy]
 
 
 def potential_on_points_f(fk: FactoredKSpace, xe, sr, si):
@@ -181,8 +230,9 @@ def energy_forces_f(fk: FactoredKSpace, x, q):
 
 def energy_forces_fkv(x, q, kxy, kz, unitk, ug):
     dtype = x.dtype
-    # HIGH (bf16x3 on TPU) keeps force error ~1e-6 relative at 3x DEFAULT cost
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    if len(kxy) > KXY_CHUNK:
+        return _energy_forces_chunked(x, q, kxy, kz, unitk, ug)
     (pr, pi), (zr, zi) = axis_tables_kv(x, kxy, kz, unitk)
     ug = jnp.asarray(ug, dtype)
     qzr = q[:, None] * zr
@@ -209,6 +259,66 @@ def energy_forces_fkv(x, q, kxy, kz, unitk, ug):
     fx = mm(im_pg, kxv)
     fy = mm(im_pg, kyv)
     fz = jnp.sum(im_pgz, axis=1)
+    f = 2.0 * q[:, None] * jnp.stack([fx, fy, fz], axis=1)
+    return e, f
+
+
+def _energy_forces_chunked(x, q, kxy, kz, unitk, ug, chunk=KXY_CHUNK):
+    """energy_forces_fkv with the kxy axis scanned in chunks.
+
+    Two passes over the chunks (forces need the COMPLETE structure factor),
+    each O(N*chunk) memory; S and ug are (nxy, nz) — always small.  The
+    z tables (N, nz) are built once and reused by both passes."""
+    dtype = x.dtype
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    kxy_p, nxy = _pad_kxy(kxy, chunk)
+    nc = len(kxy_p) // chunk
+    blocks = jnp.asarray(np.asarray(kxy_p).reshape(nc, chunk, 2))
+    ug_p = np.zeros((len(kxy_p), np.asarray(ug).shape[1]))
+    ug_p[:nxy] = np.asarray(ug)                  # pad rows: ug=0, no effect
+    ug_b = jnp.asarray(ug_p.reshape(nc, chunk, -1), dtype)
+
+    zr, zi = _z_tables(x, kz, unitk)
+    qzr = q[:, None] * zr
+    qzi = q[:, None] * zi
+
+    # pass 1: structure factors per chunk (kept — they are small)
+    def sf_body(_, kxy_c):
+        pr, pi = _xy_tables(x, kxy_c, unitk)
+        sr = mm(pr.T, qzr) - mm(pi.T, qzi)
+        si = mm(pr.T, qzi) + mm(pi.T, qzr)
+        return None, (sr, si)
+
+    _, (sr_b, si_b) = jax.lax.scan(sf_body, None, blocks)   # (nc, chunk, nz)
+    e = jnp.sum(ug_b * (sr_b * sr_b + si_b * si_b))
+
+    ux, uy, uz = unitk
+    kzv = jnp.asarray(kz, dtype) * uz
+
+    # pass 2: force accumulation per chunk
+    def f_body(carry, inp):
+        fx, fy, fz = carry
+        kxy_c, ug_c, sr, si = inp
+        pr, pi = _xy_tables(x, kxy_c, unitk)
+        wr = ug_c * sr
+        wi = -ug_c * si
+        gr = mm(zr, wr.T) - mm(zi, wi.T)         # (N, chunk)
+        gi = mm(zr, wi.T) + mm(zi, wr.T)
+        gzr = mm(zr, (wr * kzv).T) - mm(zi, (wi * kzv).T)
+        gzi = mm(zr, (wi * kzv).T) + mm(zi, (wr * kzv).T)
+        im_pg = pr * gi + pi * gr
+        im_pgz = pr * gzi + pi * gzr
+        kxv = kxy_c[:, 0].astype(dtype) * ux
+        kyv = kxy_c[:, 1].astype(dtype) * uy
+        fx = fx + mm(im_pg, kxv)
+        fy = fy + mm(im_pg, kyv)
+        fz = fz + jnp.sum(im_pgz, axis=1)
+        return (fx, fy, fz), None
+
+    n = x.shape[0]
+    zero = jnp.zeros((n,), dtype)
+    (fx, fy, fz), _ = jax.lax.scan(
+        f_body, (zero, zero, zero), (blocks, ug_b, sr_b, si_b))
     f = 2.0 * q[:, None] * jnp.stack([fx, fy, fz], axis=1)
     return e, f
 

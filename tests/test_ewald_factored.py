@@ -63,3 +63,21 @@ def test_factored_amatrix_matches_direct():
     m = ~np.eye(6, dtype=bool)
     np.testing.assert_allclose(np.asarray(a2)[m], np.asarray(a1)[m],
                                atol=1e-11, rtol=1e-9)
+
+
+def test_chunked_paths_match_unchunked():
+    """The kxy-chunked scan (engaged above KXY_CHUNK vectors; exercised here
+    with a tiny forced chunk) is a pure reassociation of the same sums."""
+    x, q, ksp, fk = _setup(slab=True)
+    sr1, si1 = ewf.structure_factor_f(fk, x, q)
+    sr2, si2 = ewf._structure_factor_chunked(x, q, fk.kxy, fk.kz, fk.unitk,
+                                             chunk=7)
+    np.testing.assert_allclose(np.asarray(sr2), np.asarray(sr1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(si2), np.asarray(si1), atol=1e-12)
+
+    e1, f1 = ewf.energy_forces_f(fk, x, q)
+    e2, f2 = ewf._energy_forces_chunked(x, q, fk.kxy, fk.kz, fk.unitk, fk.ug,
+                                        chunk=7)
+    np.testing.assert_allclose(float(e2), float(e1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               atol=1e-12, rtol=1e-10)

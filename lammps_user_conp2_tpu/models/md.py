@@ -212,25 +212,42 @@ class Engine:
 
     # -------------------------------------------------------------- setup
     def init_state(self, x0=None, v0=None, q0=None) -> MDState:
-        """setup: zero electrode velocities, initial charge solve, first forces."""
+        """setup: zero electrode velocities, initial charge solve, first forces.
+
+        Runs as ONE jitted program: besides being faster, executing the setup
+        as ~100 eager dispatches at large N leaves the axon tunnel backend in
+        a state where the subsequent (large) step-program compile fails with
+        a bare UNIMPLEMENTED — observed at the 100k-atom PPPM configuration,
+        where the identical step program compiles fine on a clean device."""
         dt = self.dtype
         x = jnp.asarray(self.system.x0 if x0 is None else x0, dt)
         v = jnp.asarray(self.system.v0 if v0 is None else v0, dt)
         q = jnp.asarray(self.system.q0 if q0 is None else q0, dt)
-        # `velocity ele set 0` + frozen non-integrated atoms: zero everything
-        # the integrator won't move (conp electrodes AND non-conp layers)
-        v = jnp.where(self.integrator.mobile_mask[:, None], v, 0.0)
-        scalar = jnp.zeros((), dt)
-        rho_elyte = None
-        if self.conp is not None:
-            q, scalar, rho_elyte = self.conp.solve_full(x, q, jnp.zeros((), jnp.int32))
-        f, pe = self.compute_forces(x, q, scalar, rho_elyte)
-        nt = max(len(self.integrator.thermostats), 1)
-        tch = self.integrator.thermostats[0].tchain if self.integrator.thermostats else 3
-        return MDState(
-            x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),
-            nhc_xi=jnp.zeros((nt, tch), dt), nhc_vxi=jnp.zeros((nt, tch), dt),
-            scalar_out=scalar, energy=pe)
+        go = self._run_cache.get("_init")
+        if go is None:
+            nt = max(len(self.integrator.thermostats), 1)
+            tch = (self.integrator.thermostats[0].tchain
+                   if self.integrator.thermostats else 3)
+
+            @jax.jit
+            def go(x, v, q):
+                # `velocity ele set 0` + frozen non-integrated atoms: zero
+                # everything the integrator won't move
+                v = jnp.where(self.integrator.mobile_mask[:, None], v, 0.0)
+                scalar = jnp.zeros((), dt)
+                rho_elyte = None
+                if self.conp is not None:
+                    q, scalar, rho_elyte = self.conp.solve_full(
+                        x, q, jnp.zeros((), jnp.int32))
+                f, pe = self.compute_forces(x, q, scalar, rho_elyte)
+                return MDState(
+                    x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),
+                    nhc_xi=jnp.zeros((nt, tch), dt),
+                    nhc_vxi=jnp.zeros((nt, tch), dt),
+                    scalar_out=scalar, energy=pe)
+
+            self._run_cache["_init"] = go
+        return go(x, v, q)
 
     # ---------------------------------------------------------------- run
     def thermo(self, state: MDState):

@@ -261,15 +261,15 @@ def setup_pppm(*, box, box_lo, accuracy_abs, natoms, q2, cutoff, order=5,
 # device-side compute
 # ---------------------------------------------------------------------------
 
-def _stencil(grid: PPPMGrid, x):
-    """Per-atom stencil indices and weights.
+def _stencil_full(grid: PPPMGrid, x):
+    """Per-atom stencil indices, weights, and center-node indices.
 
-    Returns (ix, iy, iz) each (N, p) int32 wrapped indices and (wx, wy, wz)
-    each (N, p) weights; the (p,p,p) outer product is formed lazily."""
+    Returns (ix, iy, iz) each (N, p) int32 wrapped indices, (wx, wy, wz)
+    each (N, p) weights, and (cx, cy, cz) each (N,) wrapped center nodes;
+    the (p,p,p) outer product is formed lazily."""
     p = grid.order
-    shift = p // 2 if p % 2 == 0 else (p - 1) // 2
     dtype = x.dtype
-    out_idx, out_w = [], []
+    out_idx, out_w, out_c = [], [], []
     for ax, (n, L, lo) in enumerate((
             (grid.nx, grid.box[0], grid.box_lo[0]),
             (grid.ny, grid.box[1], grid.box_lo[1]),
@@ -292,13 +292,205 @@ def _stencil(grid: PPPMGrid, x):
             w = w * dx[:, None] + cf[:, l][None, :]
         out_idx.append(idx)
         out_w.append(w)
-    return out_idx, out_w
+        out_c.append(jnp.mod(m, n))
+    return out_idx, out_w, out_c
 
 
-# mesh-size bound below which the separable MXU formulation beats scatter;
-# above it the sparse scatter path is used (a Pallas kernel is the next step
-# for very large meshes)
+def _stencil(grid: PPPMGrid, x):
+    idx, w, _ = _stencil_full(grid, x)
+    return idx, w
+
+
+# mesh-size bound below which the one-shot separable MXU formulation is used;
+# above it the TILED separable path runs (xy mesh tiles, per-tile MXU
+# matmuls, static overlap-add — no HBM scatter anywhere)
 DENSE_XY_LIMIT = 8192
+
+
+def _pick_tile(n: int, lo: int = 8, hi: int = 40, target: int = 16) -> int:
+    """Largest-utility divisor of n in [lo, hi] (mesh sizes factor into
+    2/3/5, so one always exists for n >= 64); falls back to n itself."""
+    best = None
+    for t in range(lo, min(hi, n) + 1):
+        if n % t == 0 and (best is None or abs(t - target) < abs(best - target)):
+            best = t
+    return best if best is not None else n
+
+
+def _tile_geometry(grid: PPPMGrid, natoms: int):
+    p = grid.order
+    hw = (p - 1) // 2 if p % 2 == 1 else p // 2
+    tlx = _pick_tile(grid.nx)
+    tly = _pick_tile(grid.ny)
+    ntx, nty = grid.nx // tlx, grid.ny // tly
+    t_tiles = ntx * nty
+    cap = int(math.ceil(natoms / t_tiles * 1.8)) + 32
+    return p, hw, tlx, tly, ntx, nty, t_tiles, cap
+
+
+def _tile_slots(grid: PPPMGrid, x, q):
+    """Bin atoms by xy mesh tile and pre-sort everything into (T, cap, .)
+    slot arrays with ONE scatter per array — the tile scan then reads
+    contiguous slices, no per-tile gathers.
+
+    Returns (geom, slotted, table, overflow) where slotted =
+    (qs, lxs, lys, izs, wxs, wys, wzs), each (T, cap, ...); empty slots have
+    all-zero weights and q=0 so they contribute nothing."""
+    n = x.shape[0]
+    dtype = x.dtype
+    geom = _tile_geometry(grid, n)
+    p, hw, tlx, tly, ntx, nty, t_tiles, cap = geom
+    (ix, iy, iz), (wx, wy, wz), (cx, cy, cz) = _stencil_full(grid, x)
+    tid = (cx // tlx) * nty + (cy // tly)
+    order = jnp.argsort(tid)
+    ts = tid[order]
+    first = jnp.searchsorted(ts, ts, side="left")
+    rank = jnp.arange(n) - first
+    overflow = jnp.max(rank) >= cap
+    slot = ts * cap + jnp.minimum(rank, cap - 1)
+    table = jnp.full((t_tiles * cap,), n, jnp.int32).at[slot].set(
+        order.astype(jnp.int32))
+
+    # ONE packed scatter for all per-atom data (lx/ly/iz are small ints —
+    # exactly representable in f32); seven separate scatters cost ~25 ms at
+    # 100k atoms, one costs ~4 ms
+    packed = jnp.concatenate([
+        q[:, None].astype(dtype),
+        (cx % tlx)[:, None].astype(dtype),   # local coords: tile-independent
+        (cy % tly)[:, None].astype(dtype),
+        iz.astype(dtype), wx.astype(dtype), wy.astype(dtype),
+        wz.astype(dtype)], axis=1)
+    ps = jnp.zeros((t_tiles * cap, 3 + 4 * p), dtype).at[slot].set(
+        packed[order]).reshape(t_tiles, cap, 3 + 4 * p)
+    qs = ps[:, :, 0]
+    lxs = ps[:, :, 1].astype(jnp.int32)
+    lys = ps[:, :, 2].astype(jnp.int32)
+    izs = ps[:, :, 3:3 + p].astype(jnp.int32)
+    wxs = ps[:, :, 3 + p:3 + 2 * p]
+    wys = ps[:, :, 3 + 2 * p:3 + 3 * p]
+    wzs = ps[:, :, 3 + 3 * p:3 + 4 * p]
+    return geom, (qs, lxs, lys, izs, wxs, wys, wzs), \
+        table.reshape(t_tiles, cap), overflow
+
+
+def _local_weight_mats(lxs, lys, izs, wxs, wys, wzs, *, ex, ey, nz, p, dtype):
+    """(cap, ex*ey) xy and (cap, nz) z weight matrices from slotted data,
+    built with comparisons only (no scatter)."""
+    cap = lxs.shape[0]
+    iox = jnp.arange(ex, dtype=jnp.int32)[None, :]
+    ioy = jnp.arange(ey, dtype=jnp.int32)[None, :]
+    ioz = jnp.arange(nz, dtype=jnp.int32)[None, :]
+    wxl = jnp.zeros((cap, ex), dtype)
+    wyl = jnp.zeros((cap, ey), dtype)
+    wzd = jnp.zeros((cap, nz), dtype)
+    for a in range(p):
+        wxl = wxl + wxs[:, a][:, None] * (iox == (lxs + a)[:, None])
+        wyl = wyl + wys[:, a][:, None] * (ioy == (lys + a)[:, None])
+        wzd = wzd + wzs[:, a][:, None] * (ioz == izs[:, a][:, None])
+    wxy = (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey)
+    return wxy, wzd
+
+
+def _overlap_add(patches, *, ntx, nty, tlx, tly, hw, nz):
+    """(T, ex*ey, nz) per-tile patches -> (nx, ny, nz) with periodic
+    overlap-add: the hw-wide patch borders roll into neighbor tiles."""
+    ex, ey = tlx + 2 * hw, tly + 2 * hw
+    pt = patches.reshape(ntx, nty, ex, ey, nz)
+    out = jnp.zeros((ntx, nty, tlx, tly, nz), patches.dtype)
+    # p-coordinate ranges landing in tile (t+dx): dx=0 -> [hw, hw+til);
+    # dx=+1 -> [hw+til, ex) lands at rows [0, hw); dx=-1 -> [0, hw) lands at
+    # rows [til-hw, til).
+    def xr(d, til):
+        if d == 0:
+            return slice(hw, hw + til), (0, 0)
+        if d == 1:
+            return slice(hw + til, til + 2 * hw), (0, til - hw)
+        return slice(0, hw), (til - hw, 0)
+
+    for dx in (-1, 0, 1):
+        sx, (padlx, padrx) = xr(dx, tlx)
+        for dy in (-1, 0, 1):
+            sy, (padly, padry) = xr(dy, tly)
+            part = pt[:, :, sx, sy, :]
+            part = jnp.pad(part, ((0, 0), (0, 0), (padlx, padrx),
+                                  (padly, padry), (0, 0)))
+            # receiving tile index = source tile + d  ->  out[t] += part[t-d]
+            part = jnp.roll(part, (dx, dy), axis=(0, 1))
+            out = out + part
+    return out.transpose(0, 2, 1, 3, 4).reshape(ntx * tlx, nty * tly, nz)
+
+
+def spread_tiled(grid: PPPMGrid, x, q):
+    """Scatter-free spread for large xy meshes: bin atoms into xy mesh
+    tiles (pre-sorted slot arrays, one scatter each), per-tile MXU matmul
+    (ex*ey, cap) x (cap, nz) builds the local patch, patches overlap-add
+    with static rolls.  O(T * ex*ey * cap * nz) MXU flops, no per-pair HBM
+    scatter.  Tile-capacity overflow poisons the mesh with NaN (fail loud,
+    like ops/cells.py)."""
+    dtype = x.dtype
+    geom, (qs, lxs, lys, izs, wxs, wys, wzs), _, overflow = \
+        _tile_slots(grid, x, q)
+    p, hw, tlx, tly, ntx, nty, t_tiles, cap = geom
+    ex, ey = tlx + 2 * hw, tly + 2 * hw
+    nz = grid.nz
+
+    def one(ql, lxl, lyl, izl, wxl, wyl, wzl):
+        wxy, wzd = _local_weight_mats(lxl, lyl, izl, wxl, wyl, wzl,
+                                      ex=ex, ey=ey, nz=nz, p=p, dtype=dtype)
+        return jnp.matmul(wxy.T, ql[:, None] * wzd,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # scan over x-tile rows, vmap across y-tiles: nty-fold fewer scan steps
+    xs = tuple(a.reshape((ntx, nty) + a.shape[1:])
+               for a in (qs, lxs, lys, izs, wxs, wys, wzs))
+    _, patches = jax.lax.scan(
+        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+    rho = _overlap_add(patches.reshape(ntx * nty, ex * ey, nz),
+                       ntx=ntx, nty=nty, tlx=tlx, tly=tly, hw=hw, nz=nz)
+    return jnp.where(overflow, jnp.nan, rho)
+
+
+def gather_tiled(grid: PPPMGrid, bricks, x):
+    """Scatter-free stencil readout of one or more mesh fields: per tile,
+    slice the (ex, ey, nz) patch from the wrap-padded brick and contract
+    with the local weights.  Returns a list of (N,) values."""
+    n = x.shape[0]
+    dtype = x.dtype
+    geom, (qs, lxs, lys, izs, wxs, wys, wzs), table, overflow = \
+        _tile_slots(grid, x, jnp.zeros((n,), dtype))
+    p, hw, tlx, tly, ntx, nty, t_tiles, cap = geom
+    ex, ey = tlx + 2 * hw, tly + 2 * hw
+    nz = grid.nz
+    bp = [jnp.pad(b, ((hw, hw), (hw, hw), (0, 0)), mode="wrap")
+          for b in bricks]
+
+    def one(t, lxl, lyl, izl, wxl, wyl, wzl):
+        txi, tyi = t // nty, t % nty
+        wxy, wzd = _local_weight_mats(lxl, lyl, izl, wxl, wyl, wzl,
+                                      ex=ex, ey=ey, nz=nz, p=p, dtype=dtype)
+        outs = []
+        for b in bp:
+            patch = jax.lax.dynamic_slice(
+                b, (txi * tlx, tyi * tly, jnp.zeros((), txi.dtype)),
+                (ex, ey, nz))
+            t1 = jnp.matmul(wxy, patch.reshape(ex * ey, nz),
+                            precision=jax.lax.Precision.HIGHEST)  # (cap, nz)
+            outs.append(jnp.sum(t1 * wzd, axis=1))
+        return tuple(outs)
+
+    # scan over x-tile rows, vmap across y-tiles (as in spread_tiled)
+    xs = tuple(a.reshape((ntx, nty) + a.shape[1:])
+               for a in (jnp.arange(t_tiles, dtype=jnp.int32),
+                         lxs, lys, izs, wxs, wys, wzs))
+    _, vals = jax.lax.scan(
+        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+    vals = tuple(v.reshape(t_tiles, cap) for v in vals)
+    res = []
+    for v in vals:  # (T, cap)
+        out = jnp.zeros((n + 1,), dtype).at[table.reshape(-1)].add(
+            v.reshape(-1))
+        res.append(jnp.where(overflow, jnp.nan, out[:n]))
+    return res
 
 
 def _axis_weight_matrices(grid: PPPMGrid, x):
@@ -325,14 +517,7 @@ def spread(grid: PPPMGrid, x, q):
         rho = jnp.matmul(wxy.T, q[:, None] * WZ,
                          precision=jax.lax.Precision.HIGHEST)
         return rho.reshape(grid.nx, grid.ny, grid.nz)
-    (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
-    nmesh = grid.nx * grid.ny * grid.nz
-    w3 = (q[:, None, None, None] * wx[:, :, None, None]
-          * wy[:, None, :, None] * wz[:, None, None, :])       # (N,p,p,p)
-    lin = (ix[:, :, None, None] * grid.ny + iy[:, None, :, None]) * grid.nz \
-        + iz[:, None, None, :]
-    flat = jnp.zeros(nmesh, x.dtype).at[lin.reshape(-1)].add(w3.reshape(-1))
-    return flat.reshape(grid.nx, grid.ny, grid.nz)
+    return spread_tiled(grid, x, q)
 
 
 def gather(grid: PPPMGrid, brick, x):
@@ -344,12 +529,7 @@ def gather(grid: PPPMGrid, brick, x):
         t = jnp.matmul(WZ, brick.reshape(grid.nx * grid.ny, grid.nz).T,
                        precision=jax.lax.Precision.HIGHEST)
         return jnp.sum(wxy * t, axis=1)
-    (ix, iy, iz), (wx, wy, wz) = _stencil(grid, x)
-    lin = (ix[:, :, None, None] * grid.ny + iy[:, None, :, None]) * grid.nz \
-        + iz[:, None, None, :]
-    vals = brick.reshape(-1)[lin.reshape(x.shape[0], -1)]
-    w3 = (wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :])
-    return jnp.sum(vals * w3.reshape(x.shape[0], -1), axis=1)
+    return gather_tiled(grid, [brick], x)[0]
 
 
 def gather3(grid: PPPMGrid, bricks, x):
@@ -365,7 +545,7 @@ def gather3(grid: PPPMGrid, bricks, x):
                            precision=jax.lax.Precision.HIGHEST)
             outs.append(jnp.sum(wxy * t, axis=1))
         return jnp.stack(outs, axis=1)
-    return jnp.stack([gather(grid, b, x) for b in bricks], axis=1)
+    return jnp.stack(gather_tiled(grid, list(bricks), x), axis=1)
 
 
 def poisson_u(grid: PPPMGrid, rho):

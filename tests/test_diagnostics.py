@@ -141,3 +141,35 @@ def test_pppm_slab_z_resolution_converged():
     q2_, _, _ = solver_fine.solve_full(x, q, 0)
     dq = np.abs(np.asarray(q1) - np.asarray(q2_)).max()
     assert dq < 1e-6, f"slab z-mesh not converged: max charge shift {dq:.2e} e"
+
+
+def test_pppm_tiled_spread_gather_match_dense():
+    """The tiled scatter-free spread/gather (large-mesh path) is a pure
+    reassociation of the dense-separable formulation."""
+    import numpy as np
+    from lammps_user_conp2_tpu.ops import pppm as pppm_ops
+
+    rng = np.random.default_rng(3)
+    n = 500
+    box = (30.0, 25.0, 40.0)
+    x = jnp.asarray(rng.uniform(0, 1, (n, 3)) * np.array(box))
+    q = jnp.asarray(rng.normal(size=n))
+    QQR2E = 332.06371
+    g = pppm_ops.setup_pppm(
+        box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-5 * QQR2E,
+        natoms=n, q2=float((np.asarray(q) ** 2).sum()) * QQR2E, cutoff=8.0,
+        slabflag=True, slab_volfactor=3.0)
+    WX, WY, WZ = pppm_ops._axis_weight_matrices(g, x)
+    wxy = (WX[:, :, None] * WY[:, None, :]).reshape(n, g.nx * g.ny)
+    rho_ref = jnp.matmul(wxy.T, q[:, None] * WZ,
+                         precision=jax.lax.Precision.HIGHEST).reshape(g.shape)
+    rho_t = pppm_ops.spread_tiled(g, x, q)
+    np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_ref),
+                               atol=1e-14)
+    brick = jnp.asarray(rng.normal(size=g.shape))
+    val_ref = jnp.sum(wxy * jnp.matmul(
+        WZ, brick.reshape(g.nx * g.ny, g.nz).T,
+        precision=jax.lax.Precision.HIGHEST), axis=1)
+    val_t = pppm_ops.gather_tiled(g, [brick], x)[0]
+    np.testing.assert_allclose(np.asarray(val_t), np.asarray(val_ref),
+                               atol=1e-14)

@@ -167,7 +167,7 @@ def main(argv=None):
                        default=None,
                        help="charge solver override (default: deck choice; "
                             "the reference's is inv, fix_conp.cpp:90)")
-        p.add_argument("--pair-path", choices=("auto", "dense", "cell"),
+        p.add_argument("--pair-path", choices=("auto", "dense", "cell", "nlist"),
                        default=None, help="real-space pair path override")
 
     p = sub.add_parser("run")

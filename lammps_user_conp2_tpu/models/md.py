@@ -53,6 +53,7 @@ class Engine:
     zmirror: object              # ZMirror or None — mirror-symmetry fix
     fksp: object                 # FactoredKSpace or None — MXU Ewald fast path
     cell_grid: object            # CellGrid or None — large-N pair path
+    ncfg: object                 # NeighborConfig or None — Verlet-list path
     # device constants
     type_idx: jnp.ndarray
     exclusions: tuple            # (excl_idx, excl_val) — sparse special bonds
@@ -65,17 +66,25 @@ class Engine:
     _run_cache: dict = dataclasses.field(default_factory=dict, compare=False)
 
     # ------------------------------------------------------------- forces
-    def compute_forces(self, x, q, scalar_out, rho_elyte=None):
+    def compute_forces(self, x, q, scalar_out, rho_elyte=None, nbr=None):
         """Returns (f, pe) for the current configuration.
 
         In PPPM mode ``rho_elyte`` is the electrolyte density mesh cached by
         the charge solve — the reuse invariant of pppm/conp (SURVEY.md 3.4;
         pppm_conp.cpp:428-450): exactly one electrolyte spread per step
-        serves both the charge solve and the force evaluation."""
+        serves both the charge solve and the force evaluation.  ``nbr`` is
+        the current NeighborList when the Verlet-list path is active."""
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
-        if self.cell_grid is not None:
+        if self.ncfg is not None and nbr is not None:
+            from ..ops.neighbors import nlist_pair_forces
+            f, evdwl, ecoul, overflow = nlist_pair_forces(
+                self.ncfg, nbr, x, q, self.type_idx, self.tables,
+                self.exclusions, g_ewald=self.ksp_force.g_ewald,
+                qqr2e=u.qqr2e)
+            evdwl = jnp.where(overflow, jnp.nan, evdwl)
+        elif self.cell_grid is not None:
             from ..ops.cells import cell_pair_forces
             f, evdwl, ecoul, overflow = cell_pair_forces(
                 self.cell_grid, x, q, self.type_idx, self.tables,
@@ -189,6 +198,19 @@ class Engine:
         if self.zmirror is not None:
             x = self.zmirror.apply(x, state.step + 1)
 
+        nbr = state.nbr
+        if self.ncfg is not None:
+            # Verlet-skin reneighbor check inside the jitted step (LAMMPS
+            # Neighbor::check_distance); both cond branches return the same
+            # static shapes
+            from ..ops.neighbors import build_neighbor_list, needs_rebuild
+            nbr = jax.lax.cond(
+                needs_rebuild(self.ncfg, nbr, x),
+                lambda xx: build_neighbor_list(self.ncfg, xx, self.tables,
+                                               self.type_idx),
+                lambda xx: nbr,
+                x)
+
         scalar = state.scalar_out
         rho_elyte = None
         if self.conp is not None:
@@ -201,14 +223,15 @@ class Engine:
                     lambda: self.conp.solve(x, q, state.step + 1),
                     lambda: (q, scalar))
 
-        f, pe = self.compute_forces(x, q, scalar, rho_elyte)
+        f, pe = self.compute_forces(x, q, scalar, rho_elyte, nbr)
         v = itg.kick(v, f)
         if self.cons is not None:
             v = rattle_velocities(self.cons, x, v, box=self.ksp_force.box,
                                   periodic=self.system.periodic)
         v, xi, vxi = itg.thermostat_half(v, xi, vxi, state.step)
         return MDState(x=x, v=v, q=q, f=f, step=state.step + 1,
-                       nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe)
+                       nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe,
+                       nbr=nbr)
 
     # -------------------------------------------------------------- setup
     def init_state(self, x0=None, v0=None, q0=None) -> MDState:
@@ -239,12 +262,17 @@ class Engine:
                 if self.conp is not None:
                     q, scalar, rho_elyte = self.conp.solve_full(
                         x, q, jnp.zeros((), jnp.int32))
-                f, pe = self.compute_forces(x, q, scalar, rho_elyte)
+                nbr = None
+                if self.ncfg is not None:
+                    from ..ops.neighbors import build_neighbor_list
+                    nbr = build_neighbor_list(self.ncfg, x, self.tables,
+                                              self.type_idx)
+                f, pe = self.compute_forces(x, q, scalar, rho_elyte, nbr)
                 return MDState(
                     x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),
                     nhc_xi=jnp.zeros((nt, tch), dt),
                     nhc_vxi=jnp.zeros((nt, tch), dt),
-                    scalar_out=scalar, energy=pe)
+                    scalar_out=scalar, energy=pe, nbr=nbr)
 
             self._run_cache["_init"] = go
         return go(x, v, q)
@@ -343,15 +371,23 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
             g_ewald=ksp.g_ewald)
 
     cell_grid = None
-    want_cell = md.pair_path == "cell"
-    if md.pair_path == "auto":
-        want_cell = (system.natoms > 8192 and
-                     all(b >= 4.0 * md.cutoff for b in system.box))
+    ncfg = None
+    big_n = (system.natoms > 8192 and
+             all(b >= 4.0 * md.cutoff for b in system.box))
+    want_cell = md.pair_path == "cell" or (md.pair_path == "auto" and big_n)
+    want_nlist = md.pair_path == "nlist" or (md.pair_path == "auto" and big_n)
     if want_cell:
+        # kept alongside the neighbor list: the sharded engine consumes
+        # cell_grid (parallel/sharded.py)
         from ..ops.cells import build_cell_grid
         cell_grid = build_cell_grid(system.box, tuple(system.box_lo),
                                     md.cutoff, system.natoms,
                                     periodic=system.periodic)
+    if want_nlist:
+        from ..ops.neighbors import make_neighbor_config
+        ncfg = make_neighbor_config(
+            system.box, tuple(system.box_lo), md.cutoff, system.natoms,
+            periodic=system.periodic, skin=md.neighbor_skin)
 
     use_pallas = md.use_pallas_pair
     if use_pallas is None:
@@ -376,7 +412,7 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
         ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror, fksp=fksp,
-        cell_grid=cell_grid,
+        cell_grid=cell_grid, ncfg=ncfg,
         type_idx=jnp.asarray(system.type),
         exclusions=tuple(jnp.asarray(a) for a in exclusion_lists(system)),
         tables=make_pair_tables(system.lj_eps, system.lj_sigma, system.type, dtype),

@@ -31,6 +31,7 @@ class MDState(NamedTuple):
     nhc_vxi: jnp.ndarray    # (n_thermostats, tchain) thermostat velocities
     scalar_out: jnp.ndarray  # () the fix scalar f_e
     energy: jnp.ndarray     # () potential energy of current configuration
+    nbr: object = None      # NeighborList pytree (large-N pair path) or None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,162 @@
+"""Compacted Verlet neighbor lists with skin — the large-N pair path.
+
+The cell-block sweep (ops/cells.py) evaluates the full pair chain on every
+padded candidate slot: at 100k atoms that is ~270M slots per step for ~15M
+real pairs (LAMMPS's own answer is half neighbor lists rebuilt on a skin
+criterion — SURVEY.md section 2.3-1).  This module compacts the candidates
+ONCE into a per-atom (N, K) index list (top_k on candidate distances within
+cutoff+skin) and runs the expensive erfc/LJ chain only on those slots; the
+list is reused until any atom moves more than skin/2 (checked inside the
+jitted step, rebuild via lax.cond with identical shapes).
+
+LJ coefficient pairs are pre-gathered into (N, K) tables at build time, so
+the per-step work is three gathers (x, q at the neighbor indices) plus the
+fused chain on (N, K).
+
+Reference analogue: LAMMPS neighbor bins + skin + check_distance
+(neighbor list machinery the plugin relies on, fix_conp.cpp:1242-1276 loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cells import CellGrid, candidate_columns, exclusion_correction
+from .erfc import EWALD_F
+from .pairs import PairTables, min_image
+
+EWALD_P = 0.3275911
+A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
+                      -1.453152027, 1.061405429)
+
+
+class NeighborList(NamedTuple):
+    """Pytree carried through the scan (all shapes static)."""
+    idx: jnp.ndarray        # (N, K) neighbor atom ids, padded with N
+    x_ref: jnp.ndarray      # (N, 3) positions at build time
+    lj: jnp.ndarray         # (4, N, K) pre-gathered lj1/lj2/lj3/lj4 pairs
+    overflow: jnp.ndarray   # () bool — K or cell capacity exceeded
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborConfig:
+    """Static list parameters; grid cells have edge >= cutoff + skin."""
+    grid: CellGrid
+    k_max: int
+    cutoff: float           # force cutoff (list radius = grid.cutoff)
+    skin: float
+
+
+def make_neighbor_config(box, box_lo, cutoff, natoms, *, periodic,
+                         skin=1.0, k_max=None,
+                         density_safety=3.0) -> NeighborConfig:
+    from .cells import build_cell_grid
+    grid = build_cell_grid(box, box_lo, cutoff + skin, natoms,
+                           periodic=periodic, density_safety=density_safety)
+    if k_max is None:
+        # expected neighbors in the list sphere x 1.6 safety, lane-rounded
+        rho = natoms / (box[0] * box[1] * box[2])
+        nexp = rho * 4.0 / 3.0 * np.pi * (cutoff + skin) ** 3
+        k_max = int(np.ceil(nexp * 1.6 / 8.0) * 8) + 8
+    return NeighborConfig(grid=grid, k_max=int(k_max), cutoff=float(cutoff),
+                          skin=float(skin))
+
+
+def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
+                        type_idx) -> NeighborList:
+    """Compact candidates into (N, K): cell-block distance sweep, top_k per
+    atom, pre-gather LJ coefficient pairs.  All static shapes."""
+    grid = ncfg.grid
+    n = x.shape[0]
+    dtype = x.dtype
+    k = ncfg.k_max
+    table, cols, overflow = candidate_columns(grid, x)   # (C, cap), (C, m)
+    c, cap = table.shape
+    m = cols.shape[1]
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    xi = xp[table]                                       # (C, cap, 3)
+    xj = xp[cols]                                        # (C, m, 3)
+    boxj = jnp.asarray(grid.box, dtype)
+    d = xi[:, :, None, :] - xj[:, None, :, :]
+    d = min_image(d, boxj, grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)                        # (C, cap, m)
+    valid = (table[:, :, None] != cols[:, None, :]) \
+        & (table[:, :, None] < n) & (cols[:, None, :] < n)
+    rlistsq = grid.cutoff ** 2
+    inr = valid & (rsq < rlistsq)
+    overflow = overflow | (jnp.max(jnp.sum(inr, axis=2)) > k)
+    rsq_m = jnp.where(inr, rsq, jnp.inf).reshape(c * cap, m)
+    _, sel = jax.lax.top_k(-rsq_m, k)                    # (C*cap, K)
+    sel = sel.reshape(c, cap, k)
+    nbr_slots = jnp.take_along_axis(
+        jnp.broadcast_to(cols[:, None, :], (c, cap, m)), sel, axis=2)
+    hit = jnp.take_along_axis(inr, sel, axis=2)
+    nbr_slots = jnp.where(hit, nbr_slots, n)             # pad misses
+    # back to atom order: each real atom owns exactly one slot
+    idx = jnp.full((n + 1, k), n, jnp.int32).at[table.reshape(-1)].set(
+        nbr_slots.reshape(c * cap, k))[:n]
+    # pre-gathered LJ pair coefficients (types are static between rebuilds)
+    tp = jnp.pad(type_idx, (0, 1))
+    ti = type_idx[:, None]
+    tj = tp[idx]
+    lj = jnp.stack([tables.lj1[ti, tj], tables.lj2[ti, tj],
+                    tables.lj3[ti, tj], tables.lj4[ti, tj]]).astype(dtype)
+    return NeighborList(idx=idx, x_ref=x, lj=lj,
+                        overflow=overflow)
+
+
+def needs_rebuild(ncfg: NeighborConfig, nlist: NeighborList, x) -> jnp.ndarray:
+    """True when any atom moved more than skin/2 since the list was built."""
+    disp = x - nlist.x_ref
+    return jnp.max(jnp.sum(disp * disp, axis=1)) > (0.5 * ncfg.skin) ** 2
+
+
+def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
+                      type_idx, tables: PairTables, exclusions, *,
+                      g_ewald, qqr2e):
+    """LJ + real-space Coulomb from the compacted list; same returns as
+    dense_pair_forces plus the overflow flag.  Each pair appears in both
+    atoms' lists (full list): energies carry the usual 0.5."""
+    n = x.shape[0]
+    dtype = x.dtype
+    idx = nlist.idx
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qp = jnp.pad(q, (0, 1))
+    xj = xp[idx]                                         # (N, K, 3)
+    qj = qp[idx]
+    boxj = jnp.asarray(ncfg.grid.box, dtype)
+    d = min_image(x[:, None, :] - xj, boxj, ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)
+    mask = (idx < n) & (rsq < ncfg.cutoff ** 2)
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    r6inv = r2inv * r2inv * r2inv
+    l1, l2, l3, l4 = nlist.lj
+    flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
+    elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)
+    r = jnp.sqrt(rsq_safe)
+    grij = g_ewald * r
+    expm2 = jnp.exp(-grij * grij)
+    tt = 1.0 / (1.0 + EWALD_P * grij)
+    erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
+    pref = qqr2e * q[:, None] * qj / r
+    fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
+    ecoul = jnp.where(mask, pref * erfc, 0.0)
+    fpair = flj + fcoul * r2inv
+    f = jnp.sum(fpair[:, :, None] * d, axis=1)           # (N, 3)
+    ev = 0.5 * jnp.sum(elj)
+    ec = 0.5 * jnp.sum(ecoul)
+
+    df, dev, dec = exclusion_correction(
+        x, q, type_idx, tables, exclusions, box=ncfg.grid.box,
+        periodic=ncfg.grid.periodic, cutsq=ncfg.cutoff ** 2, qqr2e=qqr2e)
+    ov = nlist.overflow
+    f = jnp.where(ov, jnp.nan, f + df)
+    return f, ev + dev, ec + dec, ov

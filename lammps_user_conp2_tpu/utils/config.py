@@ -128,9 +128,14 @@ class MDConfig:
     # use the Pallas pair kernel instead of the XLA dense path; None = auto
     # (on for TPU backends — ~11%% faster steps — off elsewhere)
     use_pallas_pair: Optional[bool] = None
-    # real-space pair path: "auto" (cell list when N is large and the box is
-    # much bigger than the cutoff, else dense), "dense", or "cell"
+    # real-space pair path: "auto" (compacted Verlet neighbor list when N is
+    # large and the box is much bigger than the cutoff, else dense),
+    # "dense", "cell" (padded cell-block sweep, also the sharded engine's
+    # path), or "nlist"
     pair_path: str = "auto"
+    # Verlet-list skin (Angstrom): list radius = cutoff + skin, rebuilt when
+    # any atom moves more than skin/2 (LAMMPS neigh_modify check yes)
+    neighbor_skin: float = 1.0
     # dtype for the force/integration path; solve path is configured separately
     dtype: str = "float64"
     solve_dtype: str = "float64"

@@ -1,0 +1,76 @@
+"""Verlet neighbor-list pair path: forces match the dense sweep, and the
+engine trajectory with skin-based reneighboring matches the dense engine."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_user_conp2_tpu import workloads
+from lammps_user_conp2_tpu.models.conp import setup_conp
+from lammps_user_conp2_tpu.models.md import build_engine
+from lammps_user_conp2_tpu.models.system import exclusion_lists
+from lammps_user_conp2_tpu.ops.neighbors import (build_neighbor_list,
+                                                 make_neighbor_config,
+                                                 nlist_pair_forces)
+from lammps_user_conp2_tpu.ops.pairs import dense_pair_forces, make_pair_tables
+
+G = 0.7723634128
+
+
+def test_nlist_forces_match_dense():
+    system, md, cfg = workloads.dilute(0)
+    u = system.units()
+    x = jnp.asarray(system.x0)
+    q = jnp.asarray(system.q0) + 0.01
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type)
+    excl = tuple(jnp.asarray(a) for a in exclusion_lists(system))
+    kw = dict(box=system.box, periodic=system.periodic, cutoff=md.cutoff,
+              g_ewald=G, qqr2e=u.qqr2e)
+    f1, ev1, ec1 = dense_pair_forces(x, q, ti, tables, excl, **kw)
+    ncfg = make_neighbor_config(system.box, tuple(system.box_lo), md.cutoff,
+                                system.natoms, periodic=system.periodic)
+    nl = build_neighbor_list(ncfg, x, tables, ti)
+    assert not bool(nl.overflow)
+    f2, ev2, ec2, ov = nlist_pair_forces(ncfg, nl, x, q, ti, tables, excl,
+                                         g_ewald=G, qqr2e=u.qqr2e)
+    scale = float(jnp.abs(f1).max())
+    np.testing.assert_allclose(np.asarray(f2) / scale, np.asarray(f1) / scale,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(ev2), float(ev1), rtol=1e-9)
+    np.testing.assert_allclose(float(ec2), float(ec1), rtol=1e-12, atol=1e-12)
+
+
+def test_nlist_engine_trajectory_matches_dense():
+    """20 steps through the jitted scan incl. the lax.cond reneighbor check:
+    positions/charges/temperature agree with the dense engine to roundoff."""
+    system, md, cfg = workloads.dilute(0)
+    conp = setup_conp(system, md, cfg)
+    e1 = build_engine(system, md, conp)
+    md2 = dataclasses.replace(md, pair_path="nlist", neighbor_skin=1.0)
+    e2 = build_engine(system, md2, conp)
+    assert e2.ncfg is not None
+    s1f, th1 = e1.run(e1.init_state(), 20)
+    s2f, th2 = e2.run(e2.init_state(), 20)
+    assert abs(float(th1["temp"][-1] - th2["temp"][-1])) < 1e-7
+    assert abs(float(th1["qleft"][-1] - th2["qleft"][-1])) < 1e-10
+    assert float(jnp.abs(s1f.x - s2f.x).max()) < 1e-9
+
+
+def test_nlist_rebuild_fires_on_motion():
+    """Moving one atom farther than skin/2 flips needs_rebuild."""
+    from lammps_user_conp2_tpu.ops.neighbors import needs_rebuild
+
+    system, md, cfg = workloads.dilute(0)
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type)
+    ncfg = make_neighbor_config(system.box, tuple(system.box_lo), md.cutoff,
+                                system.natoms, periodic=system.periodic,
+                                skin=1.0)
+    x = jnp.asarray(system.x0)
+    nl = build_neighbor_list(ncfg, x, tables, ti)
+    assert not bool(needs_rebuild(ncfg, nl, x))
+    x2 = x.at[5, 0].add(0.51)
+    assert bool(needs_rebuild(ncfg, nl, x2))
+    assert not bool(needs_rebuild(ncfg, nl, x.at[5, 0].add(0.49)))

@@ -31,7 +31,10 @@ def _config_digest(engine) -> str:
 
 
 def save_checkpoint(path: str, engine, state: MDState):
-    arrays = {f"state_{k}": np.asarray(v) for k, v in state._asdict().items()}
+    # the neighbor list is derived state: rebuilt deterministically from x
+    # on load, not serialized
+    arrays = {f"state_{k}": np.asarray(v)
+              for k, v in state._asdict().items() if k != "nbr"}
     if engine.conp is not None:
         for k, v in engine.conp.ctx._asdict().items():
             arrays[f"ctx_{k}"] = np.asarray(v)
@@ -57,6 +60,12 @@ def load_checkpoint(path: str, engine) -> MDState:
     dt = engine.dtype
     kw = {}
     for k in MDState._fields:
+        if k == "nbr":
+            continue
         a = z[f"state_{k}"]
         kw[k] = jnp.asarray(a, dt if a.dtype.kind == "f" else None)
+    if engine.ncfg is not None:
+        from ..ops.neighbors import build_neighbor_list
+        kw["nbr"] = build_neighbor_list(engine.ncfg, kw["x"], engine.tables,
+                                        engine.type_idx)
     return MDState(**kw)

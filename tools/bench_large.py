@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Production-scale benchmark: the 100k-atom synthetic capacitor.
+
+Configuration: PPPM mesh k-space (tiled scatter-free spread/gather),
+matrix-free CG electrode solve (exact factored-Ewald operator), Verlet
+neighbor lists with skin.  First run compiles for ~10 min at this size;
+the persistent compile cache (.jax_cache) makes reruns fast.
+
+Usage: python tools/bench_large.py [natoms_elyte] [nele_side]
+"""
+import os
+import sys
+import time
+import dataclasses
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lammps_user_conp2_tpu import workloads
+from lammps_user_conp2_tpu.models.conp import setup_conp
+from lammps_user_conp2_tpu.models.md import build_engine
+from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+
+
+def main():
+    n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
+    nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
+    t0 = time.time()
+    system, md, cfg = workloads.synthetic(
+        n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)
+    cfg = dataclasses.replace(cfg, solver=Solver.CG_MATFREE,
+                              kspace=KSpaceStyle.PPPM)
+    md = dataclasses.replace(md, pair_path="nlist",
+                             kspace_style=KSpaceStyle.PPPM)
+    conp = setup_conp(system, md, cfg, solve_dtype=jnp.float32)
+    eng = build_engine(system, md, conp, dtype=jnp.float32)
+    st = eng.init_state()
+    jax.block_until_ready(st.x)
+    setup_s = time.time() - t0
+    st, _ = eng.run(st, 5, thermo_every=0)
+    jax.block_until_ready(st.x)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, _ = eng.run(st, 20, thermo_every=0)
+        jax.block_until_ready(st.x)
+        best = min(best, (time.perf_counter() - t0) / 20 * 1e3)
+    assert np.isfinite(float(st.energy)), "non-finite energy"
+    print(f"natoms={system.natoms} setup_s={setup_s:.1f} "
+          f"step_ms={best:.1f} steps_per_sec={1000.0 / best:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -117,6 +117,45 @@ def needs_rebuild(ncfg: NeighborConfig, nlist: NeighborList, x) -> jnp.ndarray:
     return jnp.max(jnp.sum(disp * disp, axis=1)) > (0.5 * ncfg.skin) ** 2
 
 
+def nlist_pair_rows(ncfg: NeighborConfig, x, q, xi, qi, idx_rows, lj_rows, *,
+                    g_ewald, qqr2e):
+    """Row-block Verlet-list sweep: forces on the block's atoms plus the
+    block's energy partial sums.  The multi-chip path shards the N axis
+    with this (each device owns N/D rows; forces all_gather, energies psum).
+
+    ``xi``/``qi``/``idx_rows`` are the block's (nrow,)-leading slices;
+    ``lj_rows`` is (4, nrow, K).  Returns (f_rows (nrow, 3), ev, ec) with
+    the 0.5 full-list energy factor applied."""
+    n = x.shape[0]
+    dtype = x.dtype
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qp = jnp.pad(q, (0, 1))
+    xj = xp[idx_rows]
+    qj = qp[idx_rows]
+    boxj = jnp.asarray(ncfg.grid.box, dtype)
+    d = min_image(xi[:, None, :] - xj, boxj, ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)
+    mask = (idx_rows < n) & (rsq < ncfg.cutoff ** 2)
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    r6inv = r2inv * r2inv * r2inv
+    l1, l2, l3, l4 = lj_rows
+    flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
+    elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)
+    r = jnp.sqrt(rsq_safe)
+    grij = g_ewald * r
+    expm2 = jnp.exp(-grij * grij)
+    tt = 1.0 / (1.0 + EWALD_P * grij)
+    erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
+    pref = qqr2e * qi[:, None] * qj / r
+    fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
+    ecoul = jnp.where(mask, pref * erfc, 0.0)
+    fpair = flj + fcoul * r2inv
+    f_rows = jnp.sum(fpair[:, :, None] * d, axis=1)
+    return f_rows, 0.5 * jnp.sum(elj), 0.5 * jnp.sum(ecoul)
+
+
 def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
                       type_idx, tables: PairTables, exclusions, *,
                       g_ewald, qqr2e):

@@ -174,8 +174,34 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         _nblk_loc = -(-_nblk_tot // d)             # blocks per device
         _padc = _nblk_loc * d * _cell_block - _C   # pad cells to d multiple
 
-    def sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0):
+    def sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr=None):
         """Per-device pair sweep -> replicated (f (N,3), evdwl, ecoul)."""
+        if engine.ncfg is not None and cell_grid is None and nbr is not None:
+            # Verlet-list rows sharded over devices: each chip sweeps its
+            # N/D rows of the (N, K) list, forces all_gather (the ghost-free
+            # spatial decomposition, SURVEY.md 2.3-1)
+            from ..ops import neighbors as nbr_ops
+            idx_p = jnp.pad(nbr.idx, ((0, npad_rows), (0, 0)),
+                            constant_values=n)
+            lj_p = jnp.pad(nbr.lj, ((0, 0), (0, npad_rows), (0, 0)))
+            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)))
+            qp_ = jnp.pad(q, (0, npad_rows))
+            xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
+            qi_l = jax.lax.dynamic_slice_in_dim(qp_, i0, nrow)
+            idx_l = jax.lax.dynamic_slice_in_dim(idx_p, i0, nrow)
+            lj_l = jax.lax.dynamic_slice_in_dim(lj_p, i0, nrow, axis=1)
+            f_rows, ev_l, ec_l = nbr_ops.nlist_pair_rows(
+                engine.ncfg, x, q, xi_l, qi_l, idx_l, lj_l,
+                g_ewald=ksp.g_ewald, qqr2e=qqr2e)
+            f = jax.lax.all_gather(f_rows, axis, axis=0, tiled=True)[:n]
+            ev = jax.lax.psum(ev_l, axis)
+            ec = jax.lax.psum(ec_l, axis)
+            from ..ops import cells as cells_ops
+            df, dev, dec = cells_ops.exclusion_correction(
+                x, q, type_idx, engine.tables, engine.exclusions,
+                box=box, periodic=periodic, cutsq=md.cutoff ** 2, qqr2e=qqr2e)
+            f = jnp.where(nbr.overflow, jnp.nan, f + df)
+            return f, ev + dev, ec + dec
         if cell_grid is not None:
             from ..ops import cells as cells_ops
             table, cols, overflow = cells_ops.candidate_columns(cell_grid, x)
@@ -224,9 +250,9 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return f, ev, ec
 
     def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                       i0, eidx_l, evalid_l, rho_elyte=None):
+                       i0, eidx_l, evalid_l, rho_elyte=None, nbr=None):
         """Per-device partial force computation; returns replicated (f, pe)."""
-        f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0)
+        f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr)
 
         if engine.pppm_grid is not None:
             # mesh k-space: spread sharded over atom rows (psum the mesh),
@@ -481,6 +507,18 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         if engine.zmirror is not None:
             x = engine.zmirror.apply(x, state.step + 1)
 
+        nbr = state.nbr
+        if engine.ncfg is not None and cell_grid is None:
+            # Verlet-skin reneighbor check; the rebuild runs replicated on
+            # every device (it amortizes over ~skin/(2 v dt) steps)
+            from ..ops.neighbors import build_neighbor_list, needs_rebuild
+            nbr = jax.lax.cond(
+                needs_rebuild(engine.ncfg, nbr, x),
+                lambda xx: build_neighbor_list(engine.ncfg, xx,
+                                               engine.tables, type_idx),
+                lambda xx: nbr,
+                x)
+
         scalar = state.scalar_out
         rho_elyte = None
         if conp is not None:
@@ -495,14 +533,15 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                                          lambda: (q, scalar))
 
         f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                               i0, eidx_l, evalid_l, rho_elyte)
+                               i0, eidx_l, evalid_l, rho_elyte, nbr)
         v = itg.kick(v, f)
         if engine.cons is not None:
             from ..models.shake import rattle_velocities
             v = rattle_velocities(engine.cons, x, v, box=box, periodic=periodic)
         v, xi, vxi = itg.thermostat_half(v, xi, vxi, state.step)
         return MDState(x=x, v=v, q=q, f=f, step=state.step + 1,
-                       nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe)
+                       nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe,
+                       nbr=nbr)
 
     shard_step = jax.shard_map(
         step_inner, mesh=mesh,

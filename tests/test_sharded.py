@@ -95,12 +95,14 @@ def test_sharded_solver_matrix(solver_name, kspace_name):
     mdx = dataclasses.replace(md, kspace_style=kspace_e)
     conp = setup_conp(system, mdx, cfgx)
     mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
-    for pair_path in ("dense", "cell"):
+    for pair_path in ("dense", "cell", "nlist"):
         mdp = dataclasses.replace(mdx, pair_path=pair_path,
                                   use_pallas_pair=False)
         eng = build_engine(system, mdp, conp)
         if pair_path == "cell":
             assert eng.cell_grid is not None
+        if pair_path == "nlist":
+            assert eng.ncfg is not None
         sheng = build_sharded_engine(eng, mesh)
         st = eng.init_state()
         s1 = jax.jit(eng.step)(st)
@@ -122,15 +124,17 @@ def test_sharded_matfree_synthetic_largeish():
     system, md, cfg = workloads.synthetic(n_elyte=512, nele_side=8, lz=60.0,
                                           lxy=24.0)
     cfgx = dataclasses.replace(cfg, solver=Solver.CG_MATFREE)
-    mdx = dataclasses.replace(md, pair_path="cell", use_pallas_pair=False)
-    conp = setup_conp(system, mdx, cfgx)
-    eng = build_engine(system, mdx, conp)
-    assert eng.cell_grid is not None
     mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
-    sheng = build_sharded_engine(eng, mesh)
-    st = eng.init_state()
-    s1 = jax.jit(eng.step)(st)
-    s8 = sheng.step(st)
-    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
-                               atol=1e-6, rtol=1e-8)
+    for pair_path in ("cell", "nlist"):
+        mdx = dataclasses.replace(md, pair_path=pair_path,
+                                  use_pallas_pair=False)
+        conp = setup_conp(system, mdx, cfgx)
+        eng = build_engine(system, mdx, conp)
+        sheng = build_sharded_engine(eng, mesh)
+        st = eng.init_state()
+        s1 = jax.jit(eng.step)(st)
+        s8 = sheng.step(st)
+        np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q),
+                                   atol=1e-9, err_msg=pair_path)
+        np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                                   atol=1e-6, rtol=1e-8, err_msg=pair_path)

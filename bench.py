@@ -19,20 +19,6 @@ import time
 import numpy as np
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: bench compiles (~20-40 s each) are
-    identical run-to-run, so repeat bench invocations skip them entirely."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # noqa: BLE001 — cache is an optimization only
-        pass
-
-
 def _build(workload, n):
     import jax.numpy as jnp
     from lammps_user_conp2_tpu import workloads
@@ -97,7 +83,6 @@ def bench_charge_solve_ms(eng, iters=1000, repeats=3):
 
 def main():
     t_start = time.time()
-    _enable_compile_cache()
     result = {"metric": "dilute_steps_per_sec", "value": 0.0,
               "unit": "steps/s", "vs_baseline": 0.0}
 

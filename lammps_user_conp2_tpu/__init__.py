@@ -9,28 +9,34 @@ jit-compiled MD loop, pjit/shard_map multi-chip scaling.
 __version__ = "0.1.0"
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache, on by default.
+def enable_compile_cache(path=None):
+    """Opt-in persistent XLA compilation cache.
 
     Large-N step programs compile in minutes (the 100k-atom PPPM step is
-    ~8-16 min on the tunnel); the cache makes reruns near-instant.  Disable
-    with CONP2_TPU_NO_COMPILE_CACHE=1 or point CONP2_TPU_COMPILE_CACHE at a
-    different directory."""
+    ~8-16 min); the cache can make reruns near-instant.  NOT enabled by
+    default: CPU AOT cache entries record machine-feature flags and XLA
+    loads mismatched entries with only a warning ("could lead to SIGILL"),
+    so sharing one cache dir across backends/processes is unsafe to force
+    on every user.  Call this (or set CONP2_TPU_COMPILE_CACHE=path in the
+    environment) to opt in."""
     import os
 
-    if os.environ.get("CONP2_TPU_NO_COMPILE_CACHE") == "1":
-        return
     try:
         import jax
 
-        path = os.environ.get(
-            "CONP2_TPU_COMPILE_CACHE",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         os.pardir, ".jax_cache"))
+        if path is None:
+            path = os.environ.get(
+                "CONP2_TPU_COMPILE_CACHE",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             os.pardir, ".jax_cache"))
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — the cache is an optimization only
         pass
 
 
-_enable_compile_cache()
+import os as _os
+
+if _os.environ.get("CONP2_TPU_COMPILE_CACHE"):
+    enable_compile_cache()
+del _os

@@ -94,7 +94,11 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
 
     # ---- shardable constants, padded to D multiples -------------------
     # factored Ewald: shard the kxy axis (pad rows get ug=0 -> no contribution)
-    fk = engine.fksp
+    # in PPPM mode the engine carries no factored tables, but the CG_MATFREE
+    # electrode operator still uses them (exact-Ewald A + mesh b, the
+    # pppm_conp.cpp:91-101 split) — take the solver's
+    fk = engine.fksp if engine.fksp is not None else (
+        conp.fksp if conp is not None else None)
     if fk is not None:
         kvecs = _pad_to(fk.kxy.astype(np.int64), d)                # (nxy', 2)
         ug = _pad_to(fk.ug.astype(dtype), d)                       # (nxy', nz)

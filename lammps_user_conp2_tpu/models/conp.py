@@ -71,7 +71,7 @@ class ConpSolver:
         b, _ = self.b_vector_full(x, q)
         return b
 
-    def b_vector_full(self, x, q):
+    def b_vector_full(self, x, q, nbr=None, ncfg=None):
         """Assemble b for the current electrolyte configuration.
 
         k-space: b_i -= sum_k 2 ug_k (c_i ReS + s_i ImS)   [km_ewald.cpp:789-825]
@@ -111,7 +111,15 @@ class ConpSolver:
         # real-space rows over (Ne x N)
         g = self.ksp.g_ewald
         te = self.type_idx[self.ele_idx]
-        if (jax.default_backend() == "tpu" and dt == jnp.float32
+        if nbr is not None and ncfg is not None:
+            # electrode rows of the Verlet list: O(Ne*K) instead of O(Ne*N)
+            from ..ops.neighbors import b_realspace_from_list
+            b = b + b_realspace_from_list(
+                ncfg, nbr, x, q_elyte, jnp.asarray(self.ele_idx),
+                self.elyte_mask, jnp.asarray(self.type_idx),
+                self.kernels.potential, g_ewald=g,
+                cut_coulsq=self.cut_coulsq)
+        elif (jax.default_backend() == "tpu" and dt == jnp.float32
                 and self.ne * x.shape[0] >= PALLAS_ROWS_MIN_PAIRS):
             # fused electrode-row kernel (ops/pallas/ele_rows_kernel.py):
             # the whole erfc/Gaussian chain in VMEM tiles
@@ -149,17 +157,17 @@ class ConpSolver:
         q_new, scalar, _ = self.solve_full(x, q, step)
         return q_new, scalar
 
-    def solve_full(self, x, q, step):
+    def solve_full(self, x, q, step, nbr=None, ncfg=None):
         """One charge update. Returns (q_new, scalar_output, rho_elyte).
 
         scalar: CONP induced charge dV*totsetq + sum_left(A^-1 b)
         (fix_conp.cpp:1159); CONQ required potential (fix_conq.cpp:78);
         COND dV (fix_cond.cpp:115).  rho_elyte is the cached electrolyte
-        density mesh in PPPM mode (None otherwise).
-        """
+        density mesh in PPPM mode (None otherwise).  ``nbr``/``ncfg``: the
+        engine's Verlet list, reused for the b real-space rows."""
         ctx = self.ctx
         cfg = self.cfg
-        b, rho_elyte = self.b_vector_full(x, q)
+        b, rho_elyte = self.b_vector_full(x, q, nbr, ncfg)
         if cfg.solver is Solver.CG:
             eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
         elif cfg.solver is Solver.CG_MATFREE:

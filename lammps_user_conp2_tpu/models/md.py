@@ -145,7 +145,15 @@ class Engine:
         if self.conp is not None:
             from .conp import PALLAS_ROWS_MIN_PAIRS
             kern = self.conp.kernels
-            if (_tpu_f32(x.dtype) and
+            if self.ncfg is not None and nbr is not None:
+                # electrode rows of the Verlet list: O(Ne*K)
+                from ..ops.neighbors import conp_correction_from_list
+                fc, ecorr = conp_correction_from_list(
+                    self.ncfg, nbr, x, q, jnp.asarray(self.conp.ele_idx),
+                    self.conp.elyte_mask, self.type_idx,
+                    kern.force, kern.potential,
+                    cutoff=self.md.cutoff, qqr2e=u.qqr2e)
+            elif (_tpu_f32(x.dtype) and
                     self.conp.ne * x.shape[0] >= PALLAS_ROWS_MIN_PAIRS):
                 # fused electrode-row kernel: no (Ne, N) HBM intermediates
                 from ..ops.pallas.ele_rows_kernel import conp_correction_pallas
@@ -216,11 +224,13 @@ class Engine:
         if self.conp is not None:
             nevery = self.conp.cfg.nevery
             if nevery == 1:
-                q, scalar, rho_elyte = self.conp.solve_full(x, q, state.step + 1)
+                q, scalar, rho_elyte = self.conp.solve_full(
+                    x, q, state.step + 1, nbr, self.ncfg)
             else:
                 q, scalar = jax.lax.cond(
                     (state.step + 1) % nevery == 0,
-                    lambda: self.conp.solve(x, q, state.step + 1),
+                    lambda: self.conp.solve_full(
+                        x, q, state.step + 1, nbr, self.ncfg)[:2],
                     lambda: (q, scalar))
 
         f, pe = self.compute_forces(x, q, scalar, rho_elyte, nbr)
@@ -259,14 +269,14 @@ class Engine:
                 v = jnp.where(self.integrator.mobile_mask[:, None], v, 0.0)
                 scalar = jnp.zeros((), dt)
                 rho_elyte = None
-                if self.conp is not None:
-                    q, scalar, rho_elyte = self.conp.solve_full(
-                        x, q, jnp.zeros((), jnp.int32))
                 nbr = None
                 if self.ncfg is not None:
                     from ..ops.neighbors import build_neighbor_list
                     nbr = build_neighbor_list(self.ncfg, x, self.tables,
                                               self.type_idx)
+                if self.conp is not None:
+                    q, scalar, rho_elyte = self.conp.solve_full(
+                        x, q, jnp.zeros((), jnp.int32), nbr, self.ncfg)
                 f, pe = self.compute_forces(x, q, scalar, rho_elyte, nbr)
                 return MDState(
                     x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),

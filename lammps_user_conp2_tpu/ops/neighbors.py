@@ -199,3 +199,76 @@ def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     ov = nlist.overflow
     f = jnp.where(ov, jnp.nan, f + df)
     return f, ev + dev, ec + dec, ov
+
+
+def ele_rows_from_list(nlist: NeighborList, ele_idx):
+    """Electrode rows of the neighbor list: (Ne, K) ids plus geometry-free
+    slices shared by the b-vector real block and the correction force."""
+    return nlist.idx[ele_idx]
+
+
+def b_realspace_from_list(ncfg: NeighborConfig, nlist: NeighborList, x,
+                          q_elyte, ele_idx, elyte_mask, type_idx,
+                          pair_potential_fn, *, g_ewald, cut_coulsq):
+    """b real-space rows from the electrode rows of the Verlet list:
+    b_i = -sum_j (erfc(g r)/r g + pot(r)) q_j over in-range electrolyte
+    neighbors (fix_conp.cpp:1281-1365) — O(Ne*K) instead of O(Ne*N)."""
+    from .erfc import erfcr_sqrt
+
+    n = x.shape[0]
+    dtype = x.dtype
+    idx_e = nlist.idx[ele_idx]                           # (Ne, K)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qep = jnp.pad(q_elyte, (0, 1))
+    elyp = jnp.pad(jnp.asarray(elyte_mask), (0, 1))
+    tp = jnp.pad(type_idx, (0, 1))
+    xe = x[ele_idx]
+    d = min_image(xe[:, None, :] - xp[idx_e], jnp.asarray(ncfg.grid.box, dtype),
+                  ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)
+    mask = (idx_e < n) & elyp[idx_e] & (rsq < cut_coulsq)
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    te = type_idx[ele_idx]
+    dudq = erfcr_sqrt(g_ewald * g_ewald * rsq_safe) * g_ewald \
+        + pair_potential_fn(rsq_safe, te[:, None], tp[idx_e])
+    b = -jnp.sum(jnp.where(mask, dudq, 0.0) * qep[idx_e], axis=1)
+    return jnp.where(nlist.overflow, jnp.nan, b)
+
+
+def conp_correction_from_list(ncfg: NeighborConfig, nlist: NeighborList, x,
+                              q, ele_idx, elyte_mask, type_idx,
+                              pair_force_fn, pair_potential_fn, *,
+                              cutoff, qqr2e):
+    """Gaussian correction force from the electrode rows of the Verlet list
+    (blist_coul_cal_post_force, fix_conp.cpp:1368-1444): forces on the
+    electrode rows plus Newton reactions scattered to the electrolyte
+    neighbors.  Returns (f (N, 3), ecorr)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    idx_e = nlist.idx[ele_idx]                           # (Ne, K)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qp = jnp.pad(q, (0, 1))
+    elyp = jnp.pad(jnp.asarray(elyte_mask), (0, 1))
+    tp = jnp.pad(type_idx, (0, 1))
+    xe = x[ele_idx]
+    qe = q[ele_idx]
+    te = type_idx[ele_idx]
+    d = min_image(xe[:, None, :] - xp[idx_e], jnp.asarray(ncfg.grid.box, dtype),
+                  ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)
+    mask = (idx_e < n) & elyp[idx_e] & (rsq < cutoff ** 2)
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    pref = qqr2e * qe[:, None] * qp[idx_e]
+    fk = pair_force_fn(rsq_safe, te[:, None], tp[idx_e])
+    ek = pair_potential_fn(rsq_safe, te[:, None], tp[idx_e])
+    forcecoul = jnp.where(mask, pref * fk, 0.0)
+    epair = jnp.where(mask, pref * ek, 0.0)
+    fpair = forcecoul / rsq_safe
+    fvec = fpair[:, :, None] * d                         # (Ne, K, 3)
+    f = jnp.zeros((n + 1, 3), dtype).at[idx_e.reshape(-1)].add(
+        -fvec.reshape(-1, 3))[:n]
+    f = f.at[jnp.asarray(ele_idx)].add(jnp.sum(fvec, axis=1))
+    f = jnp.where(nlist.overflow, jnp.nan, f)
+    return f, jnp.sum(epair)

@@ -42,6 +42,9 @@ def _build(args):
     if getattr(args, "pair_path", None):
         import dataclasses
         md = dataclasses.replace(md, pair_path=args.pair_path)
+    if getattr(args, "kmax", None):
+        import dataclasses
+        md = dataclasses.replace(md, neighbor_kmax=args.kmax)
     dtype = jnp.float32 if args.f32 else jnp.float64
     solver = setup_conp(system, md, cfg, solve_dtype=dtype)
     eng = build_engine(system, md, solver, dtype=dtype)
@@ -50,33 +53,58 @@ def _build(args):
 
 def cmd_run(args):
     import jax
-
-    import jax
     system, eng = _build(args)
     st = jax.block_until_ready(jax.jit(eng.init_state)())
-    cols = ["step", "temp", "qleft", "qright", "f_e", "pe"]
+    cols = ["step", "temp", "tempsl", "qleft", "qright", "dipole", "f_e", "pe"]
     out = open(args.log, "w") if args.log else sys.stdout
-    print("Step Temp c_qleft c_qright f_e PotEng", file=out)
+    # column-for-column the reference's thermo_style custom
+    # (tests/cond/input:74), plus PotEng
+    print("Step Temp c_tempsl c_qleft c_qright c_dipole f_e PotEng", file=out)
     th0 = {k: float(v) for k, v in eng.thermo(st).items()}
     print(" ".join(f"{th0[c]:.8g}" for c in cols), file=out)
     dumpf = open(args.dump, "w") if args.dump else None
     nchunk = args.thermo
-    # warm the scan compile outside the timed loop
-    _ = jax.block_until_ready(eng.run(st, nchunk, thermo_every=nchunk)[0])
-    t0 = time.time()
-    for start in range(0, args.steps, nchunk):
-        n = min(nchunk, args.steps - start)
-        st, th = eng.run(st, n, thermo_every=n)
-        row = {k: float(np.asarray(v)[-1]) for k, v in th.items()}
-        print(" ".join(f"{row[c]:.8g}" for c in cols), file=out, flush=True)
-        if dumpf is not None:
+    if dumpf is None:
+        # chain the ENTIRE run as one device program — thermo accumulates
+        # on-device, one host fetch at the end.  Per-chunk syncing costs
+        # ~35 ms fixed tunnel overhead per call and under-reported logged
+        # throughput ~20x (VALIDATION.md round 2).
+        eng.compile_run(st, args.steps)
+        t0 = time.time()
+        st, th = eng.run(st, args.steps, thermo_every=nchunk)
+        jax.block_until_ready(st.x)
+        wall = time.time() - t0
+        th = {k: np.asarray(v) for k, v in th.items()}
+        for i in range(len(th["step"])):
+            print(" ".join(f"{float(th[c][i]):.8g}" for c in cols), file=out)
+    else:
+        # trajectory dumps need per-chunk host fetches
+        _ = jax.block_until_ready(eng.run(st, nchunk, thermo_every=nchunk)[0])
+        t0 = time.time()
+        for start in range(0, args.steps, nchunk):
+            n = min(nchunk, args.steps - start)
+            st, th = eng.run(st, n, thermo_every=n)
+            row = {k: float(np.asarray(v)[-1]) for k, v in th.items()}
+            print(" ".join(f"{row[c]:.8g}" for c in cols), file=out, flush=True)
             from .utils import dump as dumpio
             dumpio.write_dump_frame(dumpf, int(row["step"]), system.natoms,
                                     system.box_lo, system.box_hi, system.tag,
                                     np.asarray(st.x), np.asarray(st.q))
-    wall = time.time() - t0
+        wall = time.time() - t0
     print(f"# Loop time {wall:.3f} s for {args.steps} steps "
           f"({args.steps / wall:.3f} steps/s)", file=out)
+    if args.log and not args.no_timing:
+        # per-run timing flush — the analogue of the reference's
+        # Btime/Ctime/Ktime + CG-iteration log lines at run end
+        # (fix_conp.cpp:553-567, 926-928)
+        from .utils.timers import profile_step
+        prof = profile_step(eng, st, iters=3)
+        for k, v in prof.items():
+            print(f"# {k}: {v * 1e3:.3f} ms", file=out)
+        if eng.conp is not None:
+            it = eng.conp.cg_iterations(st.x, st.q, st.nbr, eng.ncfg)
+            if it:
+                print(f"# cg_iterations: {it}", file=out)
     if args.checkpoint:
         from .utils.checkpoint import save_checkpoint
         save_checkpoint(args.checkpoint, eng, st)
@@ -138,6 +166,7 @@ def cmd_run_suite(args):
         a.log = log
         a.dump = None
         a.checkpoint = None
+        a.no_timing = True
         cmd_run(a)
         logs.append(log)
     a = argparse.Namespace(logs=logs, column=col)
@@ -169,6 +198,9 @@ def main(argv=None):
                             "the reference's is inv, fix_conp.cpp:90)")
         p.add_argument("--pair-path", choices=("auto", "dense", "cell", "nlist"),
                        default=None, help="real-space pair path override")
+        p.add_argument("--kmax", type=int, default=None,
+                       help="Verlet-list per-atom capacity override (default: "
+                            "sized from the max neighbor count at x0)")
 
     p = sub.add_parser("run")
     add_common(p)
@@ -177,6 +209,8 @@ def main(argv=None):
     p.add_argument("--log", default=None)
     p.add_argument("--dump", default=None)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--no-timing", action="store_true",
+                   help="skip the per-phase timing flush at run end")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("run-suite")

@@ -215,6 +215,32 @@ class ConpSolver:
         q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
         return q_new, scalar, rho_elyte
 
+    def cg_iterations(self, x, q, nbr=None, ncfg=None) -> int:
+        """CG iteration count for the current configuration — the per-solve
+        trace the reference flushes to its timing log (fix_conp.cpp:926-928).
+        Returns 0 for the direct INV solver."""
+        cfg = self.cfg
+        if cfg.solver is Solver.INV:
+            return 0
+
+        @jax.jit
+        def count(x, q):
+            xx = x.astype(self.solve_dtype)
+            qq = q.astype(self.solve_dtype)
+            b, _ = self.b_vector_full(xx, qq, nbr, ncfg)
+            if cfg.solver is Solver.CG:
+                _, it = cg_solve(self.ctx.amat, b, cfg.cg_tolerance,
+                                 cfg.cg_maxiter)
+            else:
+                xe = xx[self.ele_idx]
+                apply_a = make_matfree_operator(
+                    self.fksp, xe, self.ctx.real_block, self.ctx.diag_extra,
+                    slabflag=self.ksp.slabflag, volume=self.ksp.volume)
+                _, it = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
+            return it
+
+        return int(count(jnp.asarray(x), jnp.asarray(q)))
+
 
 def cg_solve(amat, b, tol: float, maxiter: int):
     """Neutrality-projected conjugate gradient (FixConp::cg,

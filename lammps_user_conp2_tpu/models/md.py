@@ -84,6 +84,7 @@ class Engine:
                 self.exclusions, g_ewald=self.ksp_force.g_ewald,
                 qqr2e=u.qqr2e)
             evdwl = jnp.where(overflow, jnp.nan, evdwl)
+            ecoul = jnp.where(overflow, jnp.nan, ecoul)
         elif self.cell_grid is not None:
             from ..ops.cells import cell_pair_forces
             f, evdwl, ecoul, overflow = cell_pair_forces(
@@ -92,6 +93,7 @@ class Engine:
             # fail loud on cell overflow: poison the energy (checked by
             # callers/bench; silent truncation would corrupt physics)
             evdwl = jnp.where(overflow, jnp.nan, evdwl)
+            ecoul = jnp.where(overflow, jnp.nan, ecoul)
         elif self.use_pallas:
             from ..ops.pallas.pair_kernel import pair_forces_pallas
             f, evdwl, ecoul = pair_forces_pallas(
@@ -218,6 +220,11 @@ class Engine:
                                                self.type_idx),
                 lambda xx: nbr,
                 x)
+            # sticky overflow: once the capacity is exceeded the physics is
+            # NaN-poisoned, and a later rebuild from NaN positions would
+            # silently clear the flag — keep it set so the host-boundary
+            # recovery in run() can identify overflow as the cause
+            nbr = nbr._replace(overflow=nbr.overflow | state.nbr.overflow)
 
         scalar = state.scalar_out
         rho_elyte = None
@@ -289,38 +296,121 @@ class Engine:
 
     # ---------------------------------------------------------------- run
     def thermo(self, state: MDState):
-        """One row of thermo scalars: step, T(all), qleft, qright, f_e, pe."""
+        """One row of thermo scalars matching the reference decks'
+        ``thermo_style custom step temp c_tempsl c_qleft c_qright c_dipole
+        f_e`` (tests/cond/input:74): all-atom T, solvent-group T
+        (compute tempsl sol temp, input:46), electrode charges, electrolyte
+        dipole sum(q*z) over sol (compute dipole sol reduce sum v_qz,
+        input:36+48), fix scalar, potential energy."""
         u = self.system.units()
         nall = self.system.natoms
         ncons = 0 if self.cons is None else self.cons.ncons
         dof_all = 3 * nall - 3 - ncons
         t_all = group_temperature(state.v, self.integrator.mass,
                                   jnp.ones(nall, bool), float(dof_all), u)
+        sol = self.system.groups.get("sol")
+        if sol is None and self.md.thermostats:
+            sol = self.system.groups[self.md.thermostats[0].group]
+        if sol is not None:
+            nsol = int(np.sum(sol))
+            ncons_sol = 0 if self.cons is None else self.cons.n_in_group(sol)
+            dof_sol = 3 * nsol - 3 - ncons_sol
+            t_sl = group_temperature(state.v, self.integrator.mass,
+                                     jnp.asarray(sol), float(dof_sol), u)
+            dipole = jnp.sum(jnp.where(jnp.asarray(sol),
+                                       state.q * state.x[:, 2], 0.0))
+        else:
+            t_sl = t_all
+            dipole = jnp.sum(state.q * state.x[:, 2])
         lmask = jnp.asarray(self.system.ele_left_mask)
         rmask = jnp.asarray(self.system.ele_right_mask)
         qleft = jnp.sum(jnp.where(lmask, state.q, 0.0))
         qright = jnp.sum(jnp.where(rmask, state.q, 0.0))
-        return dict(step=state.step, temp=t_all, qleft=qleft, qright=qright,
-                    f_e=state.scalar_out, pe=state.energy)
+        return dict(step=state.step, temp=t_all, tempsl=t_sl, qleft=qleft,
+                    qright=qright, dipole=dipole, f_e=state.scalar_out,
+                    pe=state.energy)
+
+    def _make_run(self, nsteps: int):
+        def body(st, _):
+            st = self.step(st)
+            return st, self.thermo(st)
+
+        return jax.jit(lambda st: jax.lax.scan(body, st, None, length=nsteps))
+
+    def compile_run(self, state: MDState, nsteps: int) -> None:
+        """AOT-compile the nsteps scan for ``state``'s shapes so a following
+        run() call executes without paying the compile — lets callers (CLI
+        logged runs) time pure device throughput, the analogue of bench.py's
+        warmed chained loops."""
+        if nsteps not in self._run_cache:
+            self._run_cache[nsteps] = \
+                self._make_run(nsteps).lower(state).compile()
+
+    def _grow_neighbor_capacity(self) -> None:
+        """Grow the Verlet-list K and cell-table capacity after an overflow
+        and drop the compiled programs (shapes change).  The analogue of
+        LAMMPS's neighbor-page reallocation (SURVEY.md section 2.3-1)."""
+        if self.ncfg is not None:
+            g = self.ncfg.grid
+            grid = dataclasses.replace(g, cap=2 * g.cap)
+            object.__setattr__(self, "ncfg", dataclasses.replace(
+                self.ncfg, grid=grid, k_max=2 * self.ncfg.k_max))
+        elif self.cell_grid is not None:
+            g = self.cell_grid
+            object.__setattr__(self, "cell_grid",
+                               dataclasses.replace(g, cap=2 * g.cap))
+        self._run_cache.clear()
 
     def run(self, state: MDState, nsteps: int, *, thermo_every: int = 1):
-        """jit + lax.scan main loop; returns (final_state, thermo pytree)."""
-        go = self._run_cache.get(nsteps)
-        if go is None:
-            def body(st, _):
-                st = self.step(st)
-                return st, self.thermo(st)
+        """jit + lax.scan main loop; returns (final_state, thermo pytree).
 
-            @jax.jit
-            def go(st):
-                return jax.lax.scan(body, st, None, length=nsteps)
+        If the run NaN-poisons through a neighbor-capacity overflow (sticky
+        ``nbr.overflow``), the capacity is grown and the whole chunk re-runs
+        from the entry state — a long production run recovers instead of
+        dying (LAMMPS reallocates neighbor storage; SURVEY.md 2.3-1)."""
+        def execute(st):
+            go = self._run_cache.get(nsteps)
+            if go is None:
+                go = self._make_run(nsteps)
+                self._run_cache[nsteps] = go
+            return go(st)
 
-            self._run_cache[nsteps] = go
-
-        final, th = go(state)
+        final, th = execute(state)
+        if self.ncfg is not None and state.nbr is not None:
+            for _ in range(3):
+                if np.isfinite(float(final.energy)) or \
+                        not bool(final.nbr.overflow):
+                    break
+                self._grow_neighbor_capacity()
+                state = self._heal_state(state)
+                final, th = execute(state)
         if thermo_every > 1:
             th = jax.tree.map(lambda a: a[thermo_every - 1::thermo_every], th)
         return final, th
+
+    def _heal_state(self, state: MDState) -> MDState:
+        """Rebuild all DERIVED state (neighbor list, electrode charges,
+        forces) from (x, v) with the current — possibly grown — capacities.
+        Positions/velocities/thermostat state pass through; NaN-poisoned
+        q[ele]/f from an overflowed entry state are overwritten (the charge
+        solve masks electrode charges out of b, so stale NaNs don't
+        propagate)."""
+        from ..ops.neighbors import build_neighbor_list
+
+        @jax.jit
+        def heal(st: MDState) -> MDState:
+            nbr = None
+            if self.ncfg is not None:
+                nbr = build_neighbor_list(self.ncfg, st.x, self.tables,
+                                          self.type_idx)
+            q, scalar, rho_elyte = st.q, st.scalar_out, None
+            if self.conp is not None:
+                q, scalar, rho_elyte = self.conp.solve_full(
+                    st.x, st.q, st.step, nbr, self.ncfg)
+            f, pe = self.compute_forces(st.x, q, scalar, rho_elyte, nbr)
+            return st._replace(q=q, f=f, scalar_out=scalar, energy=pe, nbr=nbr)
+
+        return heal(state)
 
 
 def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None,
@@ -384,11 +474,12 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     ncfg = None
     big_n = (system.natoms > 8192 and
              all(b >= 4.0 * md.cutoff for b in system.box))
-    want_cell = md.pair_path == "cell" or (md.pair_path == "auto" and big_n)
+    # auto selects exactly ONE path (the Verlet list — both the single-chip
+    # and the sharded engine consume it); building both would carry a dead
+    # (N, K) list through every step of a cell-path run (~200 MB at 100k)
+    want_cell = md.pair_path == "cell"
     want_nlist = md.pair_path == "nlist" or (md.pair_path == "auto" and big_n)
     if want_cell:
-        # kept alongside the neighbor list: the sharded engine consumes
-        # cell_grid (parallel/sharded.py)
         from ..ops.cells import build_cell_grid
         cell_grid = build_cell_grid(system.box, tuple(system.box_lo),
                                     md.cutoff, system.natoms,
@@ -397,7 +488,8 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         from ..ops.neighbors import make_neighbor_config
         ncfg = make_neighbor_config(
             system.box, tuple(system.box_lo), md.cutoff, system.natoms,
-            periodic=system.periodic, skin=md.neighbor_skin)
+            periodic=system.periodic, skin=md.neighbor_skin,
+            k_max=md.neighbor_kmax, x0=system.x0)
 
     use_pallas = md.use_pallas_pair
     if use_pallas is None:

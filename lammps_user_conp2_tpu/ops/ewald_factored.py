@@ -151,11 +151,16 @@ KXY_CHUNK = 1024
 
 
 def _pad_kxy(kxy, chunk):
-    nxy = len(kxy)
+    """Pad the kxy axis to a chunk multiple.  Trace-safe: shapes are static
+    under jit even for traced arrays (the sharded step passes the device-
+    local k-shard as a shard_map argument), so jnp.pad works for both
+    concrete and traced inputs — np.asarray on a tracer would raise
+    TracerArrayConversionError."""
+    kxy = jnp.asarray(kxy)
+    nxy = kxy.shape[0]
     npad = (-nxy) % chunk
     if npad:
-        kxy = np.concatenate([np.asarray(kxy),
-                              np.zeros((npad, 2), np.asarray(kxy).dtype)])
+        kxy = jnp.pad(kxy, ((0, npad), (0, 0)))
     return kxy, nxy
 
 
@@ -189,7 +194,7 @@ def _structure_factor_chunked(x, q, kxy, kz, unitk, chunk=KXY_CHUNK):
     tables are GBs."""
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     kxy_p, nxy = _pad_kxy(kxy, chunk)
-    blocks = jnp.asarray(np.asarray(kxy_p).reshape(-1, chunk, 2))
+    blocks = kxy_p.reshape(-1, chunk, 2)
     zr, zi = _z_tables(x, kz, unitk)
     qzr = q[:, None] * zr
     qzi = q[:, None] * zi
@@ -272,11 +277,10 @@ def _energy_forces_chunked(x, q, kxy, kz, unitk, ug, chunk=KXY_CHUNK):
     dtype = x.dtype
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     kxy_p, nxy = _pad_kxy(kxy, chunk)
-    nc = len(kxy_p) // chunk
-    blocks = jnp.asarray(np.asarray(kxy_p).reshape(nc, chunk, 2))
-    ug_p = np.zeros((len(kxy_p), np.asarray(ug).shape[1]))
-    ug_p[:nxy] = np.asarray(ug)                  # pad rows: ug=0, no effect
-    ug_b = jnp.asarray(ug_p.reshape(nc, chunk, -1), dtype)
+    nc = kxy_p.shape[0] // chunk
+    blocks = kxy_p.reshape(nc, chunk, 2)
+    ug = jnp.asarray(ug, dtype)                  # pad rows: ug=0, no effect
+    ug_b = jnp.pad(ug, ((0, nc * chunk - nxy), (0, 0))).reshape(nc, chunk, -1)
 
     zr, zi = _z_tables(x, kz, unitk)
     qzr = q[:, None] * zr

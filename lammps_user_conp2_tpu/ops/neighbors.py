@@ -54,17 +54,59 @@ class NeighborConfig:
 
 def make_neighbor_config(box, box_lo, cutoff, natoms, *, periodic,
                          skin=1.0, k_max=None,
-                         density_safety=3.0) -> NeighborConfig:
+                         density_safety=3.0, x0=None) -> NeighborConfig:
     from .cells import build_cell_grid
     grid = build_cell_grid(box, box_lo, cutoff + skin, natoms,
                            periodic=periodic, density_safety=density_safety)
     if k_max is None:
-        # expected neighbors in the list sphere x 1.6 safety, lane-rounded
-        rho = natoms / (box[0] * box[1] * box[2])
-        nexp = rho * 4.0 / 3.0 * np.pi * (cutoff + skin) ** 3
-        k_max = int(np.ceil(nexp * 1.6 / 8.0) * 8) + 8
+        if x0 is not None:
+            # size from the ACTUAL max neighbor count at x0: conp systems
+            # are strongly inhomogeneous (dense electrode lattice planes vs
+            # dilute electrolyte), so a mean-density estimate can undersize
+            # the list for electrode atoms and NaN-poison mid-run.  1.5x
+            # headroom for density fluctuations; Engine.run's overflow
+            # recovery (grow-and-retry) is the backstop.
+            nmax = count_max_neighbors(grid, np.asarray(x0))
+            k_max = int(np.ceil(nmax * 1.5 / 8.0) * 8) + 8
+        else:
+            # expected neighbors in the list sphere x 1.6 safety, lane-rounded
+            rho = natoms / (box[0] * box[1] * box[2])
+            nexp = rho * 4.0 / 3.0 * np.pi * (cutoff + skin) ** 3
+            k_max = int(np.ceil(nexp * 1.6 / 8.0) * 8) + 8
     return NeighborConfig(grid=grid, k_max=int(k_max), cutoff=float(cutoff),
                           skin=float(skin))
+
+
+def count_max_neighbors(grid: CellGrid, x, cell_chunk: int = 256) -> int:
+    """Exact max per-atom neighbor count within grid.cutoff at positions x
+    (setup-time sizing).  Scanned over cell chunks: the full (C, cap, m)
+    candidate cube is GBs at 100k atoms and OOMs the device in one shot."""
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    table, cols, _ = candidate_columns(grid, x)
+    c = table.shape[0]
+    padc = (-c) % cell_chunk
+    table = jnp.pad(table, ((0, padc), (0, 0)), constant_values=n)
+    cols = jnp.pad(cols, ((0, padc), (0, 0)), constant_values=n)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], x.dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    boxj = jnp.asarray(grid.box, x.dtype)
+    nblk = table.shape[0] // cell_chunk
+
+    def body(_, blk):
+        tb, cb = blk
+        d = xp[tb][:, :, None, :] - xp[cb][:, None, :, :]
+        d = min_image(d, boxj, grid.periodic)
+        rsq = jnp.sum(d * d, axis=-1)
+        inr = (tb[:, :, None] != cb[:, None, :]) \
+            & (tb[:, :, None] < n) & (cb[:, None, :] < n) \
+            & (rsq < grid.cutoff ** 2)
+        return None, jnp.max(jnp.sum(inr, axis=2))
+
+    _, maxes = jax.lax.scan(
+        body, None,
+        (table.reshape(nblk, cell_chunk, -1), cols.reshape(nblk, cell_chunk, -1)))
+    return int(jnp.max(maxes))
 
 
 def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
@@ -234,6 +276,77 @@ def b_realspace_from_list(ncfg: NeighborConfig, nlist: NeighborList, x,
         + pair_potential_fn(rsq_safe, te[:, None], tp[idx_e])
     b = -jnp.sum(jnp.where(mask, dudq, 0.0) * qep[idx_e], axis=1)
     return jnp.where(nlist.overflow, jnp.nan, b)
+
+
+def b_realspace_rows_from_list(ncfg: NeighborConfig, nlist: NeighborList, x,
+                               q_elyte, eidx_rows, evalid, elyte_mask,
+                               type_idx, pair_potential_fn, *, g_ewald,
+                               cut_coulsq):
+    """Device-local electrode-row block of b_realspace_from_list: the caller
+    holds an (Ne/D,) slice of electrode ids (``eidx_rows``, padded rows
+    masked by ``evalid``) and all_gathers the result — the multi-chip path
+    inherits the single-chip O(Ne*K) asymptotics instead of a dense
+    (Ne/D, N) sweep (fix_conp.cpp:1281-1444 is one neighbor sweep, never an
+    all-atoms scan)."""
+    from .erfc import erfcr_sqrt
+
+    n = x.shape[0]
+    dtype = x.dtype
+    idx_e = nlist.idx[eidx_rows]                         # (Ne/D, K)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qep = jnp.pad(q_elyte, (0, 1))
+    elyp = jnp.pad(jnp.asarray(elyte_mask), (0, 1))
+    tp = jnp.pad(type_idx, (0, 1))
+    xe = x[eidx_rows]
+    d = min_image(xe[:, None, :] - xp[idx_e], jnp.asarray(ncfg.grid.box, dtype),
+                  ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)
+    mask = (idx_e < n) & elyp[idx_e] & (rsq < cut_coulsq) & evalid[:, None]
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    te = type_idx[eidx_rows]
+    dudq = erfcr_sqrt(g_ewald * g_ewald * rsq_safe) * g_ewald \
+        + pair_potential_fn(rsq_safe, te[:, None], tp[idx_e])
+    b = -jnp.sum(jnp.where(mask, dudq, 0.0) * qep[idx_e], axis=1)
+    return jnp.where(nlist.overflow, jnp.nan, b)
+
+
+def conp_correction_rows_from_list(ncfg: NeighborConfig, nlist: NeighborList,
+                                   x, q, eidx_rows, evalid, elyte_mask,
+                                   type_idx, pair_force_fn, pair_potential_fn,
+                                   *, cutoff, qqr2e):
+    """Device-local electrode-row block of conp_correction_from_list: forces
+    for MY electrode rows plus their Newton reactions scattered into a local
+    (N, 3) array — the caller psums over devices.  Returns
+    (f_partial (N, 3), ecorr_partial)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    idx_e = nlist.idx[eidx_rows]                         # (Ne/D, K)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    qp = jnp.pad(q, (0, 1))
+    elyp = jnp.pad(jnp.asarray(elyte_mask), (0, 1))
+    tp = jnp.pad(type_idx, (0, 1))
+    xe = x[eidx_rows]
+    qe = q[eidx_rows]
+    te = type_idx[eidx_rows]
+    d = min_image(xe[:, None, :] - xp[idx_e], jnp.asarray(ncfg.grid.box, dtype),
+                  ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)
+    mask = (idx_e < n) & elyp[idx_e] & (rsq < cutoff ** 2) & evalid[:, None]
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    pref = qqr2e * qe[:, None] * qp[idx_e]
+    fk = pair_force_fn(rsq_safe, te[:, None], tp[idx_e])
+    ek = pair_potential_fn(rsq_safe, te[:, None], tp[idx_e])
+    forcecoul = jnp.where(mask, pref * fk, 0.0)
+    epair = jnp.where(mask, pref * ek, 0.0)
+    fpair = forcecoul / rsq_safe
+    fvec = fpair[:, :, None] * d                         # (Ne/D, K, 3)
+    f = jnp.zeros((n + 1, 3), dtype).at[idx_e.reshape(-1)].add(
+        -fvec.reshape(-1, 3))[:n]
+    f = f.at[eidx_rows].add(jnp.sum(fvec, axis=1))
+    f = jnp.where(nlist.overflow, jnp.nan, f)
+    return f, jnp.sum(epair)
 
 
 def conp_correction_from_list(ncfg: NeighborConfig, nlist: NeighborList, x,

@@ -307,7 +307,25 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             f = f + qqr2e * fs
             pe = pe + qqr2e * es
 
-        if conp is not None:
+        if conp is not None and engine.ncfg is not None and cell_grid is None \
+                and nbr is not None:
+            # Gaussian correction from MY electrode rows of the Verlet list —
+            # O(Ne*K/D); the multi-chip path inherits the single-chip
+            # asymptotics (blist_coul_cal_post_force is one neighbor sweep,
+            # fix_conp.cpp:1368-1444)
+            from ..ops import neighbors as nbr_ops
+            kern = conp.kernels
+            f_part, e_l = nbr_ops.conp_correction_rows_from_list(
+                engine.ncfg, nbr, x, q, eidx_l, evalid_l, conp.elyte_mask,
+                type_idx, kern.force, kern.potential,
+                cutoff=md.cutoff, qqr2e=qqr2e)
+            f = f + jax.lax.psum(f_part, axis)
+            pe = pe + jax.lax.psum(e_l, axis)
+            qsq_ele = jnp.sum(jnp.where(elecheck != 0,
+                                        jnp.asarray(kern.self_diag, x.dtype) * q * q, 0.0))
+            fac = 0.5 if conp.cfg.pairmode is PairMode.ETA else 1.0
+            pe = pe + qqr2e * fac * qsq_ele
+        elif conp is not None:
             # Gaussian correction over MY electrode rows vs all atoms —
             # O(Ne*N/D) instead of the O(N^2/D) xor sweep; reaction forces
             # on the electrolyte come from the same tile's column sums
@@ -435,7 +453,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
         return q_new, scalar
 
-    def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
+    def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0,
+                      nbr=None):
         """Row/k-sharded charge solve.
 
         Returns replicated (q_new, scalar, rho_elyte) — rho_elyte is the
@@ -472,18 +491,29 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 xe_all, sr_l, si_l, kv_l, jnp.asarray(fk.kz), fk.unitk, ug_l)
             b = jax.lax.psum(b, axis)
 
-        # real-space: my electrode rows vs all atoms
-        xe_l = x[eidx_l]
-        g = ksp.g_ewald
-        dx = min_image(xe_l[:, None, :] - x[None, :, :], jnp.asarray(box, x.dtype),
-                       periodic)
-        rsq = jnp.sum(dx * dx, axis=-1)
-        mask = elyte[None, :] & (rsq < conp.cut_coulsq) & evalid_l[:, None]
-        rsq_safe = jnp.where(mask, rsq, 1.0)
-        te_l = type_idx[eidx_l]
-        dudq = erfcr_sqrt(g * g * rsq_safe) * g + conp.kernels.potential(
-            rsq_safe, te_l[:, None], type_idx[None, :])
-        br_l = -jnp.sum(jnp.where(mask, dudq, 0.0) * q_elyte[None, :], axis=1)
+        if engine.ncfg is not None and cell_grid is None and nbr is not None:
+            # my electrode rows of the Verlet list: O(Ne*K/D) instead of a
+            # dense (Ne/D, N) sweep (fix_conp.cpp:1281-1365 is one neighbor
+            # sweep over the blist, never an all-atoms scan)
+            from ..ops import neighbors as nbr_ops
+            br_l = nbr_ops.b_realspace_rows_from_list(
+                engine.ncfg, nbr, x, q_elyte, eidx_l, evalid_l,
+                conp.elyte_mask, type_idx, conp.kernels.potential,
+                g_ewald=ksp.g_ewald, cut_coulsq=conp.cut_coulsq)
+        else:
+            # real-space: my electrode rows vs all atoms
+            xe_l = x[eidx_l]
+            g = ksp.g_ewald
+            dx = min_image(xe_l[:, None, :] - x[None, :, :],
+                           jnp.asarray(box, x.dtype), periodic)
+            rsq = jnp.sum(dx * dx, axis=-1)
+            mask = elyte[None, :] & (rsq < conp.cut_coulsq) & evalid_l[:, None]
+            rsq_safe = jnp.where(mask, rsq, 1.0)
+            te_l = type_idx[eidx_l]
+            dudq = erfcr_sqrt(g * g * rsq_safe) * g + conp.kernels.potential(
+                rsq_safe, te_l[:, None], type_idx[None, :])
+            br_l = -jnp.sum(jnp.where(mask, dudq, 0.0) * q_elyte[None, :],
+                            axis=1)
         br = jax.lax.all_gather(br_l, axis, axis=0, tiled=True)[:ne]
         b = b + br
 
@@ -522,13 +552,16 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                                                engine.tables, type_idx),
                 lambda xx: nbr,
                 x)
+            # sticky overflow flag (see Engine.step): keeps the poisoning
+            # cause identifiable after a post-NaN rebuild
+            nbr = nbr._replace(overflow=nbr.overflow | state.nbr.overflow)
 
         scalar = state.scalar_out
         rho_elyte = None
         if conp is not None:
             nevery = conp.cfg.nevery
             solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
-                                          asolve_l, eidx_l, evalid_l, e0)
+                                          asolve_l, eidx_l, evalid_l, e0, nbr)
             if nevery == 1:
                 q, scalar, rho_elyte = solve()
             else:

@@ -136,6 +136,11 @@ class MDConfig:
     # Verlet-list skin (Angstrom): list radius = cutoff + skin, rebuilt when
     # any atom moves more than skin/2 (LAMMPS neigh_modify check yes)
     neighbor_skin: float = 1.0
+    # per-atom neighbor-list capacity K; None = sized from the actual max
+    # neighbor count at x0 (conp systems are strongly inhomogeneous — dense
+    # electrode planes vs dilute electrolyte — so a mean-density estimate
+    # can undersize the list and NaN-poison mid-run)
+    neighbor_kmax: Optional[int] = None
     # dtype for the force/integration path; solve path is configured separately
     dtype: str = "float64"
     solve_dtype: str = "float64"

@@ -27,35 +27,73 @@ def _time_it(fn, args, iters=10):
 
 
 def profile_step(engine, state, *, iters: int = 10, log_path: str | None = None):
-    """Returns {phase: seconds} — b-vector (Btime+Ktime analogue), charge
-    solve, pair forces, k-space forces, constraint, full step."""
-    from ..ops.pairs import dense_pair_forces
+    """Returns {phase: seconds}: b-vector (Btime+Ktime analogue), charge
+    solve, pair forces, k-space phases, neighbor rebuild, full step.
 
+    Each phase is timed on the engine's ACTUAL configured path (Verlet list /
+    cell / Pallas / dense; mesh or factored k-space) so the breakdown is
+    meaningful at production scale — the dense pair sweep alone would be
+    O(N^2) at 100k atoms."""
     sys = engine.system
     u = sys.units()
-    x, q = state.x, state.q
+    x, q, nbr = state.x, state.q, state.nbr
     res = {}
     if engine.conp is not None:
         res["b_vector"] = _time_it(
-            jax.jit(lambda x, q: engine.conp.b_vector(x, q)), (x, q), iters)
+            jax.jit(lambda x, q: engine.conp.b_vector_full(
+                x, q, nbr, engine.ncfg)[0]), (x, q), iters)
         res["charge_solve"] = _time_it(
-            jax.jit(lambda x, q: engine.conp.solve(x, q, 0)), (x, q), iters)
-    res["pair_forces"] = _time_it(
-        jax.jit(lambda x, q: dense_pair_forces(
-            x, q, engine.type_idx, engine.tables, engine.exclusions,
-            box=engine.ksp_force.box, periodic=sys.periodic,
-            cutoff=engine.md.cutoff, g_ewald=engine.ksp_force.g_ewald,
-            qqr2e=u.qqr2e)), (x, q), iters)
+            jax.jit(lambda x, q: engine.conp.solve_full(
+                x, q, 0, nbr, engine.ncfg)[:2]), (x, q), iters)
+    if engine.ncfg is not None and nbr is not None:
+        from ..ops.neighbors import build_neighbor_list, nlist_pair_forces
+        res["pair_forces"] = _time_it(
+            jax.jit(lambda x, q: nlist_pair_forces(
+                engine.ncfg, nbr, x, q, engine.type_idx, engine.tables,
+                engine.exclusions, g_ewald=engine.ksp_force.g_ewald,
+                qqr2e=u.qqr2e)), (x, q), iters)
+        res["nbr_rebuild"] = _time_it(
+            jax.jit(lambda x: build_neighbor_list(
+                engine.ncfg, x, engine.tables, engine.type_idx)), (x,), iters)
+    elif engine.cell_grid is not None:
+        from ..ops.cells import cell_pair_forces
+        res["pair_forces"] = _time_it(
+            jax.jit(lambda x, q: cell_pair_forces(
+                engine.cell_grid, x, q, engine.type_idx, engine.tables,
+                engine.exclusions, g_ewald=engine.ksp_force.g_ewald,
+                qqr2e=u.qqr2e)), (x, q), iters)
+    elif engine.use_pallas:
+        from ..ops.pallas.pair_kernel import pair_forces_pallas
+        res["pair_forces"] = _time_it(
+            jax.jit(lambda x, q: pair_forces_pallas(
+                x, q, engine.type_idx, engine.tables, engine.exclusions,
+                box=engine.ksp_force.box, periodic=sys.periodic,
+                cutoff=engine.md.cutoff, g_ewald=engine.ksp_force.g_ewald,
+                qqr2e=u.qqr2e)), (x, q), iters)
+    else:
+        from ..ops.pairs import dense_pair_forces
+        res["pair_forces"] = _time_it(
+            jax.jit(lambda x, q: dense_pair_forces(
+                x, q, engine.type_idx, engine.tables, engine.exclusions,
+                box=engine.ksp_force.box, periodic=sys.periodic,
+                cutoff=engine.md.cutoff, g_ewald=engine.ksp_force.g_ewald,
+                qqr2e=u.qqr2e)), (x, q), iters)
+    if engine.pppm_grid is not None:
+        from ..ops import pppm as pppm_ops
+        grid = engine.pppm_grid
+        rho = pppm_ops.spread(grid, x, q)
+        res["pppm_spread"] = _time_it(
+            jax.jit(lambda x, q: pppm_ops.spread(grid, x, q)), (x, q), iters)
+        res["pppm_fft"] = _time_it(
+            jax.jit(lambda r: pppm_ops.pppm_energy_efield(grid, r)),
+            (rho,), iters)
+        ef = pppm_ops.pppm_energy_efield(grid, rho)[1]
+        res["pppm_gather"] = _time_it(
+            jax.jit(lambda e, x: pppm_ops.gather3(grid, e, x)), (ef, x), iters)
     if engine.fksp is not None:
         from ..ops import ewald_factored as ewf
         res["kspace_forces"] = _time_it(
             jax.jit(lambda x, q: ewf.energy_forces_f(engine.fksp, x, q)),
-            (x, q), iters)
-    elif engine.pppm_grid is not None:
-        from ..ops import pppm as pppm_ops
-        res["kspace_forces"] = _time_it(
-            jax.jit(lambda x, q: pppm_ops.pppm_forces(
-                engine.pppm_grid, pppm_ops.spread(engine.pppm_grid, x, q), x, q)),
             (x, q), iters)
     res["full_step"] = _time_it(jax.jit(engine.step), (state,), iters)
     if log_path:

@@ -97,6 +97,12 @@ def test_md_20steps_matches_reference_temperature(dilute0):
     tsl = float(group_temperature(final.v, eng.integrator.mass, sol, float(dof),
                                   system.units()))
     assert abs(tsl - REF_TEMPSL_STEP20) / REF_TEMPSL_STEP20 < 2e-4
+    # the thermo row carries the same c_tempsl column (and c_dipole) —
+    # column-for-column parity with thermo_style custom step temp c_tempsl
+    # c_qleft c_qright c_dipole f_e (tests/cond/input:74, dilute persist.log)
+    assert abs(float(th["tempsl"][-1]) - tsl) < 1e-8
+    dip = float(jnp.sum(jnp.where(sol, final.q * final.x[:, 2], 0.0)))
+    assert abs(float(th["dipole"][-1]) - dip) < 1e-10
     # charges stay neutral along the trajectory
     assert float(np.abs(np.asarray(th["qleft"]) + np.asarray(th["qright"])).max()) < 1e-10
 

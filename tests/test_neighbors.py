@@ -58,6 +58,35 @@ def test_nlist_engine_trajectory_matches_dense():
     assert float(jnp.abs(s1f.x - s2f.x).max()) < 1e-9
 
 
+def test_overflow_recovery_grows_capacity():
+    """A deliberately undersized K NaN-poisons the physics (fail-loud);
+    Engine.run detects the sticky overflow flag at the host boundary, grows
+    the capacity, heals derived state, and completes with correct physics —
+    the analogue of LAMMPS neighbor-page reallocation (SURVEY.md 2.3-1)."""
+    system, md, cfg = workloads.synthetic(n_elyte=512, nele_side=8, lz=60.0,
+                                          lxy=24.0)
+    md_ok = dataclasses.replace(md, pair_path="nlist", use_pallas_pair=False)
+    md_bad = dataclasses.replace(md_ok, neighbor_kmax=4)
+    conp = setup_conp(system, md_ok, cfg)
+    eng_ok = build_engine(system, md_ok, conp)
+    eng_bad = build_engine(system, md_bad, conp)
+    st_bad = eng_bad.init_state()
+    # K=8 overflows at the very first build: init state is poisoned
+    assert bool(st_bad.nbr.overflow)
+    assert not np.isfinite(float(st_bad.energy))
+    k0 = eng_bad.ncfg.k_max
+    f_bad, th_bad = eng_bad.run(st_bad, 3)
+    f_ok, th_ok = eng_ok.run(eng_ok.init_state(), 3)
+    assert eng_bad.ncfg.k_max > k0                  # capacity actually grew
+    assert np.isfinite(float(f_bad.energy))
+    assert not bool(f_bad.nbr.overflow)
+    np.testing.assert_allclose(np.asarray(f_bad.x), np.asarray(f_ok.x),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_bad.q), np.asarray(f_ok.q),
+                               atol=1e-10)
+    assert abs(float(th_bad["temp"][-1] - th_ok["temp"][-1])) < 1e-8
+
+
 def test_nlist_rebuild_fires_on_motion():
     """Moving one atom farther than skin/2 flips needs_rebuild."""
     from lammps_user_conp2_tpu.ops.neighbors import needs_rebuild

@@ -74,12 +74,12 @@ def test_sharded_pppm_mode():
 
 # --- the solver x kspace x pair-path shard-invariance matrix ----------------
 # (VERDICT round 1: the matfree crash shipped because only INV+dense was
-# covered).  CG_MATFREE x PPPM is invalid by construction (the matfree
-# operator is factored-Ewald-based; setup_conp raises).
+# covered).  CG_MATFREE x PPPM is the production 100k configuration: mesh b
+# + exact factored-Ewald A operator (the pppm_conp.cpp:91-101 split).
 
 _MATRIX = [
     ("inv", "ewald"), ("cg", "ewald"), ("cg_matfree", "ewald"),
-    ("inv", "pppm"), ("cg", "pppm"),
+    ("inv", "pppm"), ("cg", "pppm"), ("cg_matfree", "pppm"),
 ]
 
 
@@ -114,6 +114,80 @@ def test_sharded_solver_matrix(solver_name, kspace_name):
                                    atol=1e-7, rtol=1e-9,
                                    err_msg=f"{solver_name}/{kspace_name}/{pair_path}")
         assert np.isfinite(float(s8.energy))
+
+
+def test_sharded_cond_shake_feedback():
+    """COND + ffield + PPPM + SHAKE + feedback efield sharded == single —
+    the mode the reference's own MPI test pins to 2 ranks
+    (/root/reference/tests/cond/input:14)."""
+    system, md, cfg = workloads.cond(4)
+    conp = setup_conp(system, md, cfg)
+    eng = build_engine(system, md, conp)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    st = eng.init_state()
+    s1 = jax.jit(eng.step)(st)
+    s8 = sheng.step(st)
+    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                               atol=1e-7, rtol=1e-9)
+    assert abs(float(s8.scalar_out) - float(s1.scalar_out)) < 1e-12
+    np.testing.assert_allclose(np.asarray(s8.v), np.asarray(s1.v), atol=1e-12)
+
+
+def test_sharded_conq_zmirror():
+    """CONQ + zmirror + doubled cell sharded == single (the reference's
+    zmirror deck is its rank-invariance test, tests/zmirror/input:13-15)."""
+    system, md, cfg = workloads.zmirror(3)
+    conp = setup_conp(system, md, cfg)
+    eng = build_engine(system, md, conp)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    st = eng.init_state()
+    s1 = jax.jit(eng.step)(st)
+    s8 = sheng.step(st)
+    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x), atol=1e-12)
+    assert abs(float(s8.scalar_out) - float(s1.scalar_out)) < 1e-12
+
+
+def test_sharded_trajectory_with_reneighbor():
+    """Mid-size sharded trajectory crossing a reneighbor event: 5289 atoms
+    (N % 8 = 1), multi-cell grid, 20 steps with a small Verlet skin and
+    nonzero initial velocities so needs_rebuild fires INSIDE the sharded
+    scan; 8-dev must track 1-dev through the rebuild."""
+    import dataclasses
+    from lammps_user_conp2_tpu.utils.config import Solver
+    system, md, cfg = workloads.synthetic(n_elyte=5001, nele_side=12,
+                                          lz=80.0, lxy=56.0)
+    assert system.natoms % 8 != 0
+    cfgx = dataclasses.replace(cfg, solver=Solver.CG_MATFREE)
+    mdx = dataclasses.replace(md, pair_path="nlist", neighbor_skin=0.2,
+                              use_pallas_pair=False)
+    conp = setup_conp(system, mdx, cfgx)
+    eng = build_engine(system, mdx, conp)
+    assert eng.ncfg is not None
+    assert eng.ncfg.grid.total > 8, eng.ncfg.grid.ncells   # multi-cell grid
+    # deterministic velocities large enough to trip the skin/2 check mid-run
+    rng = np.random.RandomState(0)
+    v0 = 0.01 * rng.standard_normal((system.natoms, 3))
+    v0[~system.mobile_mask] = 0.0
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    st = eng.init_state(v0=v0)
+    x_ref0 = np.asarray(st.nbr.x_ref)
+    s1 = st
+    for _ in range(20):
+        s1 = jax.jit(eng.step)(s1)
+    s8 = sheng.run(st, 20)
+    # the reneighbor event actually happened
+    assert not np.array_equal(np.asarray(s1.nbr.x_ref), x_ref0)
+    assert not np.array_equal(np.asarray(s8.nbr.x_ref), x_ref0)
+    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                               atol=1e-6, rtol=1e-8)
+    assert np.isfinite(float(s8.energy))
 
 
 def test_sharded_matfree_synthetic_largeish():

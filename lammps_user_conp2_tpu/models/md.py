@@ -113,10 +113,18 @@ class Engine:
             from ..ops import pppm as pppm_ops
             grid = self.pppm_grid
             is_ele = self.elecheck != 0
-            if rho_elyte is None:
-                rho_elyte = pppm_ops.spread(grid, x, jnp.where(is_ele, 0.0, q))
-            rho_ele = pppm_ops.spread(grid, x, jnp.where(is_ele, q, 0.0))
-            rho = rho_elyte + rho_ele
+            if self.conp is not None:
+                if rho_elyte is None:
+                    rho_elyte = pppm_ops.spread(grid, x,
+                                                jnp.where(is_ele, 0.0, q))
+                # re-spread only the Ne electrode rows (pppm_conp.cpp:385-426
+                # ele_make_rho): a full-N spread of a mostly-zero charge
+                # vector costs ~20 ms at 100k atoms, the electrode-only
+                # spread is sub-ms
+                eix = jnp.asarray(self.conp.ele_idx)
+                rho = rho_elyte + pppm_ops.spread(grid, x[eix], q[eix])
+            else:
+                rho = pppm_ops.spread(grid, x, q)
             ek, efield = pppm_ops.pppm_energy_efield(grid, rho)
             ek = ek * u.qqr2e
             fk = u.qqr2e * q[:, None] * pppm_ops.gather3(grid, efield, x)

@@ -109,17 +109,39 @@ def count_max_neighbors(grid: CellGrid, x, cell_chunk: int = 256) -> int:
     return int(jnp.max(maxes))
 
 
+# bits reserved for the neighbor's atom type in the packed sort key
+_TYPE_BITS = 5
+_TYPE_MASK = (1 << _TYPE_BITS) - 1
+
+
 def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
                         type_idx) -> NeighborList:
-    """Compact candidates into (N, K): cell-block distance sweep, top_k per
-    atom, pre-gather LJ coefficient pairs.  All static shapes."""
+    """Compact candidates into (N, K) with ONE int32 sort per row.
+
+    The candidate's atom id and type are packed into a single key
+    ``(id << 5) | type``; an ascending lax.sort brings the in-range
+    candidates to the front of each row, and the selected ids AND neighbor
+    types decode straight out of the sorted keys.  This replaces the
+    previous top_k + take_along_axis + (N, K) table gathers, which were
+    ~10x the cost of the distance sweep itself on TPU (gathers with (N, K)
+    index arrays are the slow path — CLAUDE.md); the LJ coefficient pairs
+    are then accumulated per type with dense masked FMAs, no gathers."""
     grid = ncfg.grid
     n = x.shape[0]
     dtype = x.dtype
     k = ncfg.k_max
-    table, cols, overflow = candidate_columns(grid, x)   # (C, cap), (C, m)
+    from .cells import _neighbor_cells, bin_atoms
+    table, _cell, overflow = bin_atoms(grid, x)          # (C, cap)
+    nb, uniq = _neighbor_cells(grid)
     c, cap = table.shape
-    m = cols.shape[1]
+    tp = jnp.pad(type_idx, (0, 1)).astype(jnp.int32)     # tp[n] = 0
+    ptab = (table << _TYPE_BITS) | tp[table]             # packed (id, type)
+    pcols = ptab[jnp.asarray(nb)]                        # (C, 27, cap)
+    pcols = jnp.where(jnp.asarray(uniq)[:, :, None], pcols,
+                      jnp.int32(n << _TYPE_BITS))
+    m = 27 * cap
+    pcols = pcols.reshape(c, m)
+    cols = pcols >> _TYPE_BITS                           # candidate ids
     sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
     xp = jnp.concatenate([x, sentinel], axis=0)
     xi = xp[table]                                       # (C, cap, 3)
@@ -133,22 +155,29 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
     rlistsq = grid.cutoff ** 2
     inr = valid & (rsq < rlistsq)
     overflow = overflow | (jnp.max(jnp.sum(inr, axis=2)) > k)
-    rsq_m = jnp.where(inr, rsq, jnp.inf).reshape(c * cap, m)
-    _, sel = jax.lax.top_k(-rsq_m, k)                    # (C*cap, K)
-    sel = sel.reshape(c, cap, k)
-    nbr_slots = jnp.take_along_axis(
-        jnp.broadcast_to(cols[:, None, :], (c, cap, m)), sel, axis=2)
-    hit = jnp.take_along_axis(inr, sel, axis=2)
-    nbr_slots = jnp.where(hit, nbr_slots, n)             # pad misses
-    # back to atom order: each real atom owns exactly one slot
-    idx = jnp.full((n + 1, k), n, jnp.int32).at[table.reshape(-1)].set(
-        nbr_slots.reshape(c * cap, k))[:n]
-    # pre-gathered LJ pair coefficients (types are static between rebuilds)
-    tp = jnp.pad(type_idx, (0, 1))
-    ti = type_idx[:, None]
-    tj = tp[idx]
-    lj = jnp.stack([tables.lj1[ti, tj], tables.lj2[ti, tj],
-                    tables.lj3[ti, tj], tables.lj4[ti, tj]]).astype(dtype)
+    miss = jnp.int32((n + 1) << _TYPE_BITS)
+    key = jnp.where(inr, pcols[:, None, :], miss)        # (C, cap, m)
+    skey = jax.lax.sort(key.reshape(c * cap, m), dimension=1)[:, :k]
+    # back to atom order: each real atom owns exactly one slot (pad slots
+    # land on the discarded row n)
+    sk = jnp.full((n + 1, k), miss, jnp.int32).at[table.reshape(-1)].set(
+        skey.reshape(c * cap, k))[:n]
+    hit = sk < miss
+    idx = jnp.where(hit, sk >> _TYPE_BITS, n)
+    tj = sk & _TYPE_MASK                                 # 0 on misses
+    # LJ pair coefficients without gathers: per-type masked accumulation
+    # (nt is a small static; types are static between rebuilds)
+    ti = jnp.asarray(type_idx)
+    c_at = jnp.stack([tables.lj1[ti], tables.lj2[ti],
+                      tables.lj3[ti], tables.lj4[ti]]).astype(dtype)
+    nt1 = c_at.shape[2]
+    if nt1 > (1 << _TYPE_BITS):
+        raise ValueError(f"{nt1} atom types exceed the packed-key budget "
+                         f"({1 << _TYPE_BITS}); raise _TYPE_BITS")
+    lj = jnp.zeros((4, n, k), dtype)
+    for t in range(nt1):
+        mask_t = (tj == t).astype(dtype)
+        lj = lj + mask_t[None] * c_at[:, :, t][:, :, None]
     return NeighborList(idx=idx, x_ref=x, lj=lj,
                         overflow=overflow)
 

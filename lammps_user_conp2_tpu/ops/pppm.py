@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -265,11 +266,14 @@ def _stencil_full(grid: PPPMGrid, x):
     """Per-atom stencil indices, weights, and center-node indices.
 
     Returns (ix, iy, iz) each (N, p) int32 wrapped indices, (wx, wy, wz)
-    each (N, p) weights, and (cx, cy, cz) each (N,) wrapped center nodes;
-    the (p,p,p) outer product is formed lazily."""
+    each (N, p) weights, (cx, cy, cz) each (N,) wrapped center nodes, and
+    mz_raw (N,) UNWRAPPED z center nodes (for slab-span tiling, where the
+    z axis is binned without periodic wrap); the (p,p,p) outer product is
+    formed lazily."""
     p = grid.order
     dtype = x.dtype
     out_idx, out_w, out_c = [], [], []
+    mz_raw = None
     for ax, (n, L, lo) in enumerate((
             (grid.nx, grid.box[0], grid.box_lo[0]),
             (grid.ny, grid.box[1], grid.box_lo[1]),
@@ -293,11 +297,13 @@ def _stencil_full(grid: PPPMGrid, x):
         out_idx.append(idx)
         out_w.append(w)
         out_c.append(jnp.mod(m, n))
-    return out_idx, out_w, out_c
+        if ax == 2:
+            mz_raw = m
+    return out_idx, out_w, out_c, mz_raw
 
 
 def _stencil(grid: PPPMGrid, x):
-    idx, w, _ = _stencil_full(grid, x)
+    idx, w, _, _ = _stencil_full(grid, x)
     return idx, w
 
 
@@ -317,88 +323,172 @@ def _pick_tile(n: int, lo: int = 8, hi: int = 40, target: int = 16) -> int:
     return best if best is not None else n
 
 
-def _tile_geometry(grid: PPPMGrid, natoms: int):
+# tile-size targets (mesh nodes per tile edge).  Tension: small z-tiles cut
+# the arithmetic waste of the dense-z contraction (each atom touches only
+# `order` z planes) but shrink the per-tile matmuls below MXU efficiency —
+# measured on a v5e at 100k atoms/(144,144,750): tlz=15 was 4x SLOWER than
+# dense-z despite 20x fewer flops.
+TILE_TARGET_XY = 16
+TILE_TARGET_Z = 32
+
+
+class TileGeom(NamedTuple):
+    p: int
+    hw: int
+    tlx: int
+    tly: int
+    tlz: int
+    ntx: int
+    nty: int
+    ntz: int      # number of z BINS (span mode: covers occupied z + guards)
+    t_tiles: int
+    cap: int
+    z_span: bool  # True: z bins cover only the occupied slab span, origin
+                  # shifted one bin below box_lo (no periodic wrap in z)
+
+
+def _occupied_nz(grid: PPPMGrid) -> int:
+    """Number of z mesh nodes the atoms can actually touch.  Slab grids
+    (zprd_grid = volfactor * box_z) leave the upper part of the z axis
+    empty — tiling it wastes both flops and slot capacity."""
+    return min(grid.nz,
+               int(math.ceil(grid.nz * grid.box[2] / grid.zprd_grid)) + 1)
+
+
+def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
     p = grid.order
     hw = (p - 1) // 2 if p % 2 == 1 else p // 2
-    tlx = _pick_tile(grid.nx)
-    tly = _pick_tile(grid.ny)
+    hixy = max(40, 2 * TILE_TARGET_XY)
+    tlx = _pick_tile(grid.nx, hi=hixy, target=TILE_TARGET_XY)
+    tly = _pick_tile(grid.ny, hi=hixy, target=TILE_TARGET_XY)
     ntx, nty = grid.nx // tlx, grid.ny // tly
-    t_tiles = ntx * nty
-    cap = int(math.ceil(natoms / t_tiles * 1.8)) + 32
-    return p, hw, tlx, tly, ntx, nty, t_tiles, cap
+    nz_occ = _occupied_nz(grid)
+    # span mode: bin the occupied z range non-periodically (one guard bin
+    # below box_lo for wrap spill, >=1 above); needs tlz > hw + 2 so a
+    # guard bin's outer border can never receive weight (fail-loud checked
+    # at bin time) and the extended ring maps into [0, nz) with two static
+    # slices ((ntz - 1) * tlz <= nz)
+    z_span = nz_occ < grid.nz
+    if z_span:
+        # span bins need not divide nz — any edge length works.  Bins:
+        # guard bin 0 (unwrapped nodes [-tlz, 0)), enough to hold the top
+        # atom center (mz <= nz_occ -> zt_max = (nz_occ + tlz) // tlz),
+        # plus one empty bin above so the top bin's border overhang is
+        # provably zero.  Shrink tlz until the ring maps into [0, nz).
+        lo = max(8, hw + 3)
+        tlz = max(lo, min(TILE_TARGET_Z, nz_occ))
+        while tlz >= lo:
+            ntz = (nz_occ + tlz) // tlz + 2
+            if (ntz - 1) * tlz <= grid.nz:
+                break
+            tlz -= 1
+        else:
+            z_span, tlz, ntz = False, grid.nz, 1
+    else:
+        tlz = _pick_tile(grid.nz, lo=max(8, hw + 3), hi=grid.nz,
+                         target=min(TILE_TARGET_Z, grid.nz))
+        ntz = grid.nz // tlz
+    t_tiles = ntx * nty * ntz
+    # capacity from the OCCUPIED tile count (atoms live in ~nz_occ/tlz of
+    # the z bins); dense electrode planes concentrate in one z bin, so a
+    # generous safety factor
+    occ_bins = max(1, nz_occ // tlz) if ntz > 1 else 1
+    cap = int(math.ceil(natoms / (ntx * nty * occ_bins)
+                        * (1.8 if ntz == 1 else 2.5))) + 32
+    cap = min(cap, natoms + 1)
+    return TileGeom(p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span)
 
 
 def _tile_slots(grid: PPPMGrid, x, q):
-    """Bin atoms by xy mesh tile and pre-sort everything into (T, cap, .)
+    """Bin atoms by 3-D mesh tile and pre-sort everything into (T, cap, .)
     slot arrays with ONE scatter per array — the tile scan then reads
     contiguous slices, no per-tile gathers.
 
     Returns (geom, slotted, table, overflow) where slotted =
-    (qs, lxs, lys, izs, wxs, wys, wzs), each (T, cap, ...); empty slots have
+    (qs, lxs, lys, lzs, wxs, wys, wzs), each (T, cap, ...); empty slots have
     all-zero weights and q=0 so they contribute nothing."""
     n = x.shape[0]
     dtype = x.dtype
     geom = _tile_geometry(grid, n)
-    p, hw, tlx, tly, ntx, nty, t_tiles, cap = geom
-    (ix, iy, iz), (wx, wy, wz), (cx, cy, cz) = _stencil_full(grid, x)
-    tid = (cx // tlx) * nty + (cy // tly)
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    (ix, iy, iz), (wx, wy, wz), (cx, cy, cz), mz = _stencil_full(grid, x)
+    if z_span:
+        # non-periodic z bins over the occupied span, origin one bin below
+        # the box floor (wrap spill from atoms just under box_lo); atoms
+        # outside the ring would corrupt the mesh -> overflow (fail loud)
+        zt = (mz + tlz) // tlz
+        # bin ntz-1 is a strictly-empty guard (its upper border overhang is
+        # dropped in the overlap-add) — an atom there must fail loud too
+        zoob = (zt < 0) | (zt >= ntz - 1)
+        zt = jnp.clip(zt, 0, ntz - 1)
+        lz = mz + tlz - zt * tlz
+    else:
+        zt = cz // tlz
+        zoob = jnp.zeros_like(zt, bool)
+        lz = cz % tlz
+    tid = ((cx // tlx) * nty + (cy // tly)) * ntz + zt
     order = jnp.argsort(tid)
     ts = tid[order]
     first = jnp.searchsorted(ts, ts, side="left")
     rank = jnp.arange(n) - first
-    overflow = jnp.max(rank) >= cap
+    overflow = (jnp.max(rank) >= cap) | jnp.any(zoob)
     slot = ts * cap + jnp.minimum(rank, cap - 1)
     table = jnp.full((t_tiles * cap,), n, jnp.int32).at[slot].set(
         order.astype(jnp.int32))
 
-    # ONE packed scatter for all per-atom data (lx/ly/iz are small ints —
+    # ONE packed scatter for all per-atom data (lx/ly/lz are small ints —
     # exactly representable in f32); seven separate scatters cost ~25 ms at
     # 100k atoms, one costs ~4 ms
     packed = jnp.concatenate([
         q[:, None].astype(dtype),
         (cx % tlx)[:, None].astype(dtype),   # local coords: tile-independent
         (cy % tly)[:, None].astype(dtype),
-        iz.astype(dtype), wx.astype(dtype), wy.astype(dtype),
-        wz.astype(dtype)], axis=1)
-    ps = jnp.zeros((t_tiles * cap, 3 + 4 * p), dtype).at[slot].set(
-        packed[order]).reshape(t_tiles, cap, 3 + 4 * p)
+        lz[:, None].astype(dtype),
+        wx.astype(dtype), wy.astype(dtype), wz.astype(dtype)], axis=1)
+    ps = jnp.zeros((t_tiles * cap, 4 + 3 * p), dtype).at[slot].set(
+        packed[order]).reshape(t_tiles, cap, 4 + 3 * p)
     qs = ps[:, :, 0]
     lxs = ps[:, :, 1].astype(jnp.int32)
     lys = ps[:, :, 2].astype(jnp.int32)
-    izs = ps[:, :, 3:3 + p].astype(jnp.int32)
-    wxs = ps[:, :, 3 + p:3 + 2 * p]
-    wys = ps[:, :, 3 + 2 * p:3 + 3 * p]
-    wzs = ps[:, :, 3 + 3 * p:3 + 4 * p]
-    return geom, (qs, lxs, lys, izs, wxs, wys, wzs), \
+    lzs = ps[:, :, 3].astype(jnp.int32)
+    wxs = ps[:, :, 4:4 + p]
+    wys = ps[:, :, 4 + p:4 + 2 * p]
+    wzs = ps[:, :, 4 + 2 * p:4 + 3 * p]
+    return geom, (qs, lxs, lys, lzs, wxs, wys, wzs), \
         table.reshape(t_tiles, cap), overflow
 
 
-def _local_weight_mats(lxs, lys, izs, wxs, wys, wzs, *, ex, ey, nz, p, dtype):
-    """(cap, ex*ey) xy and (cap, nz) z weight matrices from slotted data,
-    built with comparisons only (no scatter)."""
+def _local_weight_mats(lxs, lys, lzs, wxs, wys, wzs, *, ex, ey, ez, p, dtype):
+    """(cap, ex*ey) xy and (cap, ez) z weight matrices from slotted data,
+    built with comparisons only (no scatter).  Local frames: stencil point a
+    of an atom with center local coord l sits at l + a in [0, til + 2*hw)."""
     cap = lxs.shape[0]
     iox = jnp.arange(ex, dtype=jnp.int32)[None, :]
     ioy = jnp.arange(ey, dtype=jnp.int32)[None, :]
-    ioz = jnp.arange(nz, dtype=jnp.int32)[None, :]
+    ioz = jnp.arange(ez, dtype=jnp.int32)[None, :]
     wxl = jnp.zeros((cap, ex), dtype)
     wyl = jnp.zeros((cap, ey), dtype)
-    wzd = jnp.zeros((cap, nz), dtype)
+    wzd = jnp.zeros((cap, ez), dtype)
     for a in range(p):
         wxl = wxl + wxs[:, a][:, None] * (iox == (lxs + a)[:, None])
         wyl = wyl + wys[:, a][:, None] * (ioy == (lys + a)[:, None])
-        wzd = wzd + wzs[:, a][:, None] * (ioz == izs[:, a][:, None])
+        wzd = wzd + wzs[:, a][:, None] * (ioz == (lzs + a)[:, None])
     wxy = (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey)
     return wxy, wzd
 
 
-def _overlap_add(patches, *, ntx, nty, tlx, tly, hw, nz):
-    """(T, ex*ey, nz) per-tile patches -> (nx, ny, nz) with periodic
-    overlap-add: the hw-wide patch borders roll into neighbor tiles."""
-    ex, ey = tlx + 2 * hw, tly + 2 * hw
-    pt = patches.reshape(ntx, nty, ex, ey, nz)
-    out = jnp.zeros((ntx, nty, tlx, tly, nz), patches.dtype)
-    # p-coordinate ranges landing in tile (t+dx): dx=0 -> [hw, hw+til);
-    # dx=+1 -> [hw+til, ex) lands at rows [0, hw); dx=-1 -> [0, hw) lands at
+def _overlap_add(patches, geom: TileGeom, nz: int):
+    """(T, ex*ey, ez) per-tile patches -> (nx, ny, nz) overlap-add: the
+    hw-wide patch borders shift into neighbor tiles.  x/y are periodic
+    (rolls); in span mode the z bin axis is NON-periodic (pad-shifts) and
+    the extended z ring (bin 0 starts at unwrapped node -tlz) maps into the
+    periodic [0, nz) axis with two static slices."""
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    pt = patches.reshape(ntx, nty, ntz, ex, ey, ez)
+    out = jnp.zeros((ntx, nty, ntz, tlx, tly, tlz), patches.dtype)
+    # p-coordinate ranges landing in tile (t+d): d=0 -> [hw, hw+til);
+    # d=+1 -> [hw+til, ex) lands at rows [0, hw); d=-1 -> [0, hw) lands at
     # rows [til-hw, til).
     def xr(d, til):
         if d == 0:
@@ -411,84 +501,118 @@ def _overlap_add(patches, *, ntx, nty, tlx, tly, hw, nz):
         sx, (padlx, padrx) = xr(dx, tlx)
         for dy in (-1, 0, 1):
             sy, (padly, padry) = xr(dy, tly)
-            part = pt[:, :, sx, sy, :]
-            part = jnp.pad(part, ((0, 0), (0, 0), (padlx, padrx),
-                                  (padly, padry), (0, 0)))
-            # receiving tile index = source tile + d  ->  out[t] += part[t-d]
-            part = jnp.roll(part, (dx, dy), axis=(0, 1))
-            out = out + part
-    return out.transpose(0, 2, 1, 3, 4).reshape(ntx * tlx, nty * tly, nz)
+            for dz in (-1, 0, 1):
+                sz, (padlz, padrz) = xr(dz, tlz)
+                part = pt[:, :, :, sx, sy, sz]
+                part = jnp.pad(part, ((0, 0), (0, 0), (0, 0),
+                                      (padlx, padrx), (padly, padry),
+                                      (padlz, padrz)))
+                # receiving tile = source tile + d  ->  out[t] += part[t-d]
+                if z_span and dz != 0:
+                    # non-periodic bin shift; the dropped overhang is zero
+                    # (top guard bins empty, bin 0's lower border can't
+                    # receive weight: tlz > hw + 2 and center >= -2)
+                    part = jnp.roll(part, (dx, dy), axis=(0, 1))
+                    bz = ((1, 0),) if dz == 1 else ((0, 1),)
+                    part = jnp.pad(part, ((0, 0), (0, 0)) + bz
+                                   + ((0, 0),) * 3)
+                    part = part[:, :, :ntz] if dz == 1 else part[:, :, 1:]
+                else:
+                    part = jnp.roll(part, (dx, dy, dz), axis=(0, 1, 2))
+                out = out + part
+    brick = out.transpose(0, 3, 1, 4, 2, 5).reshape(
+        ntx * tlx, nty * tly, ntz * tlz)
+    if not z_span:
+        return brick
+    # extended z ring: node j of the ring is unwrapped node j - tlz; map
+    # [tlz, ntz*tlz) -> [0, (ntz-1)*tlz) and the guard bin [0, tlz) ->
+    # [nz - tlz, nz).  (ntz-1)*tlz <= nz by construction, so the two
+    # regions tile [0, nz) disjointly (nz >= (ntz-1)*tlz >= occupied+guard).
+    nxf, nyf = ntx * tlx, nty * tly
+    main = brick[:, :, tlz:]
+    low = brick[:, :, :tlz]
+    main = jnp.pad(main, ((0, 0), (0, 0), (0, nz - (ntz - 1) * tlz)))
+    low = jnp.pad(low, ((0, 0), (0, 0), (nz - tlz, 0)))
+    return main + low
 
 
 def spread_tiled(grid: PPPMGrid, x, q):
-    """Scatter-free spread for large xy meshes: bin atoms into xy mesh
-    tiles (pre-sorted slot arrays, one scatter each), per-tile MXU matmul
-    (ex*ey, cap) x (cap, nz) builds the local patch, patches overlap-add
-    with static rolls.  O(T * ex*ey * cap * nz) MXU flops, no per-pair HBM
-    scatter.  Tile-capacity overflow poisons the mesh with NaN (fail loud,
-    like ops/cells.py)."""
+    """Scatter-free spread for large meshes: bin atoms into 3-D mesh tiles
+    (pre-sorted slot arrays, one scatter each), per-tile MXU matmul
+    (ex*ey, cap) x (cap, ez) builds the local patch, patches overlap-add
+    with static rolls.  O(T * ex*ey * cap * ez) MXU flops — the z tiling
+    keeps ez ~ O(order), ~20x fewer flops than dense-z xy columns — and no
+    per-pair HBM scatter.  Tile-capacity overflow poisons the mesh with NaN
+    (fail loud, like ops/cells.py)."""
     dtype = x.dtype
-    geom, (qs, lxs, lys, izs, wxs, wys, wzs), _, overflow = \
+    geom, (qs, lxs, lys, lzs, wxs, wys, wzs), _, overflow = \
         _tile_slots(grid, x, q)
-    p, hw, tlx, tly, ntx, nty, t_tiles, cap = geom
-    ex, ey = tlx + 2 * hw, tly + 2 * hw
-    nz = grid.nz
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
 
-    def one(ql, lxl, lyl, izl, wxl, wyl, wzl):
-        wxy, wzd = _local_weight_mats(lxl, lyl, izl, wxl, wyl, wzl,
-                                      ex=ex, ey=ey, nz=nz, p=p, dtype=dtype)
+    def one(ql, lxl, lyl, lzl, wxl, wyl, wzl):
+        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, wxl, wyl, wzl,
+                                      ex=ex, ey=ey, ez=ez, p=p, dtype=dtype)
         return jnp.matmul(wxy.T, ql[:, None] * wzd,
                           precision=jax.lax.Precision.HIGHEST)
 
-    # scan over x-tile rows, vmap across y-tiles: nty-fold fewer scan steps
-    xs = tuple(a.reshape((ntx, nty) + a.shape[1:])
-               for a in (qs, lxs, lys, izs, wxs, wys, wzs))
+    # scan over x-tile rows, vmap across y/z-tiles: fewer scan steps
+    xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
+               for a in (qs, lxs, lys, lzs, wxs, wys, wzs))
     _, patches = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
-    rho = _overlap_add(patches.reshape(ntx * nty, ex * ey, nz),
-                       ntx=ntx, nty=nty, tlx=tlx, tly=tly, hw=hw, nz=nz)
+    rho = _overlap_add(patches.reshape(t_tiles, ex * ey, ez), geom, grid.nz)
     return jnp.where(overflow, jnp.nan, rho)
 
 
 def gather_tiled(grid: PPPMGrid, bricks, x):
     """Scatter-free stencil readout of one or more mesh fields: per tile,
-    slice the (ex, ey, nz) patch from the wrap-padded brick and contract
-    with the local weights.  Returns a list of (N,) values."""
+    slice the (B, ex, ey, ez) patch block from the wrap-padded brick stack
+    and contract with the local weights in ONE matmul for all B fields.
+    Returns a list of (N,) values."""
     n = x.shape[0]
     dtype = x.dtype
-    geom, (qs, lxs, lys, izs, wxs, wys, wzs), table, overflow = \
+    geom, (qs, lxs, lys, lzs, wxs, wys, wzs), table, overflow = \
         _tile_slots(grid, x, jnp.zeros((n,), dtype))
-    p, hw, tlx, tly, ntx, nty, t_tiles, cap = geom
-    ex, ey = tlx + 2 * hw, tly + 2 * hw
-    nz = grid.nz
-    bp = [jnp.pad(b, ((hw, hw), (hw, hw), (0, 0)), mode="wrap")
-          for b in bricks]
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    nb = len(bricks)
+    if z_span:
+        # span-mode z padding: bin zt's patch starts at unwrapped node
+        # (zt-1)*tlz - hw, i.e. padded index zt*tlz with a (tlz+hw) left
+        # wrap pad; the right pad covers the top guard bins
+        zr = max(0, (ntz - 1) * tlz + ez - (grid.nz + tlz + hw))
+        zpad = (tlz + hw, zr)
+    else:
+        zpad = (hw, hw)
+    bp = jnp.stack([jnp.pad(b, ((hw, hw), (hw, hw), zpad), mode="wrap")
+                    for b in bricks])                    # (B, nx', ny', nz')
 
-    def one(t, lxl, lyl, izl, wxl, wyl, wzl):
-        txi, tyi = t // nty, t % nty
-        wxy, wzd = _local_weight_mats(lxl, lyl, izl, wxl, wyl, wzl,
-                                      ex=ex, ey=ey, nz=nz, p=p, dtype=dtype)
-        outs = []
-        for b in bp:
-            patch = jax.lax.dynamic_slice(
-                b, (txi * tlx, tyi * tly, jnp.zeros((), txi.dtype)),
-                (ex, ey, nz))
-            t1 = jnp.matmul(wxy, patch.reshape(ex * ey, nz),
-                            precision=jax.lax.Precision.HIGHEST)  # (cap, nz)
-            outs.append(jnp.sum(t1 * wzd, axis=1))
-        return tuple(outs)
+    def one(t, lxl, lyl, lzl, wxl, wyl, wzl):
+        txi = t // (nty * ntz)
+        tyi = (t // ntz) % nty
+        tzi = t % ntz
+        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, wxl, wyl, wzl,
+                                      ex=ex, ey=ey, ez=ez, p=p, dtype=dtype)
+        zero = jnp.zeros((), t.dtype)
+        patch = jax.lax.dynamic_slice(
+            bp, (zero, txi * tlx, tyi * tly, tzi * tlz), (nb, ex, ey, ez))
+        pm = patch.transpose(1, 2, 0, 3).reshape(ex * ey, nb * ez)
+        t1 = jnp.matmul(wxy, pm,
+                        precision=jax.lax.Precision.HIGHEST)   # (cap, B*ez)
+        return jnp.sum(t1.reshape(-1, nb, ez) * wzd[:, None, :], axis=2)
 
-    # scan over x-tile rows, vmap across y-tiles (as in spread_tiled)
-    xs = tuple(a.reshape((ntx, nty) + a.shape[1:])
+    # scan over x-tile rows, vmap across y/z-tiles (as in spread_tiled)
+    xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
                for a in (jnp.arange(t_tiles, dtype=jnp.int32),
-                         lxs, lys, izs, wxs, wys, wzs))
+                         lxs, lys, lzs, wxs, wys, wzs))
     _, vals = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
-    vals = tuple(v.reshape(t_tiles, cap) for v in vals)
+    vals = vals.reshape(t_tiles, cap, nb)
     res = []
-    for v in vals:  # (T, cap)
+    for bi in range(nb):  # (T, cap)
         out = jnp.zeros((n + 1,), dtype).at[table.reshape(-1)].add(
-            v.reshape(-1))
+            vals[:, :, bi].reshape(-1))
         res.append(jnp.where(overflow, jnp.nan, out[:n]))
     return res
 
@@ -508,9 +632,19 @@ def _axis_weight_matrices(grid: PPPMGrid, x):
     return WX, WY, WZ
 
 
+def _use_dense(grid: PPPMGrid, n: int) -> bool:
+    """Dense per-atom weight matrices ((N, nx*ny) xy outer + (N, nz) z) are
+    the right path when the xy mesh is small OR N is small: the tiled
+    path's overlap-add streams ~27 mesh-sized arrays regardless of N
+    (~14 ms at (144,144,750) even for 1k atoms — measured), while the
+    dense matmul for the per-step electrode re-spread is sub-ms on MXU."""
+    return (grid.nx * grid.ny <= DENSE_XY_LIMIT
+            or n * (grid.nx * grid.ny + grid.nz) <= 32 * 1024 * 1024)
+
+
 def spread(grid: PPPMGrid, x, q):
     """Charges onto the mesh (LAMMPS make_rho): returns (nx,ny,nz)."""
-    if grid.nx * grid.ny <= DENSE_XY_LIMIT:
+    if _use_dense(grid, x.shape[0]):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
         wxy = WX[:, :, None] * WY[:, None, :]             # (N, nx, ny)
         wxy = wxy.reshape(x.shape[0], grid.nx * grid.ny)
@@ -522,7 +656,7 @@ def spread(grid: PPPMGrid, x, q):
 
 def gather(grid: PPPMGrid, brick, x):
     """Stencil readout of a mesh field at atom positions: (N,)."""
-    if grid.nx * grid.ny <= DENSE_XY_LIMIT:
+    if _use_dense(grid, x.shape[0]):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
         wxy = (WX[:, :, None] * WY[:, None, :]).reshape(
             x.shape[0], grid.nx * grid.ny)
@@ -535,7 +669,7 @@ def gather(grid: PPPMGrid, brick, x):
 def gather3(grid: PPPMGrid, bricks, x):
     """Gather three mesh fields at once (the ik force path) sharing the
     weight matrices; returns (N, 3)."""
-    if grid.nx * grid.ny <= DENSE_XY_LIMIT:
+    if _use_dense(grid, x.shape[0]):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
         wxy = (WX[:, :, None] * WY[:, None, :]).reshape(
             x.shape[0], grid.nx * grid.ny)
@@ -548,59 +682,92 @@ def gather3(grid: PPPMGrid, bricks, x):
     return jnp.stack(gather_tiled(grid, list(bricks), x), axis=1)
 
 
+def _half_weights(grid: PPPMGrid, dtype):
+    """Spectrum-doubling weights for the rfft half-spectrum along z: every
+    kz plane appears twice in the full spectrum except kz=0 and (nz even)
+    the Nyquist plane."""
+    nzh = grid.nz // 2 + 1
+    w = np.full(nzh, 2.0)
+    w[0] = 1.0
+    if grid.nz % 2 == 0:
+        w[-1] = 1.0
+    return jnp.asarray(w, dtype)
+
+
 def poisson_u(grid: PPPMGrid, rho):
-    """Potential mesh u = IFFT(G * FFT(rho)) / V."""
-    rhok = jnp.fft.fftn(rho.astype(jnp.complex64 if rho.dtype == jnp.float32
-                                   else jnp.complex128))
-    gk = jnp.asarray(grid.greens, rho.dtype)
-    uk = rhok * gk
-    return jnp.real(jnp.fft.ifftn(uk)) * (grid.nx * grid.ny * grid.nz / grid.volume)
+    """Potential mesh u = IRFFT(G * RFFT(rho)) / V.
+
+    rho is real, so the half-spectrum transform does ~half the FFT work of
+    the complex path (the influence function is symmetric per axis)."""
+    nzh = grid.nz // 2 + 1
+    rhok = jnp.fft.rfftn(rho)
+    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
+    return jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
+        grid.nx * grid.ny * grid.nz / grid.volume)
+
+
+def _deriv_fk(grid: PPPMGrid, nzh: int):
+    """Per-axis wavenumbers for ik differentiation under the z-half-spectrum
+    transform.  The x/y Nyquist modes are ZEROED: -ik*phik is not Hermitian
+    in those planes (at kx=nx/2, -kx = kx mod nx but fkx flips sign), and
+    the full-spectrum reference's Re(ifftn) projects exactly that
+    contribution away — keeping them would make the rfft path disagree at
+    ~1e-7 relative."""
+    fkx = np.array(grid.fkx, copy=True)
+    fky = np.array(grid.fky, copy=True)
+    if grid.nx % 2 == 0:
+        fkx[grid.nx // 2] = 0.0
+    if grid.ny % 2 == 0:
+        fky[grid.ny // 2] = 0.0
+    return fkx, fky, np.asarray(grid.fkz[:nzh])
 
 
 def poisson_efield(grid: PPPMGrid, rho):
     """E = -grad(phi) meshes via ik differentiation; returns (ex, ey, ez)."""
-    cplx = jnp.complex64 if rho.dtype == jnp.float32 else jnp.complex128
-    rhok = jnp.fft.fftn(rho.astype(cplx))
-    gk = jnp.asarray(grid.greens, rho.dtype)
+    nzh = grid.nz // 2 + 1
+    rhok = jnp.fft.rfftn(rho)
+    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
     phik = rhok * gk
     scale = grid.nx * grid.ny * grid.nz / grid.volume
     out = []
-    for ax, fk in enumerate((grid.fkx, grid.fky, grid.fkz)):
+    for ax, fk in enumerate(_deriv_fk(grid, nzh)):
         shape = [1, 1, 1]
         shape[ax] = -1
-        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(cplx)
+        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(phik.dtype)
         ek = -ik * phik
-        out.append(jnp.real(jnp.fft.ifftn(ek)) * scale)
+        out.append(jnp.fft.irfftn(ek, s=grid.shape) * scale)
     return out
 
 
 def pppm_energy(grid: PPPMGrid, rho):
     """K-space energy (no qqr2e prefactor, no self/background terms)."""
-    cplx = jnp.complex64 if rho.dtype == jnp.float32 else jnp.complex128
-    rhok = jnp.fft.fftn(rho.astype(cplx))
-    gk = jnp.asarray(grid.greens, rho.dtype)
-    e = 0.5 * jnp.sum(gk * jnp.abs(rhok) ** 2) / grid.volume
+    nzh = grid.nz // 2 + 1
+    rhok = jnp.fft.rfftn(rho)
+    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
+    wz = _half_weights(grid, rho.dtype)
+    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
     return e
 
 
 def pppm_energy_efield(grid: PPPMGrid, rho):
-    """(energy, (ex, ey, ez)) sharing ONE forward FFT of rho.
+    """(energy, (ex, ey, ez)) sharing ONE forward RFFT of rho.
 
     The reference's force compute reuses the charge-solve FFT within a step
     (pppm_conp.cpp:428-450); here the energy readout reuses the force path's
-    forward transform — one fftn + three ifftn per step instead of two fftn."""
-    cplx = jnp.complex64 if rho.dtype == jnp.float32 else jnp.complex128
-    rhok = jnp.fft.fftn(rho.astype(cplx))
-    gk = jnp.asarray(grid.greens, rho.dtype)
-    e = 0.5 * jnp.sum(gk * jnp.abs(rhok) ** 2) / grid.volume
+    forward transform — one rfftn + three irfftn per step."""
+    nzh = grid.nz // 2 + 1
+    rhok = jnp.fft.rfftn(rho)
+    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
+    wz = _half_weights(grid, rho.dtype)
+    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
     phik = rhok * gk
     scale = grid.nx * grid.ny * grid.nz / grid.volume
     out = []
-    for ax, fk in enumerate((grid.fkx, grid.fky, grid.fkz)):
+    for ax, fk in enumerate(_deriv_fk(grid, nzh)):
         shape = [1, 1, 1]
         shape[ax] = -1
-        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(cplx)
-        out.append(jnp.real(jnp.fft.ifftn(-ik * phik)) * scale)
+        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(phik.dtype)
+        out.append(jnp.fft.irfftn(-ik * phik, s=grid.shape) * scale)
     return e, tuple(out)
 
 

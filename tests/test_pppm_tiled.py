@@ -1,0 +1,125 @@
+"""Tiled scatter-free PPPM spread/gather vs the dense reference path.
+
+The tiled path (ops/pppm.py spread_tiled/gather_tiled) only engages on
+meshes with nx*ny > DENSE_XY_LIMIT, which the reference-deck tests never
+reach — so it gets direct unit coverage here: a slab grid in z-span mode
+(the production large-N configuration), an electrode-like z-concentrated
+charge layer, and the fail-loud tile-capacity overflow.  Dense-path
+equivalence is the oracle (the dense path itself is validated against the
+reference decks: make_rho/fieldforce parity, pppm_conp.cpp:385-450).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lammps_user_conp2_tpu.ops import pppm as P
+
+
+@pytest.fixture(scope="module")
+def slab_setup():
+    rng = np.random.default_rng(7)
+    box = (30.0, 30.0, 90.0)
+    n = 3000
+    # electrolyte filling the interior + electrode walls at z=1 / z=89
+    x_ely = rng.uniform([0, 0, 2], [30, 30, 88], size=(n, 3))
+    side = 12
+    gx, gy = np.meshgrid(np.arange(side) * 2.5, np.arange(side) * 2.5)
+    wall_lo = np.stack([gx.ravel(), gy.ravel(),
+                        np.full(side * side, 1.0)], 1)
+    wall_hi = np.stack([gx.ravel(), gy.ravel(),
+                        np.full(side * side, 89.0)], 1)
+    x = np.concatenate([x_ely, wall_lo, wall_hi])
+    q = rng.normal(size=len(x))
+    q -= q.mean()
+    grid = P.setup_pppm(box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-4,
+                        natoms=len(x), q2=float((q ** 2).sum()), cutoff=8.0,
+                        slabflag=True, slab_volfactor=3.0)
+    return grid, jnp.asarray(x), jnp.asarray(q), n
+
+
+def _dense_spread(grid, x, q):
+    WX, WY, WZ = P._axis_weight_matrices(grid, x)
+    wxy = (WX[:, :, None] * WY[:, None, :]).reshape(
+        x.shape[0], grid.nx * grid.ny)
+    return jnp.matmul(wxy.T, q[:, None] * WZ).reshape(grid.shape), wxy, WZ
+
+
+def test_span_mode_engages(slab_setup):
+    grid, x, q, _ = slab_setup
+    geom = P._tile_geometry(grid, x.shape[0])
+    assert geom.z_span, "slab grid must use the z-span tiling"
+    assert geom.ntz > 1
+
+
+def test_spread_tiled_matches_dense(slab_setup):
+    grid, x, q, _ = slab_setup
+    rho_d, _, _ = _dense_spread(grid, x, q)
+    rho_t = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(x, q)
+    np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_d),
+                               atol=1e-11)
+
+
+def test_spread_tiled_electrode_subset(slab_setup):
+    """The engine re-spreads only the electrode rows per step (models/md.py
+    compute_forces); the wall layer concentrates in one z bin per wall —
+    the tile-capacity heuristic must hold for that distribution too."""
+    grid, x, q, n = slab_setup
+    xe, qe = x[n:], q[n:]
+    rho_d, _, _ = _dense_spread(grid, xe, qe)
+    rho_t = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(xe, qe)
+    assert np.isfinite(np.asarray(rho_t)).all(), "tile capacity overflowed"
+    np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_d),
+                               atol=1e-11)
+
+
+def test_gather_tiled_matches_dense(slab_setup):
+    grid, x, q, _ = slab_setup
+    rho_d, wxy, WZ = _dense_spread(grid, x, q)
+    g_t = jax.jit(lambda b, xx: P.gather_tiled(grid, [b], xx)[0])(rho_d, x)
+    t = jnp.matmul(WZ, rho_d.reshape(grid.nx * grid.ny, grid.nz).T)
+    g_d = jnp.sum(wxy * t, axis=1)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_d), atol=1e-11)
+
+
+def test_energy_efield_rfft_roundtrip(slab_setup):
+    """rfft half-spectrum Poisson == full-spectrum reference on the same
+    mesh (energy + all three field components)."""
+    grid, x, q, _ = slab_setup
+    rho, _, _ = _dense_spread(grid, x, q)
+    e, (ex, ey, ez) = P.pppm_energy_efield(grid, rho)
+    # full-spectrum oracle, computed inline
+    cplx = jnp.complex128
+    rhok = jnp.fft.fftn(rho.astype(cplx))
+    gk = jnp.asarray(grid.greens, rho.dtype)
+    e_ref = 0.5 * jnp.sum(gk * jnp.abs(rhok) ** 2) / grid.volume
+    np.testing.assert_allclose(float(e), float(e_ref), rtol=1e-12)
+    phik = rhok * gk
+    scale = grid.nx * grid.ny * grid.nz / grid.volume
+    for got, fk, ax in ((ex, grid.fkx, 0), (ey, grid.fky, 1),
+                        (ez, grid.fkz, 2)):
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(cplx)
+        ref = jnp.real(jnp.fft.ifftn(-ik * phik)) * scale
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12 * float(jnp.abs(ref).max()))
+
+
+def test_tile_overflow_fails_loud(slab_setup):
+    """More atoms in one tile than cap -> NaN-poisoned mesh, not silent
+    truncation (the analogue of LAMMPS's out-of-range atom check,
+    pppm_conp.cpp:167)."""
+    grid, x, q, _ = slab_setup
+    geom = P._tile_geometry(grid, 64)
+    # put 10x the 64-atom capacity inside a single tile
+    nn = min(geom.cap * 10, 4000)
+    xx = jnp.asarray(np.full((nn, 3), 3.0) +
+                     np.random.default_rng(1).uniform(0, 0.5, (nn, 3)))
+    qq = jnp.ones((nn,))
+    geom_n = P._tile_geometry(grid, nn)
+    if geom_n.cap >= nn:
+        pytest.skip("capacity heuristic covers this n; cannot force overflow")
+    rho = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(xx, qq)
+    assert not np.isfinite(np.asarray(rho)).all()

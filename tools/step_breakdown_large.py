@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Per-phase breakdown of the 100k-atom production step on the real TPU.
+
+Configuration matches tools/bench_large.py: PPPM (tiled spread/gather),
+CG_MATFREE electrode solve, Verlet neighbor lists.  Chained >=50-iteration
+loops per CLAUDE.md (the axon tunnel carries ~35 ms fixed per call).
+
+Usage: python tools/step_breakdown_large.py [natoms_elyte] [nele_side]
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
+from lammps_user_conp2_tpu import workloads
+from lammps_user_conp2_tpu.models.conp import setup_conp
+from lammps_user_conp2_tpu.models.md import build_engine
+from lammps_user_conp2_tpu.ops import pppm as pppm_ops
+from lammps_user_conp2_tpu.ops.neighbors import (build_neighbor_list,
+                                                 nlist_pair_forces)
+from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+
+
+def chain_ms(fn, x0, iters=50, trials=3):
+    run = jax.jit(lambda s: jax.lax.fori_loop(0, iters, lambda i, t: fn(t), s))
+    s = jax.block_until_ready(run(x0))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        s = jax.block_until_ready(run(s))
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return best
+
+
+def main():
+    n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
+    nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
+    system, md, cfg = workloads.synthetic(
+        n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)
+    cfg = dataclasses.replace(cfg, solver=Solver.CG_MATFREE,
+                              kspace=KSpaceStyle.PPPM)
+    md = dataclasses.replace(md, pair_path="nlist",
+                             kspace_style=KSpaceStyle.PPPM)
+    conp = setup_conp(system, md, cfg, solve_dtype=jnp.float32)
+    eng = build_engine(system, md, conp, dtype=jnp.float32)
+    st = eng.init_state()
+    jax.block_until_ready(st.x)
+    x, q, nbr = st.x, st.q, st.nbr
+    grid = eng.pppm_grid
+    u = system.units()
+    eps = jnp.asarray(1e-30, x.dtype)
+    print(f"natoms={system.natoms} grid=({grid.nx},{grid.ny},{grid.nz}) "
+          f"k_max={eng.ncfg.k_max}")
+
+    full = chain_ms(lambda s: eng.step(s), st)
+    print(f"full step              : {full:7.2f} ms")
+
+    def f_pair(xx):
+        f, ev, ec, ov = nlist_pair_forces(
+            eng.ncfg, nbr, xx, q, eng.type_idx, eng.tables,
+            eng.exclusions, g_ewald=eng.ksp_force.g_ewald, qqr2e=u.qqr2e)
+        return xx + eps * f
+    print(f"pair sweep (nlist)     : {chain_ms(f_pair, x):7.2f} ms")
+
+    def f_rebuild(xx):
+        nb = build_neighbor_list(eng.ncfg, xx, eng.tables, eng.type_idx)
+        return xx + eps * jnp.sum(nb.lj)
+    reb = chain_ms(f_rebuild, x, iters=20)
+    print(f"nlist rebuild          : {reb:7.2f} ms  (amortized over "
+          f"~20-step skin interval: {reb / 20:.2f} ms/step)")
+
+    def f_spread(xx):
+        rho = pppm_ops.spread(grid, xx, q)
+        return xx + eps * rho[0, 0, 0]
+    print(f"pppm spread (full N)   : {chain_ms(f_spread, x):7.2f} ms")
+
+    eix = jnp.asarray(conp.ele_idx)
+    xe, qe = jax.jit(lambda a, b: (a[eix], b[eix]))(x, q)
+    def f_spread_ele(xx):
+        rho = pppm_ops.spread(grid, xx, qe)
+        return xx + eps * rho[0, 0, 0]
+    print(f"pppm spread (ele only) : {chain_ms(f_spread_ele, xe):7.2f} ms")
+
+    rho0 = jax.jit(lambda a, b: pppm_ops.spread(grid, a, b))(x, q)
+    def f_fft(r):
+        ek, ef = pppm_ops.pppm_energy_efield(grid, r)
+        return r + eps * (ef[0] + ef[1] + ef[2]) * ek
+    print(f"pppm poisson (4 FFTs)  : {chain_ms(f_fft, rho0):7.2f} ms")
+
+    ef0 = jax.jit(lambda r: pppm_ops.pppm_energy_efield(grid, r)[1])(rho0)
+    def f_gather(xx):
+        fk = q[:, None] * pppm_ops.gather3(grid, ef0, xx)
+        return xx + eps * fk
+    print(f"pppm gather3           : {chain_ms(f_gather, x):7.2f} ms")
+
+    def f_solve(xx):
+        qn, sc, rho = conp.solve_full(xx, q, 0, nbr, eng.ncfg)
+        return xx + eps * qn[:, None]
+    print(f"charge solve (CG)      : {chain_ms(f_solve, x):7.2f} ms")
+
+    def f_forces(xx):
+        f, pe = eng.compute_forces(xx, q, jnp.asarray(0.0, xx.dtype),
+                                   None, nbr)
+        return xx + eps * f
+    print(f"compute_forces total   : {chain_ms(f_forces, x):7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

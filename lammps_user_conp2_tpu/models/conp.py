@@ -86,16 +86,23 @@ class ConpSolver:
         elyte = jnp.asarray(self.elyte_mask)
         q_elyte = jnp.where(elyte, q, 0.0)
 
-        rho_elyte = None
+        kcache = None
         if self.pppm_grid is not None:
             # mesh path (PPPMCONP::b_cal, pppm_conp.cpp:269-316): spread the
             # electrolyte, Poisson-solve to u_brick, stencil-gather at the
-            # electrodes.  rho_elyte is returned for the force-path reuse
-            # invariant (SURVEY.md section 3.4).
+            # electrodes.  (rho_elyte, slots) are returned for the
+            # force-path reuse invariant (SURVEY.md section 3.4): the
+            # force gather3 runs at the same positions, so the ~19 ms tile
+            # binning at 100k atoms is paid once per step.
             from ..ops import pppm as pppm_ops
-            rho_elyte = pppm_ops.spread(self.pppm_grid, x, q_elyte)
+            slots = None
+            if not pppm_ops._use_dense(self.pppm_grid, x.shape[0]):
+                slots = pppm_ops.tile_slots(self.pppm_grid, x, q_elyte)
+            rho_elyte = pppm_ops.spread(self.pppm_grid, x, q_elyte,
+                                        slots=slots)
             u = pppm_ops.poisson_u(self.pppm_grid, rho_elyte)
             b = -pppm_ops.gather(self.pppm_grid, u, xe)
+            kcache = (rho_elyte, slots)
         elif self.fksp is not None:
             # factorized-Ewald fast path: 8 MXU matmuls instead of O(N*K)
             # transcendentals (ops/ewald_factored.py)
@@ -150,7 +157,7 @@ class ConpSolver:
             slabcorr = (4.0 * math.pi / self.ksp.volume) * jnp.sum(
                 q_elyte * x[:, 2])
             b = b - xe[:, 2] * slabcorr
-        return b, rho_elyte
+        return b, kcache
 
     # ------------------------------------------------------------- solve
     def solve(self, x, q, step):
@@ -158,16 +165,17 @@ class ConpSolver:
         return q_new, scalar
 
     def solve_full(self, x, q, step, nbr=None, ncfg=None):
-        """One charge update. Returns (q_new, scalar_output, rho_elyte).
+        """One charge update. Returns (q_new, scalar_output, kcache).
 
         scalar: CONP induced charge dV*totsetq + sum_left(A^-1 b)
         (fix_conp.cpp:1159); CONQ required potential (fix_conq.cpp:78);
-        COND dV (fix_cond.cpp:115).  rho_elyte is the cached electrolyte
-        density mesh in PPPM mode (None otherwise).  ``nbr``/``ncfg``: the
+        COND dV (fix_cond.cpp:115).  kcache is (rho_elyte, tile_slots) in
+        PPPM mode (None otherwise) — the cached electrolyte density mesh
+        and tile binning for force-path reuse.  ``nbr``/``ncfg``: the
         engine's Verlet list, reused for the b real-space rows."""
         ctx = self.ctx
         cfg = self.cfg
-        b, rho_elyte = self.b_vector_full(x, q, nbr, ncfg)
+        b, kcache = self.b_vector_full(x, q, nbr, ncfg)
         if cfg.solver is Solver.CG:
             eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
         elif cfg.solver is Solver.CG_MATFREE:
@@ -213,7 +221,7 @@ class ConpSolver:
 
         q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
         q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
-        return q_new, scalar, rho_elyte
+        return q_new, scalar, kcache
 
     def cg_iterations(self, x, q, nbr=None, ncfg=None) -> int:
         """CG iteration count for the current configuration — the per-solve

@@ -66,14 +66,15 @@ class Engine:
     _run_cache: dict = dataclasses.field(default_factory=dict, compare=False)
 
     # ------------------------------------------------------------- forces
-    def compute_forces(self, x, q, scalar_out, rho_elyte=None, nbr=None):
+    def compute_forces(self, x, q, scalar_out, kcache=None, nbr=None):
         """Returns (f, pe) for the current configuration.
 
-        In PPPM mode ``rho_elyte`` is the electrolyte density mesh cached by
-        the charge solve — the reuse invariant of pppm/conp (SURVEY.md 3.4;
-        pppm_conp.cpp:428-450): exactly one electrolyte spread per step
-        serves both the charge solve and the force evaluation.  ``nbr`` is
-        the current NeighborList when the Verlet-list path is active."""
+        In PPPM mode ``kcache`` is (rho_elyte, tile_slots) cached by the
+        charge solve — the reuse invariant of pppm/conp (SURVEY.md 3.4;
+        pppm_conp.cpp:428-450): exactly one electrolyte spread AND one tile
+        binning per step serve both the charge solve and the force
+        evaluation.  ``nbr`` is the current NeighborList when the
+        Verlet-list path is active."""
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
@@ -113,21 +114,31 @@ class Engine:
             from ..ops import pppm as pppm_ops
             grid = self.pppm_grid
             is_ele = self.elecheck != 0
+            rho_elyte, slots = kcache if kcache is not None else (None, None)
+            if slots is not None and slots.wxs.dtype != x.dtype:
+                slots = None       # solve ran in a different precision
+            tiled = not pppm_ops._use_dense(grid, x.shape[0])
             if self.conp is not None:
                 if rho_elyte is None:
-                    rho_elyte = pppm_ops.spread(grid, x,
-                                                jnp.where(is_ele, 0.0, q))
+                    q_elyte = jnp.where(is_ele, 0.0, q)
+                    if tiled and slots is None:
+                        slots = pppm_ops.tile_slots(grid, x, q_elyte)
+                    rho_elyte = pppm_ops.spread(grid, x, q_elyte,
+                                                slots=slots)
                 # re-spread only the Ne electrode rows (pppm_conp.cpp:385-426
                 # ele_make_rho): a full-N spread of a mostly-zero charge
                 # vector costs ~20 ms at 100k atoms, the electrode-only
-                # spread is sub-ms
+                # spread is sub-ms (small-N dense dispatch)
                 eix = jnp.asarray(self.conp.ele_idx)
                 rho = rho_elyte + pppm_ops.spread(grid, x[eix], q[eix])
             else:
-                rho = pppm_ops.spread(grid, x, q)
+                if tiled and slots is None:
+                    slots = pppm_ops.tile_slots(grid, x, q)
+                rho = pppm_ops.spread(grid, x, q, slots=slots)
             ek, efield = pppm_ops.pppm_energy_efield(grid, rho)
             ek = ek * u.qqr2e
-            fk = u.qqr2e * q[:, None] * pppm_ops.gather3(grid, efield, x)
+            fk = u.qqr2e * q[:, None] * pppm_ops.gather3(grid, efield, x,
+                                                         slots=slots)
         elif self.fksp is not None:
             from ..ops import ewald_factored as ewf
             ek, fk = ewf.energy_forces_f(self.fksp, x, q)
@@ -235,11 +246,11 @@ class Engine:
             nbr = nbr._replace(overflow=nbr.overflow | state.nbr.overflow)
 
         scalar = state.scalar_out
-        rho_elyte = None
+        kcache = None
         if self.conp is not None:
             nevery = self.conp.cfg.nevery
             if nevery == 1:
-                q, scalar, rho_elyte = self.conp.solve_full(
+                q, scalar, kcache = self.conp.solve_full(
                     x, q, state.step + 1, nbr, self.ncfg)
             else:
                 q, scalar = jax.lax.cond(
@@ -248,7 +259,7 @@ class Engine:
                         x, q, state.step + 1, nbr, self.ncfg)[:2],
                     lambda: (q, scalar))
 
-        f, pe = self.compute_forces(x, q, scalar, rho_elyte, nbr)
+        f, pe = self.compute_forces(x, q, scalar, kcache, nbr)
         v = itg.kick(v, f)
         if self.cons is not None:
             v = rattle_velocities(self.cons, x, v, box=self.ksp_force.box,
@@ -283,16 +294,16 @@ class Engine:
                 # everything the integrator won't move
                 v = jnp.where(self.integrator.mobile_mask[:, None], v, 0.0)
                 scalar = jnp.zeros((), dt)
-                rho_elyte = None
+                kcache = None
                 nbr = None
                 if self.ncfg is not None:
                     from ..ops.neighbors import build_neighbor_list
                     nbr = build_neighbor_list(self.ncfg, x, self.tables,
                                               self.type_idx)
                 if self.conp is not None:
-                    q, scalar, rho_elyte = self.conp.solve_full(
+                    q, scalar, kcache = self.conp.solve_full(
                         x, q, jnp.zeros((), jnp.int32), nbr, self.ncfg)
-                f, pe = self.compute_forces(x, q, scalar, rho_elyte, nbr)
+                f, pe = self.compute_forces(x, q, scalar, kcache, nbr)
                 return MDState(
                     x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),
                     nhc_xi=jnp.zeros((nt, tch), dt),
@@ -411,11 +422,11 @@ class Engine:
             if self.ncfg is not None:
                 nbr = build_neighbor_list(self.ncfg, st.x, self.tables,
                                           self.type_idx)
-            q, scalar, rho_elyte = st.q, st.scalar_out, None
+            q, scalar, kcache = st.q, st.scalar_out, None
             if self.conp is not None:
-                q, scalar, rho_elyte = self.conp.solve_full(
+                q, scalar, kcache = self.conp.solve_full(
                     st.x, st.q, st.step, nbr, self.ncfg)
-            f, pe = self.compute_forces(st.x, q, scalar, rho_elyte, nbr)
+            f, pe = self.compute_forces(st.x, q, scalar, kcache, nbr)
             return st._replace(q=q, f=f, scalar_out=scalar, energy=pe, nbr=nbr)
 
         return heal(state)

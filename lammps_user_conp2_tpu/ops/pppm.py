@@ -399,13 +399,31 @@ def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
     return TileGeom(p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span)
 
 
-def _tile_slots(grid: PPPMGrid, x, q):
-    """Bin atoms by 3-D mesh tile and pre-sort everything into (T, cap, .)
-    slot arrays with ONE scatter per array — the tile scan then reads
-    contiguous slices, no per-tile gathers.
+class TileSlots(NamedTuple):
+    """Per-step tile binning of atoms for the tiled spread/gather path.
 
-    Returns (geom, slotted, table, overflow) where slotted =
-    (qs, lxs, lys, lzs, wxs, wys, wzs), each (T, cap, ...); empty slots have
+    Building this costs ~19 ms at 100k atoms (sort + packed scatter) while
+    the actual mesh work is a few ms — so the engine builds it ONCE per
+    step and shares it between the b-vector spread and the force gather3
+    (both evaluate at the same positions; pppm_conp.cpp:428-450 reuses its
+    FFT workspace across the same pair of calls).  ``qs`` carries the
+    charges the slots were built with (spread uses them; gather ignores
+    them)."""
+    qs: jnp.ndarray      # (T, cap)
+    lxs: jnp.ndarray     # (T, cap) int32 local x coord of stencil origin
+    lys: jnp.ndarray
+    lzs: jnp.ndarray
+    wxs: jnp.ndarray     # (T, cap, p) per-axis B-spline weights
+    wys: jnp.ndarray
+    wzs: jnp.ndarray
+    table: jnp.ndarray   # (T, cap) int32 atom ids (n = empty slot)
+    overflow: jnp.ndarray  # () bool
+
+
+def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
+    """Bin atoms by 3-D mesh tile and pre-sort everything into (T, cap, .)
+    slot arrays with ONE packed-key sort + ONE scatter — the tile scan then
+    reads contiguous slices, no per-tile gathers.  Empty slots have
     all-zero weights and q=0 so they contribute nothing."""
     n = x.shape[0]
     dtype = x.dtype
@@ -427,8 +445,17 @@ def _tile_slots(grid: PPPMGrid, x, q):
         zoob = jnp.zeros_like(zt, bool)
         lz = cz % tlz
     tid = ((cx // tlx) * nty + (cy // tly)) * ntz + zt
-    order = jnp.argsort(tid)
-    ts = tid[order]
+    shift = max(1, int(n - 1).bit_length()) if n > 1 else 1
+    if t_tiles << shift < 2 ** 31:
+        # single int32 sort with the atom index packed into the key bits —
+        # the fast TPU selection pattern (vs argsort's two-operand sort)
+        key = jax.lax.sort((tid.astype(jnp.int32) << shift)
+                           | jnp.arange(n, dtype=jnp.int32))
+        ts = key >> shift
+        order = key & ((1 << shift) - 1)
+    else:
+        order = jnp.argsort(tid)
+        ts = tid[order]
     first = jnp.searchsorted(ts, ts, side="left")
     rank = jnp.arange(n) - first
     overflow = (jnp.max(rank) >= cap) | jnp.any(zoob)
@@ -454,8 +481,15 @@ def _tile_slots(grid: PPPMGrid, x, q):
     wxs = ps[:, :, 4:4 + p]
     wys = ps[:, :, 4 + p:4 + 2 * p]
     wzs = ps[:, :, 4 + 2 * p:4 + 3 * p]
-    return geom, (qs, lxs, lys, lzs, wxs, wys, wzs), \
-        table.reshape(t_tiles, cap), overflow
+    return TileSlots(qs, lxs, lys, lzs, wxs, wys, wzs,
+                     table.reshape(t_tiles, cap), overflow)
+
+
+def _tile_slots(grid: PPPMGrid, x, q):
+    """Back-compat wrapper: (geom, slotted, table, overflow)."""
+    s = tile_slots(grid, x, q)
+    return _tile_geometry(grid, x.shape[0]), \
+        (s.qs, s.lxs, s.lys, s.lzs, s.wxs, s.wys, s.wzs), s.table, s.overflow
 
 
 def _local_weight_mats(lxs, lys, lzs, wxs, wys, wzs, *, ex, ey, ez, p, dtype):
@@ -477,50 +511,50 @@ def _local_weight_mats(lxs, lys, lzs, wxs, wys, wzs, *, ex, ey, ez, p, dtype):
     return wxy, wzd
 
 
+def _merge_axis(pt, bin_ax: int, ext_ax: int, til: int, hw: int,
+                periodic: bool):
+    """Overlap-add ONE tiled axis: bins on `bin_ax` (length nt), extended
+    node coordinate on `ext_ax` (length til + 2*hw).  The hw-wide borders
+    shift into the neighboring bin (roll if periodic, zero-fill pad-shift
+    otherwise — span mode, where the dropped overhang is provably zero);
+    only thin (hw) arrays move, the core is touched once.  Returns the
+    array with ext_ax reduced to length til (bins still separate)."""
+    core = jax.lax.slice_in_dim(pt, hw, hw + til, axis=ext_ax)
+    lb = jax.lax.slice_in_dim(pt, 0, hw, axis=ext_ax)
+    rb = jax.lax.slice_in_dim(pt, hw + til, til + 2 * hw, axis=ext_ax)
+    if periodic:
+        rbs = jnp.roll(rb, 1, axis=bin_ax)     # bin k's top -> bin k+1
+        lbs = jnp.roll(lb, -1, axis=bin_ax)    # bin k's bottom -> bin k-1
+    else:
+        nt = pt.shape[bin_ax]
+        rbs = jax.lax.slice_in_dim(
+            jnp.pad(rb, [(1, 0) if a == bin_ax else (0, 0)
+                         for a in range(pt.ndim)]), 0, nt, axis=bin_ax)
+        lbs = jax.lax.slice_in_dim(
+            jnp.pad(lb, [(0, 1) if a == bin_ax else (0, 0)
+                         for a in range(pt.ndim)]), 1, nt + 1, axis=bin_ax)
+    lo = jax.lax.slice_in_dim(core, 0, hw, axis=ext_ax) + rbs
+    mid = jax.lax.slice_in_dim(core, hw, til - hw, axis=ext_ax)
+    hi = jax.lax.slice_in_dim(core, til - hw, til, axis=ext_ax) + lbs
+    return jnp.concatenate([lo, mid, hi], axis=ext_ax)
+
+
 def _overlap_add(patches, geom: TileGeom, nz: int):
-    """(T, ex*ey, ez) per-tile patches -> (nx, ny, nz) overlap-add: the
-    hw-wide patch borders shift into neighbor tiles.  x/y are periodic
-    (rolls); in span mode the z bin axis is NON-periodic (pad-shifts) and
-    the extended z ring (bin 0 starts at unwrapped node -tlz) maps into the
-    periodic [0, nz) axis with two static slices."""
+    """(T, ex*ey, ez) per-tile patches -> (nx, ny, nz) overlap-add, one
+    tiled axis at a time: each axis costs one core-sized concatenate plus
+    hw-thin border moves (~2 mesh streams), vs the 27 mesh-sized pad+roll
+    terms of the naive 3-D formulation (measured 13.8 ms -> ~4 ms at
+    (144,144,750)).  x/y are periodic; in span mode the z bin axis is
+    NON-periodic and the extended z ring (bin 0 starts at unwrapped node
+    -tlz) maps into the periodic [0, nz) axis with two static slices."""
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
     ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
     pt = patches.reshape(ntx, nty, ntz, ex, ey, ez)
-    out = jnp.zeros((ntx, nty, ntz, tlx, tly, tlz), patches.dtype)
-    # p-coordinate ranges landing in tile (t+d): d=0 -> [hw, hw+til);
-    # d=+1 -> [hw+til, ex) lands at rows [0, hw); d=-1 -> [0, hw) lands at
-    # rows [til-hw, til).
-    def xr(d, til):
-        if d == 0:
-            return slice(hw, hw + til), (0, 0)
-        if d == 1:
-            return slice(hw + til, til + 2 * hw), (0, til - hw)
-        return slice(0, hw), (til - hw, 0)
-
-    for dx in (-1, 0, 1):
-        sx, (padlx, padrx) = xr(dx, tlx)
-        for dy in (-1, 0, 1):
-            sy, (padly, padry) = xr(dy, tly)
-            for dz in (-1, 0, 1):
-                sz, (padlz, padrz) = xr(dz, tlz)
-                part = pt[:, :, :, sx, sy, sz]
-                part = jnp.pad(part, ((0, 0), (0, 0), (0, 0),
-                                      (padlx, padrx), (padly, padry),
-                                      (padlz, padrz)))
-                # receiving tile = source tile + d  ->  out[t] += part[t-d]
-                if z_span and dz != 0:
-                    # non-periodic bin shift; the dropped overhang is zero
-                    # (top guard bins empty, bin 0's lower border can't
-                    # receive weight: tlz > hw + 2 and center >= -2)
-                    part = jnp.roll(part, (dx, dy), axis=(0, 1))
-                    bz = ((1, 0),) if dz == 1 else ((0, 1),)
-                    part = jnp.pad(part, ((0, 0), (0, 0)) + bz
-                                   + ((0, 0),) * 3)
-                    part = part[:, :, :ntz] if dz == 1 else part[:, :, 1:]
-                else:
-                    part = jnp.roll(part, (dx, dy, dz), axis=(0, 1, 2))
-                out = out + part
-    brick = out.transpose(0, 3, 1, 4, 2, 5).reshape(
+    pt = _merge_axis(pt, 2, 5, tlz, hw, periodic=not z_span)
+    pt = _merge_axis(pt, 1, 4, tly, hw, periodic=True)
+    pt = _merge_axis(pt, 0, 3, tlx, hw, periodic=True)
+    # collapse (nt, tl) axis pairs: (ntx,nty,ntz,tlx,tly,tlz) -> mesh
+    brick = pt.transpose(0, 3, 1, 4, 2, 5).reshape(
         ntx * tlx, nty * tly, ntz * tlz)
     if not z_span:
         return brick
@@ -536,17 +570,25 @@ def _overlap_add(patches, geom: TileGeom, nz: int):
     return main + low
 
 
-def spread_tiled(grid: PPPMGrid, x, q):
+def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     """Scatter-free spread for large meshes: bin atoms into 3-D mesh tiles
     (pre-sorted slot arrays, one scatter each), per-tile MXU matmul
     (ex*ey, cap) x (cap, ez) builds the local patch, patches overlap-add
-    with static rolls.  O(T * ex*ey * cap * ez) MXU flops — the z tiling
-    keeps ez ~ O(order), ~20x fewer flops than dense-z xy columns — and no
+    axis-by-axis.  O(T * ex*ey * cap * ez) MXU flops — the z tiling keeps
+    ez ~ O(order), ~20x fewer flops than dense-z xy columns — and no
     per-pair HBM scatter.  Tile-capacity overflow poisons the mesh with NaN
-    (fail loud, like ops/cells.py)."""
+    (fail loud, like ops/cells.py).
+
+    Pass ``slots`` (built by tile_slots with the SAME x and q) to skip the
+    binning — the spread uses slots.qs."""
     dtype = x.dtype
-    geom, (qs, lxs, lys, lzs, wxs, wys, wzs), _, overflow = \
-        _tile_slots(grid, x, q)
+    if slots is None:
+        slots = tile_slots(grid, x, q)
+    qs, lxs, lys, lzs, wxs, wys, wzs = (slots.qs, slots.lxs, slots.lys,
+                                        slots.lzs, slots.wxs, slots.wys,
+                                        slots.wzs)
+    overflow = slots.overflow
+    geom = _tile_geometry(grid, x.shape[0])
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
     ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
 
@@ -565,15 +607,22 @@ def spread_tiled(grid: PPPMGrid, x, q):
     return jnp.where(overflow, jnp.nan, rho)
 
 
-def gather_tiled(grid: PPPMGrid, bricks, x):
+def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     """Scatter-free stencil readout of one or more mesh fields: per tile,
     slice the (B, ex, ey, ez) patch block from the wrap-padded brick stack
     and contract with the local weights in ONE matmul for all B fields.
-    Returns a list of (N,) values."""
+    Returns a list of (N,) values.
+
+    Pass ``slots`` (built by tile_slots with the SAME x; charges are
+    ignored here) to skip the binning."""
     n = x.shape[0]
     dtype = x.dtype
-    geom, (qs, lxs, lys, lzs, wxs, wys, wzs), table, overflow = \
-        _tile_slots(grid, x, jnp.zeros((n,), dtype))
+    if slots is None:
+        slots = tile_slots(grid, x, jnp.zeros((n,), dtype))
+    lxs, lys, lzs, wxs, wys, wzs = (slots.lxs, slots.lys, slots.lzs,
+                                    slots.wxs, slots.wys, slots.wzs)
+    table, overflow = slots.table, slots.overflow
+    geom = _tile_geometry(grid, x.shape[0])
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
     ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
     nb = len(bricks)
@@ -642,7 +691,7 @@ def _use_dense(grid: PPPMGrid, n: int) -> bool:
             or n * (grid.nx * grid.ny + grid.nz) <= 32 * 1024 * 1024)
 
 
-def spread(grid: PPPMGrid, x, q):
+def spread(grid: PPPMGrid, x, q, slots: TileSlots = None):
     """Charges onto the mesh (LAMMPS make_rho): returns (nx,ny,nz)."""
     if _use_dense(grid, x.shape[0]):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
@@ -651,10 +700,10 @@ def spread(grid: PPPMGrid, x, q):
         rho = jnp.matmul(wxy.T, q[:, None] * WZ,
                          precision=jax.lax.Precision.HIGHEST)
         return rho.reshape(grid.nx, grid.ny, grid.nz)
-    return spread_tiled(grid, x, q)
+    return spread_tiled(grid, x, q, slots=slots)
 
 
-def gather(grid: PPPMGrid, brick, x):
+def gather(grid: PPPMGrid, brick, x, slots: TileSlots = None):
     """Stencil readout of a mesh field at atom positions: (N,)."""
     if _use_dense(grid, x.shape[0]):
         WX, WY, WZ = _axis_weight_matrices(grid, x)
@@ -663,10 +712,10 @@ def gather(grid: PPPMGrid, brick, x):
         t = jnp.matmul(WZ, brick.reshape(grid.nx * grid.ny, grid.nz).T,
                        precision=jax.lax.Precision.HIGHEST)
         return jnp.sum(wxy * t, axis=1)
-    return gather_tiled(grid, [brick], x)[0]
+    return gather_tiled(grid, [brick], x, slots=slots)[0]
 
 
-def gather3(grid: PPPMGrid, bricks, x):
+def gather3(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     """Gather three mesh fields at once (the ik force path) sharing the
     weight matrices; returns (N, 3)."""
     if _use_dense(grid, x.shape[0]):
@@ -679,7 +728,7 @@ def gather3(grid: PPPMGrid, bricks, x):
                            precision=jax.lax.Precision.HIGHEST)
             outs.append(jnp.sum(wxy * t, axis=1))
         return jnp.stack(outs, axis=1)
-    return jnp.stack(gather_tiled(grid, list(bricks), x), axis=1)
+    return jnp.stack(gather_tiled(grid, list(bricks), x, slots=slots), axis=1)
 
 
 def _half_weights(grid: PPPMGrid, dtype):

@@ -254,29 +254,37 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return f, ev, ec
 
     def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                       i0, eidx_l, evalid_l, rho_elyte=None, nbr=None):
+                       i0, eidx_l, evalid_l, kcache=None, nbr=None):
         """Per-device partial force computation; returns replicated (f, pe)."""
         f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr)
 
         if engine.pppm_grid is not None:
             # mesh k-space: spread sharded over atom rows (psum the mesh),
             # FFTs replicated, force gather sharded over atom rows.  When the
-            # solve ran this step, its electrolyte mesh is reused and only
-            # the Ne electrode charges are re-spread (pppm_conp.cpp:428-450).
+            # solve ran this step, its electrolyte mesh AND its per-device
+            # tile binning are reused; only the Ne electrode charges are
+            # re-spread (pppm_conp.cpp:428-450).
             from ..ops import pppm as pppm_ops
             grid_p = engine.pppm_grid
             xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)))
             qp_ = jnp.pad(q, (0, npad_rows))
             xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
             qi_l = jax.lax.dynamic_slice_in_dim(qp_, i0, nrow)
+            rho_elyte, slots_l = (kcache if kcache is not None
+                                  else (None, None))
+            tiled = not pppm_ops._use_dense(grid_p, nrow)
             if rho_elyte is not None and conp is not None:
                 eix = jnp.asarray(conp.ele_idx)
                 rho = rho_elyte + pppm_ops.spread(grid_p, x[eix], q[eix])
             else:
-                rho = jax.lax.psum(pppm_ops.spread(grid_p, xi_l, qi_l), axis)
+                if tiled and slots_l is None:
+                    slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
+                rho = jax.lax.psum(
+                    pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
             ek, efield = pppm_ops.pppm_energy_efield(grid_p, rho)
             ek = qqr2e * ek
-            f_rows = qi_l[:, None] * pppm_ops.gather3(grid_p, efield, xi_l)
+            f_rows = qi_l[:, None] * pppm_ops.gather3(grid_p, efield, xi_l,
+                                                      slots=slots_l)
             f = f + qqr2e * jax.lax.all_gather(f_rows, axis, axis=0,
                                                tiled=True)[:n]
         else:
@@ -457,13 +465,13 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                       nbr=None):
         """Row/k-sharded charge solve.
 
-        Returns replicated (q_new, scalar, rho_elyte) — rho_elyte is the
-        electrolyte density mesh in PPPM mode (the force path reuses it:
-        pppm_conp.cpp:428-450 invariant), None otherwise."""
+        Returns replicated (q_new, scalar, kcache) — kcache is
+        (rho_elyte mesh, per-device TileSlots) in PPPM mode (the force path
+        reuses both: pppm_conp.cpp:428-450 invariant), None otherwise."""
         elyte = jnp.asarray(conp.elyte_mask)
         q_elyte = jnp.where(elyte, q, 0.0)
         xe_all = x[jnp.asarray(ele_idx)]
-        rho_elyte = None
+        kcache = None
 
         if conp.pppm_grid is not None:
             # mesh b-vector: spread MY atom rows -> psum the mesh (the TPU
@@ -477,7 +485,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             qep = jnp.pad(q_elyte, (0, npad_rows))
             xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
             qi_l = jax.lax.dynamic_slice_in_dim(qep, i0, nrow)
-            rho_elyte = jax.lax.psum(pppm_ops.spread(grid_p, xi_l, qi_l), axis)
+            slots_l = None
+            if not pppm_ops._use_dense(grid_p, nrow):
+                slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
+            rho_elyte = jax.lax.psum(
+                pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
+            kcache = (rho_elyte, slots_l)
             u_mesh = pppm_ops.poisson_u(grid_p, rho_elyte)
             b_l = -pppm_ops.gather(grid_p, u_mesh, x[eidx_l])
             b_l = jnp.where(evalid_l, b_l, 0.0)
@@ -523,7 +536,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
 
         eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0)
         q_new, scalar = _finish_update(x, q, step, eleallq)
-        return q_new, scalar, rho_elyte
+        return q_new, scalar, kcache
 
     def step_inner(state, kv_l, ug_l, exi_l, exv_l, rvalid_l, asolve_l, eidx_l, evalid_l):
         i0 = jax.lax.axis_index(axis) * nrow
@@ -557,20 +570,20 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             nbr = nbr._replace(overflow=nbr.overflow | state.nbr.overflow)
 
         scalar = state.scalar_out
-        rho_elyte = None
+        kcache = None
         if conp is not None:
             nevery = conp.cfg.nevery
             solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
                                           asolve_l, eidx_l, evalid_l, e0, nbr)
             if nevery == 1:
-                q, scalar, rho_elyte = solve()
+                q, scalar, kcache = solve()
             else:
                 q, scalar = jax.lax.cond((state.step + 1) % nevery == 0,
                                          lambda: solve()[:2],
                                          lambda: (q, scalar))
 
         f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                               i0, eidx_l, evalid_l, rho_elyte, nbr)
+                               i0, eidx_l, evalid_l, kcache, nbr)
         v = itg.kick(v, f)
         if engine.cons is not None:
             from ..models.shake import rattle_velocities

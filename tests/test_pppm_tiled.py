@@ -107,6 +107,46 @@ def test_energy_efield_rfft_roundtrip(slab_setup):
                                    atol=1e-12 * float(jnp.abs(ref).max()))
 
 
+def test_slot_sharing_equivalence(slab_setup):
+    """tile_slots built once and passed to both spread and gather gives
+    bit-identical results to the build-inside path (the engine shares the
+    binning between the b-vector spread and the force gather3)."""
+    grid, x, q, _ = slab_setup
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x, q)
+    rho_a = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(x, q)
+    rho_b = jax.jit(lambda a: P.spread_tiled(grid, a, slots=slots))(x)
+    np.testing.assert_array_equal(np.asarray(rho_a), np.asarray(rho_b))
+    g_a = jax.jit(lambda b, xx: P.gather_tiled(grid, [b], xx)[0])(rho_a, x)
+    g_b = jax.jit(lambda b, xx: P.gather_tiled(
+        grid, [b], xx, slots=slots)[0])(rho_a, x)
+    np.testing.assert_array_equal(np.asarray(g_a), np.asarray(g_b))
+
+
+def test_tiled_periodic_z_grid():
+    """Non-slab (fully periodic) grid: z_span is False and the z overlap-add
+    uses the periodic roll branch."""
+    rng = np.random.default_rng(3)
+    box = (30.0, 30.0, 30.0)
+    n = 1500
+    x = jnp.asarray(rng.uniform(0, 30, size=(n, 3)))
+    q = rng.normal(size=n)
+    q -= q.mean()
+    q = jnp.asarray(q)
+    grid = P.setup_pppm(box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-4,
+                        natoms=n, q2=float(np.sum(np.asarray(q) ** 2)),
+                        cutoff=8.0, slabflag=False)
+    geom = P._tile_geometry(grid, n)
+    assert not geom.z_span
+    rho_d, wxy, WZ = _dense_spread(grid, x, q)
+    rho_t = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(x, q)
+    np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_d),
+                               atol=1e-11)
+    g_t = jax.jit(lambda b, xx: P.gather_tiled(grid, [b], xx)[0])(rho_d, x)
+    t = jnp.matmul(WZ, rho_d.reshape(grid.nx * grid.ny, grid.nz).T)
+    g_d = jnp.sum(wxy * t, axis=1)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_d), atol=1e-11)
+
+
 def test_tile_overflow_fails_loud(slab_setup):
     """More atoms in one tile than cap -> NaN-poisoned mesh, not silent
     truncation (the analogue of LAMMPS's out-of-range atom check,

@@ -61,6 +61,11 @@ class ConpSolver:
     pppm_grid: object = None     # PPPMGrid when cfg.kspace is PPPM
     fksp: object = None          # FactoredKSpace — MXU fast path for b
     one_electrode: bool = False  # group1 == group2 (fix_conp.cpp:295)
+    # z-plane fast path (ops/pppm.py electrode_zplanes): the electrode
+    # stencils touch only these z mesh planes, so the b-vector readout skips
+    # the full inverse FFT.  None when electrodes are mobile.
+    ele_zplanes: object = None   # (P,) np.int32 or None
+    ele_zpinv: object = None     # (nz,) np.int32, -1 outside the set
 
     @property
     def ne(self) -> int:
@@ -89,20 +94,30 @@ class ConpSolver:
         kcache = None
         if self.pppm_grid is not None:
             # mesh path (PPPMCONP::b_cal, pppm_conp.cpp:269-316): spread the
-            # electrolyte, Poisson-solve to u_brick, stencil-gather at the
-            # electrodes.  (rho_elyte, slots) are returned for the
-            # force-path reuse invariant (SURVEY.md section 3.4): the
-            # force gather3 runs at the same positions, so the ~19 ms tile
-            # binning at 100k atoms is paid once per step.
+            # electrolyte, Poisson-solve, stencil-gather at the electrodes.
+            # (rhok_elyte, slots) are returned for the force-path reuse
+            # invariant (SURVEY.md section 3.4): the force path adds the
+            # electrode density IN K-SPACE (by linearity) and the gather
+            # runs at the same positions, so both the electrolyte forward
+            # FFT and the tile binning are paid once per step.
             from ..ops import pppm as pppm_ops
+            grid = self.pppm_grid
             slots = None
-            if not pppm_ops._use_dense(self.pppm_grid, x.shape[0]):
-                slots = pppm_ops.tile_slots(self.pppm_grid, x, q_elyte)
-            rho_elyte = pppm_ops.spread(self.pppm_grid, x, q_elyte,
-                                        slots=slots)
-            u = pppm_ops.poisson_u(self.pppm_grid, rho_elyte)
-            b = -pppm_ops.gather(self.pppm_grid, u, xe)
-            kcache = (rho_elyte, slots)
+            if not pppm_ops._use_dense(grid, x.shape[0]):
+                slots = pppm_ops.tile_slots(grid, x, q_elyte)
+            rho_elyte = pppm_ops.spread(grid, x, q_elyte, slots=slots)
+            rhok_elyte = jnp.fft.rfftn(rho_elyte)
+            if self.ele_zplanes is not None:
+                # electrodes live on a handful of z planes: read u there
+                # via a small z-DFT matmul + P tiny 2-D FFTs instead of a
+                # full inverse FFT (ops/pppm.py u_on_zplanes)
+                up = pppm_ops.u_on_zplanes(grid, rhok_elyte,
+                                           self.ele_zplanes)
+                b = -pppm_ops.gather_zplanes(grid, up, xe, self.ele_zpinv)
+            else:
+                u = pppm_ops.poisson_u_from_k(grid, rhok_elyte)
+                b = -pppm_ops.gather(grid, u, xe)
+            kcache = (rhok_elyte, slots)
         elif self.fksp is not None:
             # factorized-Ewald fast path: 8 MXU matmuls instead of O(N*K)
             # transcendentals (ops/ewald_factored.py)
@@ -164,20 +179,26 @@ class ConpSolver:
         q_new, scalar, _ = self.solve_full(x, q, step)
         return q_new, scalar
 
-    def solve_full(self, x, q, step, nbr=None, ncfg=None):
+    def solve_full(self, x, q, step, nbr=None, ncfg=None, scalar_prev=None):
         """One charge update. Returns (q_new, scalar_output, kcache).
 
         scalar: CONP induced charge dV*totsetq + sum_left(A^-1 b)
         (fix_conp.cpp:1159); CONQ required potential (fix_conq.cpp:78);
-        COND dV (fix_cond.cpp:115).  kcache is (rho_elyte, tile_slots) in
+        COND dV (fix_cond.cpp:115).  kcache is (rhok_elyte, tile_slots) in
         PPPM mode (None otherwise) — the cached electrolyte density mesh
         and tile binning for force-path reuse.  ``nbr``/``ncfg``: the
-        engine's Verlet list, reused for the b real-space rows."""
+        engine's Verlet list, reused for the b real-space rows.
+        ``scalar_prev``: the previous step's fix scalar — lets the CG
+        solvers warm-start from the previous electrode charges (one MD step
+        barely moves them, so CG converges in a fraction of the cold-start
+        iterations)."""
         ctx = self.ctx
         cfg = self.cfg
         b, kcache = self.b_vector_full(x, q, nbr, ncfg)
+        x0_cg = self._cg_warm_start(q, step, scalar_prev, b.dtype)
         if cfg.solver is Solver.CG:
-            eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance, cfg.cg_maxiter)
+            eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance,
+                                  cfg.cg_maxiter, x0=x0_cg)
         elif cfg.solver is Solver.CG_MATFREE:
             xe = x.astype(self.solve_dtype)[self.ele_idx]
             real_block = ctx.real_block
@@ -193,7 +214,8 @@ class ConpSolver:
             apply_a = make_matfree_operator(
                 self.fksp, xe, real_block, ctx.diag_extra,
                 slabflag=self.ksp.slabflag, volume=self.ksp.volume)
-            eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
+            eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance,
+                                  cfg.cg_maxiter, x0=x0_cg)
         else:
             eleallq = jnp.matmul(ctx.ainv, b,
                                  precision=jax.lax.Precision.HIGHEST)
@@ -223,6 +245,32 @@ class ConpSolver:
         q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
         return q_new, scalar, kcache
 
+    def _cg_warm_start(self, q, step, scalar_prev, dt):
+        """Reconstruct the previous step's A^-1 b iterate from the current
+        electrode charges: eleallq_prev = q_ele - potdiff_prev*elesetq -
+        eleinitq (inverting the update rule of solve_full).  potdiff is the
+        target itself for CONP; for CONQ/COND it equals the previous fix
+        scalar — skipped when unknown.  The result is de-meaned so CG stays
+        on the charge-neutral subspace regardless of the input."""
+        cfg = self.cfg
+        if cfg.solver is Solver.INV:
+            return None
+        if cfg.mode is Mode.CONP:
+            potdiff_prev = (cfg.target(step) if callable(cfg.target)
+                            else jnp.asarray(cfg.target, dt))
+        elif scalar_prev is not None:
+            potdiff_prev = jnp.asarray(scalar_prev, dt)
+        else:
+            return None
+        ctx = self.ctx
+        x0 = (q.astype(dt)[self.ele_idx] - ctx.eleinitq
+              - potdiff_prev * ctx.elesetq)
+        x0 = x0 - jnp.mean(x0)
+        # overflow recovery heals from NaN-poisoned charges (md.py
+        # _heal_state) — fall back to a cold start rather than seeding CG
+        # with NaN
+        return jnp.where(jnp.all(jnp.isfinite(x0)), x0, 0.0)
+
     def cg_iterations(self, x, q, nbr=None, ncfg=None) -> int:
         """CG iteration count for the current configuration — the per-solve
         trace the reference flushes to its timing log (fix_conp.cpp:926-928).
@@ -250,14 +298,16 @@ class ConpSolver:
         return int(count(jnp.asarray(x), jnp.asarray(q)))
 
 
-def cg_solve(amat, b, tol: float, maxiter: int):
+def cg_solve(amat, b, tol: float, maxiter: int, x0=None):
     """Neutrality-projected conjugate gradient (FixConp::cg,
     fix_conp.cpp:864-930): residuals and search directions are de-meaned
     every iteration to stay on the charge-neutral subspace; convergence when
     <r, p>/Ne < tol.  jit-compatible lax.while_loop.
 
     ``amat`` may be an (Ne, Ne) matrix or a callable p -> A @ p
-    (the matrix-free production-scale path)."""
+    (the matrix-free production-scale path).  ``x0``: optional warm-start
+    iterate (the previous step's solution) — costs one extra A apply for
+    the initial residual, saves many iterations."""
     ne = b.shape[0]
     apply_a = amat if callable(amat) else (
         lambda p: jnp.matmul(amat, p, precision=jax.lax.Precision.HIGHEST))
@@ -266,8 +316,11 @@ def cg_solve(amat, b, tol: float, maxiter: int):
         netr = jnp.sum(res)
         return res - netr / ne, jnp.sum(res * res) - netr * (netr / ne)
 
-    x0 = jnp.zeros_like(b)
-    res0 = b
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        res0 = b
+    else:
+        res0 = b - apply_a(x0)
     p0, lresnorm0 = demeaned(res0)
     # note: reference keeps res un-demeaned; p = res - avenetr
 
@@ -533,6 +586,12 @@ def _setup_conp_f64(
         vmult=jnp.asarray(vmult, solve_dtype),
     )
 
+    ele_zplanes = ele_zpinv = None
+    if pppm_grid is not None and not cfg.mobile_electrodes:
+        from ..ops import pppm as pppm_ops
+        ele_zplanes = pppm_ops.electrode_zplanes(pppm_grid, x0[ele_idx])
+        ele_zpinv = pppm_ops.zplane_inverse(pppm_grid, ele_zplanes)
+
     return ConpSolver(
         cfg=cfg, ksp=ksp, kernels=kernels, ctx=ctx, fksp=fksp,
         ele_idx=ele_idx, elyte_mask=~system.ele_mask,
@@ -540,4 +599,5 @@ def _setup_conp_f64(
         cut_coulsq=cut_coulsq, qqr2e=units.qqr2e, evscale=units.evscale,
         ee_diag=ee, solve_dtype=solve_dtype, pppm_grid=pppm_grid,
         one_electrode=one_electrode,
+        ele_zplanes=ele_zplanes, ele_zpinv=ele_zpinv,
     )

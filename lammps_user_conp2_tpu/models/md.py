@@ -69,7 +69,7 @@ class Engine:
     def compute_forces(self, x, q, scalar_out, kcache=None, nbr=None):
         """Returns (f, pe) for the current configuration.
 
-        In PPPM mode ``kcache`` is (rho_elyte, tile_slots) cached by the
+        In PPPM mode ``kcache`` is (rhok_elyte, tile_slots) cached by the
         charge solve — the reuse invariant of pppm/conp (SURVEY.md 3.4;
         pppm_conp.cpp:428-450): exactly one electrolyte spread AND one tile
         binning per step serve both the charge solve and the force
@@ -114,31 +114,51 @@ class Engine:
             from ..ops import pppm as pppm_ops
             grid = self.pppm_grid
             is_ele = self.elecheck != 0
-            rho_elyte, slots = kcache if kcache is not None else (None, None)
-            if slots is not None and slots.wxs.dtype != x.dtype:
+            rhok_elyte, slots = kcache if kcache is not None else (None, None)
+            if slots is not None and slots.dxs.dtype != x.dtype:
                 slots = None       # solve ran in a different precision
+            cplx = jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128
+            if rhok_elyte is not None and rhok_elyte.dtype != cplx:
+                rhok_elyte = None  # rebuild the mesh in the force dtype
             tiled = not pppm_ops._use_dense(grid, x.shape[0])
             if self.conp is not None:
-                if rho_elyte is None:
+                if rhok_elyte is None:
                     q_elyte = jnp.where(is_ele, 0.0, q)
                     if tiled and slots is None:
                         slots = pppm_ops.tile_slots(grid, x, q_elyte)
-                    rho_elyte = pppm_ops.spread(grid, x, q_elyte,
-                                                slots=slots)
+                    rhok_elyte = jnp.fft.rfftn(
+                        pppm_ops.spread(grid, x, q_elyte, slots=slots))
                 # re-spread only the Ne electrode rows (pppm_conp.cpp:385-426
-                # ele_make_rho): a full-N spread of a mostly-zero charge
-                # vector costs ~20 ms at 100k atoms, the electrode-only
-                # spread is sub-ms (small-N dense dispatch)
+                # ele_make_rho) and add their density IN K-SPACE: with the
+                # z-plane fast path the electrode forward transform is P
+                # tiny 2-D FFTs + a small z-DFT matmul, so the force path
+                # pays no full forward FFT at all (the electrolyte rhok is
+                # cached from the charge solve)
                 eix = jnp.asarray(self.conp.ele_idx)
-                rho = rho_elyte + pppm_ops.spread(grid, x[eix], q[eix])
+                if self.conp.ele_zplanes is not None:
+                    rho_ep = pppm_ops.spread_zplanes(
+                        grid, x[eix], q[eix], self.conp.ele_zpinv)
+                    rhok = rhok_elyte + pppm_ops.rhok_from_zplanes(
+                        grid, rho_ep, self.conp.ele_zplanes)
+                else:
+                    rhok = rhok_elyte + jnp.fft.rfftn(
+                        pppm_ops.spread(grid, x[eix], q[eix]))
             else:
                 if tiled and slots is None:
                     slots = pppm_ops.tile_slots(grid, x, q)
-                rho = pppm_ops.spread(grid, x, q, slots=slots)
-            ek, efield = pppm_ops.pppm_energy_efield(grid, rho)
+                rhok = jnp.fft.rfftn(pppm_ops.spread(grid, x, q, slots=slots))
+            if self.md.pppm_diff == "ad" or (
+                    self.md.pppm_diff == "auto" and tiled):
+                # ad differentiation: one inverse FFT + one-mesh gather
+                # (MDConfig.pppm_diff; LAMMPS kspace_modify diff ad)
+                ek, umesh = pppm_ops.pppm_energy_u_from_k(grid, rhok)
+                fk = u.qqr2e * q[:, None] * pppm_ops.gather3_ad(
+                    grid, umesh, x, slots=slots)
+            else:
+                ek, efield = pppm_ops.pppm_energy_efield_from_k(grid, rhok)
+                fk = u.qqr2e * q[:, None] * pppm_ops.gather3(
+                    grid, efield, x, slots=slots)
             ek = ek * u.qqr2e
-            fk = u.qqr2e * q[:, None] * pppm_ops.gather3(grid, efield, x,
-                                                         slots=slots)
         elif self.fksp is not None:
             from ..ops import ewald_factored as ewf
             ek, fk = ewf.energy_forces_f(self.fksp, x, q)
@@ -251,12 +271,14 @@ class Engine:
             nevery = self.conp.cfg.nevery
             if nevery == 1:
                 q, scalar, kcache = self.conp.solve_full(
-                    x, q, state.step + 1, nbr, self.ncfg)
+                    x, q, state.step + 1, nbr, self.ncfg,
+                    scalar_prev=state.scalar_out)
             else:
                 q, scalar = jax.lax.cond(
                     (state.step + 1) % nevery == 0,
                     lambda: self.conp.solve_full(
-                        x, q, state.step + 1, nbr, self.ncfg)[:2],
+                        x, q, state.step + 1, nbr, self.ncfg,
+                        scalar_prev=state.scalar_out)[:2],
                     lambda: (q, scalar))
 
         f, pe = self.compute_forces(x, q, scalar, kcache, nbr)
@@ -425,7 +447,8 @@ class Engine:
             q, scalar, kcache = st.q, st.scalar_out, None
             if self.conp is not None:
                 q, scalar, kcache = self.conp.solve_full(
-                    st.x, st.q, st.step, nbr, self.ncfg)
+                    st.x, st.q, st.step, nbr, self.ncfg,
+                    scalar_prev=st.scalar_out)
             f, pe = self.compute_forces(st.x, q, scalar, kcache, nbr)
             return st._replace(q=q, f=f, scalar_out=scalar, energy=pe, nbr=nbr)
 

@@ -75,9 +75,13 @@ def bin_atoms(grid: CellGrid, x):
     cell = (ids[0] * cy + ids[1]) * cz + ids[2]            # (N,)
     order = jnp.argsort(cell)
     cell_sorted = cell[order]
-    # rank within cell = position - first position of this cell value
-    first_idx = jnp.searchsorted(cell_sorted, cell_sorted, side="left")
-    rank = jnp.arange(n) - first_idx
+    # rank within cell = position - first position of this cell value,
+    # via cummax of segment starts (searchsorted's N binary-search gathers
+    # cost several ms at 100k atoms)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    changed = jnp.concatenate([jnp.ones((1,), bool),
+                               cell_sorted[1:] != cell_sorted[:-1]])
+    rank = iota - jax.lax.cummax(jnp.where(changed, iota, 0))
     overflow = jnp.max(rank) >= grid.cap
     table = jnp.full((grid.total * grid.cap,), n, jnp.int32)
     slot = cell_sorted * grid.cap + jnp.minimum(rank, grid.cap - 1)

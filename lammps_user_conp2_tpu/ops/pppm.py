@@ -262,18 +262,40 @@ def setup_pppm(*, box, box_lo, accuracy_abs, natoms, q2, cutoff, order=5,
 # device-side compute
 # ---------------------------------------------------------------------------
 
+def _horner_w(dx, cf):
+    """rho1d[i] = sum_l coeff[i, l] dx^l (LAMMPS compute_rho1d, Horner).
+    dx (...,) -> (..., p)."""
+    p = cf.shape[0]
+    w = jnp.zeros(dx.shape + (p,), dx.dtype)
+    for l in range(p - 1, -1, -1):
+        w = w * dx[..., None] + cf[:, l][(None,) * dx.ndim]
+    return w
+
+
+def _horner_dw(dx, cf):
+    """d(rho1d)/d(dx) = sum_{l>=1} l coeff[i, l] dx^(l-1) (LAMMPS
+    compute_drho1d).  The atom-position derivative carries an extra
+    -delinv chain factor (dx = m - u, u = (x - lo) * delinv)."""
+    p = cf.shape[0]
+    dw = jnp.zeros(dx.shape + (p,), dx.dtype)
+    for l in range(p - 1, 0, -1):
+        dw = dw * dx[..., None] + l * cf[:, l][(None,) * dx.ndim]
+    return dw
+
+
 def _stencil_full(grid: PPPMGrid, x):
     """Per-atom stencil indices, weights, and center-node indices.
 
     Returns (ix, iy, iz) each (N, p) int32 wrapped indices, (wx, wy, wz)
-    each (N, p) weights, (cx, cy, cz) each (N,) wrapped center nodes, and
-    mz_raw (N,) UNWRAPPED z center nodes (for slab-span tiling, where the
-    z axis is binned without periodic wrap); the (p,p,p) outer product is
-    formed lazily."""
+    each (N, p) weights, (dxx, dxy, dxz) each (N,) fractional offsets,
+    (cx, cy, cz) each (N,) wrapped center nodes, and mz_raw (N,) UNWRAPPED
+    z center nodes (for slab-span tiling, where the z axis is binned
+    without periodic wrap); the (p,p,p) outer product is formed lazily."""
     p = grid.order
     dtype = x.dtype
-    out_idx, out_w, out_c = [], [], []
+    out_idx, out_w, out_dx, out_c = [], [], [], []
     mz_raw = None
+    cf = jnp.asarray(grid.coeffs, dtype)
     for ax, (n, L, lo) in enumerate((
             (grid.nx, grid.box[0], grid.box_lo[0]),
             (grid.ny, grid.box[1], grid.box_lo[1]),
@@ -289,21 +311,17 @@ def _stencil_full(grid: PPPMGrid, x):
             dx = m.astype(dtype) + 0.5 - u
         offs = jnp.arange(p, dtype=jnp.int32) - (p - 1) // 2
         idx = jnp.mod(m[:, None] + offs[None, :], n)
-        # rho1d[i] = sum_l coeff[i, l] dx^l  (LAMMPS compute_rho1d, Horner)
-        cf = jnp.asarray(grid.coeffs, dtype)
-        w = jnp.zeros((x.shape[0], p), dtype)
-        for l in range(p - 1, -1, -1):
-            w = w * dx[:, None] + cf[:, l][None, :]
         out_idx.append(idx)
-        out_w.append(w)
+        out_w.append(_horner_w(dx, cf))
+        out_dx.append(dx)
         out_c.append(jnp.mod(m, n))
         if ax == 2:
             mz_raw = m
-    return out_idx, out_w, out_c, mz_raw
+    return out_idx, out_w, out_dx, out_c, mz_raw
 
 
 def _stencil(grid: PPPMGrid, x):
-    idx, w, _, _ = _stencil_full(grid, x)
+    idx, w, _, _, _ = _stencil_full(grid, x)
     return idx, w
 
 
@@ -402,20 +420,19 @@ def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
 class TileSlots(NamedTuple):
     """Per-step tile binning of atoms for the tiled spread/gather path.
 
-    Building this costs ~19 ms at 100k atoms (sort + packed scatter) while
-    the actual mesh work is a few ms — so the engine builds it ONCE per
-    step and shares it between the b-vector spread and the force gather3
-    (both evaluate at the same positions; pppm_conp.cpp:428-450 reuses its
-    FFT workspace across the same pair of calls).  ``qs`` carries the
-    charges the slots were built with (spread uses them; gather ignores
-    them)."""
+    The payload per atom is just (q, local coords, fractional offsets) —
+    B-spline weights are recomputed in-tile by Horner (p muls on VPU),
+    which keeps the packed scatter 7 columns wide instead of 19.  The
+    engine builds this ONCE per step and shares it between the b-vector
+    spread and the force gather (both evaluate at the same positions;
+    pppm_conp.cpp:428-450 reuses its FFT workspace across the same pair of
+    calls).  ``qs`` carries the charges the slots were built with (spread
+    uses them; gather ignores them)."""
     qs: jnp.ndarray      # (T, cap)
     lxs: jnp.ndarray     # (T, cap) int32 local x coord of stencil origin
     lys: jnp.ndarray
     lzs: jnp.ndarray
-    wxs: jnp.ndarray     # (T, cap, p) per-axis B-spline weights
-    wys: jnp.ndarray
-    wzs: jnp.ndarray
+    dxs: jnp.ndarray     # (T, cap, 3) per-axis B-spline fractional offsets
     table: jnp.ndarray   # (T, cap) int32 atom ids (n = empty slot)
     overflow: jnp.ndarray  # () bool
 
@@ -423,13 +440,13 @@ class TileSlots(NamedTuple):
 def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
     """Bin atoms by 3-D mesh tile and pre-sort everything into (T, cap, .)
     slot arrays with ONE packed-key sort + ONE scatter — the tile scan then
-    reads contiguous slices, no per-tile gathers.  Empty slots have
-    all-zero weights and q=0 so they contribute nothing."""
+    reads contiguous slices, no per-tile gathers.  Empty slots have q=0 and
+    atom id n so they contribute nothing."""
     n = x.shape[0]
     dtype = x.dtype
     geom = _tile_geometry(grid, n)
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    (ix, iy, iz), (wx, wy, wz), (cx, cy, cz), mz = _stencil_full(grid, x)
+    _, _, (dxx, dxy, dxz), (cx, cy, cz), mz = _stencil_full(grid, x)
     if z_span:
         # non-periodic z bins over the occupied span, origin one bin below
         # the box floor (wrap spill from atoms just under box_lo); atoms
@@ -456,8 +473,12 @@ def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
     else:
         order = jnp.argsort(tid)
         ts = tid[order]
-    first = jnp.searchsorted(ts, ts, side="left")
-    rank = jnp.arange(n) - first
+    # rank within the tile segment: cummax of the segment-start positions
+    # (searchsorted's N binary-search gathers cost several ms at 100k)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    changed = jnp.concatenate([jnp.ones((1,), bool), ts[1:] != ts[:-1]])
+    first = jax.lax.cummax(jnp.where(changed, iota, 0))
+    rank = iota - first
     overflow = (jnp.max(rank) >= cap) | jnp.any(zoob)
     slot = ts * cap + jnp.minimum(rank, cap - 1)
     table = jnp.full((t_tiles * cap,), n, jnp.int32).at[slot].set(
@@ -466,47 +487,41 @@ def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
     # ONE packed scatter for all per-atom data (lx/ly/lz are small ints —
     # exactly representable in f32); seven separate scatters cost ~25 ms at
     # 100k atoms, one costs ~4 ms
-    packed = jnp.concatenate([
-        q[:, None].astype(dtype),
-        (cx % tlx)[:, None].astype(dtype),   # local coords: tile-independent
-        (cy % tly)[:, None].astype(dtype),
-        lz[:, None].astype(dtype),
-        wx.astype(dtype), wy.astype(dtype), wz.astype(dtype)], axis=1)
-    ps = jnp.zeros((t_tiles * cap, 4 + 3 * p), dtype).at[slot].set(
-        packed[order]).reshape(t_tiles, cap, 4 + 3 * p)
+    packed = jnp.stack([
+        q.astype(dtype),
+        (cx % tlx).astype(dtype),            # local coords: tile-independent
+        (cy % tly).astype(dtype),
+        lz.astype(dtype),
+        dxx.astype(dtype), dxy.astype(dtype), dxz.astype(dtype)], axis=1)
+    ps = jnp.zeros((t_tiles * cap, 7), dtype).at[slot].set(
+        packed[order]).reshape(t_tiles, cap, 7)
     qs = ps[:, :, 0]
     lxs = ps[:, :, 1].astype(jnp.int32)
     lys = ps[:, :, 2].astype(jnp.int32)
     lzs = ps[:, :, 3].astype(jnp.int32)
-    wxs = ps[:, :, 4:4 + p]
-    wys = ps[:, :, 4 + p:4 + 2 * p]
-    wzs = ps[:, :, 4 + 2 * p:4 + 3 * p]
-    return TileSlots(qs, lxs, lys, lzs, wxs, wys, wzs,
+    dxs = ps[:, :, 4:7]
+    return TileSlots(qs, lxs, lys, lzs, dxs,
                      table.reshape(t_tiles, cap), overflow)
 
 
-def _tile_slots(grid: PPPMGrid, x, q):
-    """Back-compat wrapper: (geom, slotted, table, overflow)."""
-    s = tile_slots(grid, x, q)
-    return _tile_geometry(grid, x.shape[0]), \
-        (s.qs, s.lxs, s.lys, s.lzs, s.wxs, s.wys, s.wzs), s.table, s.overflow
-
-
-def _local_weight_mats(lxs, lys, lzs, wxs, wys, wzs, *, ex, ey, ez, p, dtype):
-    """(cap, ex*ey) xy and (cap, ez) z weight matrices from slotted data,
-    built with comparisons only (no scatter).  Local frames: stencil point a
-    of an atom with center local coord l sits at l + a in [0, til + 2*hw)."""
-    cap = lxs.shape[0]
-    iox = jnp.arange(ex, dtype=jnp.int32)[None, :]
-    ioy = jnp.arange(ey, dtype=jnp.int32)[None, :]
-    ioz = jnp.arange(ez, dtype=jnp.int32)[None, :]
-    wxl = jnp.zeros((cap, ex), dtype)
-    wyl = jnp.zeros((cap, ey), dtype)
-    wzd = jnp.zeros((cap, ez), dtype)
+def _axis_onehot(ls, ws, *, e):
+    """(cap, e) weight row per slot: stencil point a of an atom with center
+    local coord l sits at l + a in [0, til + 2*hw).  Comparisons only."""
+    p = ws.shape[-1]
+    io = jnp.arange(e, dtype=jnp.int32)[None, :]
+    out = jnp.zeros((ls.shape[0], e), ws.dtype)
     for a in range(p):
-        wxl = wxl + wxs[:, a][:, None] * (iox == (lxs + a)[:, None])
-        wyl = wyl + wys[:, a][:, None] * (ioy == (lys + a)[:, None])
-        wzd = wzd + wzs[:, a][:, None] * (ioz == (lzs + a)[:, None])
+        out = out + ws[:, a][:, None] * (io == (ls + a)[:, None])
+    return out
+
+
+def _local_weight_mats(lxs, lys, lzs, dxs, cf, *, ex, ey, ez, dtype):
+    """(cap, ex*ey) xy and (cap, ez) z weight matrices from slotted data;
+    per-axis weights recomputed from the dx fractions by Horner."""
+    wxl = _axis_onehot(lxs, _horner_w(dxs[:, 0], cf), e=ex)
+    wyl = _axis_onehot(lys, _horner_w(dxs[:, 1], cf), e=ey)
+    wzd = _axis_onehot(lzs, _horner_w(dxs[:, 2], cf), e=ez)
+    cap = lxs.shape[0]
     wxy = (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey)
     return wxy, wzd
 
@@ -584,23 +599,23 @@ def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     dtype = x.dtype
     if slots is None:
         slots = tile_slots(grid, x, q)
-    qs, lxs, lys, lzs, wxs, wys, wzs = (slots.qs, slots.lxs, slots.lys,
-                                        slots.lzs, slots.wxs, slots.wys,
-                                        slots.wzs)
+    qs, lxs, lys, lzs, dxs = (slots.qs, slots.lxs, slots.lys, slots.lzs,
+                              slots.dxs)
     overflow = slots.overflow
     geom = _tile_geometry(grid, x.shape[0])
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
     ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    cf = jnp.asarray(grid.coeffs, dtype)
 
-    def one(ql, lxl, lyl, lzl, wxl, wyl, wzl):
-        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, wxl, wyl, wzl,
-                                      ex=ex, ey=ey, ez=ez, p=p, dtype=dtype)
+    def one(ql, lxl, lyl, lzl, dxl):
+        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, dxl, cf,
+                                      ex=ex, ey=ey, ez=ez, dtype=dtype)
         return jnp.matmul(wxy.T, ql[:, None] * wzd,
                           precision=jax.lax.Precision.HIGHEST)
 
     # scan over x-tile rows, vmap across y/z-tiles: fewer scan steps
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
-               for a in (qs, lxs, lys, lzs, wxs, wys, wzs))
+               for a in (qs, lxs, lys, lzs, dxs))
     _, patches = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
     rho = _overlap_add(patches.reshape(t_tiles, ex * ey, ez), geom, grid.nz)
@@ -619,30 +634,21 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     dtype = x.dtype
     if slots is None:
         slots = tile_slots(grid, x, jnp.zeros((n,), dtype))
-    lxs, lys, lzs, wxs, wys, wzs = (slots.lxs, slots.lys, slots.lzs,
-                                    slots.wxs, slots.wys, slots.wzs)
+    lxs, lys, lzs, dxs = slots.lxs, slots.lys, slots.lzs, slots.dxs
     table, overflow = slots.table, slots.overflow
     geom = _tile_geometry(grid, x.shape[0])
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
     ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
     nb = len(bricks)
-    if z_span:
-        # span-mode z padding: bin zt's patch starts at unwrapped node
-        # (zt-1)*tlz - hw, i.e. padded index zt*tlz with a (tlz+hw) left
-        # wrap pad; the right pad covers the top guard bins
-        zr = max(0, (ntz - 1) * tlz + ez - (grid.nz + tlz + hw))
-        zpad = (tlz + hw, zr)
-    else:
-        zpad = (hw, hw)
-    bp = jnp.stack([jnp.pad(b, ((hw, hw), (hw, hw), zpad), mode="wrap")
-                    for b in bricks])                    # (B, nx', ny', nz')
+    cf = jnp.asarray(grid.coeffs, dtype)
+    bp = jnp.stack([_pad_brick(b, geom, grid.nz) for b in bricks])
 
-    def one(t, lxl, lyl, lzl, wxl, wyl, wzl):
+    def one(t, lxl, lyl, lzl, dxl):
         txi = t // (nty * ntz)
         tyi = (t // ntz) % nty
         tzi = t % ntz
-        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, wxl, wyl, wzl,
-                                      ex=ex, ey=ey, ez=ez, p=p, dtype=dtype)
+        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, dxl, cf,
+                                      ex=ex, ey=ey, ez=ez, dtype=dtype)
         zero = jnp.zeros((), t.dtype)
         patch = jax.lax.dynamic_slice(
             bp, (zero, txi * tlx, tyi * tly, tzi * tlz), (nb, ex, ey, ez))
@@ -654,16 +660,322 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     # scan over x-tile rows, vmap across y/z-tiles (as in spread_tiled)
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
                for a in (jnp.arange(t_tiles, dtype=jnp.int32),
-                         lxs, lys, lzs, wxs, wys, wzs))
+                         lxs, lys, lzs, dxs))
     _, vals = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
-    vals = vals.reshape(t_tiles, cap, nb)
-    res = []
-    for bi in range(nb):  # (T, cap)
-        out = jnp.zeros((n + 1,), dtype).at[table.reshape(-1)].add(
-            vals[:, :, bi].reshape(-1))
-        res.append(jnp.where(overflow, jnp.nan, out[:n]))
-    return res
+    # ONE packed scatter for all nb output fields (empty slots land on the
+    # dropped row n)
+    out = jnp.zeros((n + 1, nb), dtype).at[table.reshape(-1)].add(
+        vals.reshape(t_tiles * cap, nb))
+    return [jnp.where(overflow, jnp.nan, out[:n, bi]) for bi in range(nb)]
+
+
+def _pad_brick(b, geom: TileGeom, nz: int):
+    """Wrap-pad a mesh for tiled patch slicing.  In span mode bin zt's patch
+    starts at unwrapped node (zt-1)*tlz - hw, i.e. padded index zt*tlz with
+    a (tlz+hw) left wrap pad; the right pad covers the top guard bins."""
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    ez = tlz + 2 * hw
+    if z_span:
+        zr = max(0, (ntz - 1) * tlz + ez - (nz + tlz + hw))
+        zpad = (tlz + hw, zr)
+    else:
+        zpad = (hw, hw)
+    return jnp.pad(b, ((hw, hw), (hw, hw), zpad), mode="wrap")
+
+
+def _delinv(grid: PPPMGrid):
+    return (grid.nx / grid.box[0], grid.ny / grid.box[1],
+            grid.nz / grid.zprd_grid)
+
+
+def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
+    """E = -grad(phi) at atom positions by differentiating the B-spline
+    interpolant of ONE potential mesh (LAMMPS fieldforce_ad): per tile the
+    patch is contracted with (w'x wy, wx w'y, wx wy) xy-weight blocks and
+    the (wz, wz, w'z) z-weights.  vs the ik path this reads one mesh
+    instead of three and needs one inverse FFT upstream instead of three.
+    Returns (N, 3).
+
+    E_x = delinv_x * sum_nodes w'(dxx) w(dxy) w(dxz) u   [dW/dx = -delinv w',
+    E = -grad phi, signs cancel]."""
+    n = x.shape[0]
+    dtype = x.dtype
+    if slots is None:
+        slots = tile_slots(grid, x, jnp.zeros((n,), dtype))
+    lxs, lys, lzs, dxs = slots.lxs, slots.lys, slots.lzs, slots.dxs
+    table, overflow = slots.table, slots.overflow
+    geom = _tile_geometry(grid, n)
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    cf = jnp.asarray(grid.coeffs, dtype)
+    up = _pad_brick(u, geom, grid.nz)
+
+    def one(t, lxl, lyl, lzl, dxl):
+        txi = t // (nty * ntz)
+        tyi = (t // ntz) % nty
+        tzi = t % ntz
+        wxl = _axis_onehot(lxl, _horner_w(dxl[:, 0], cf), e=ex)
+        wyl = _axis_onehot(lyl, _horner_w(dxl[:, 1], cf), e=ey)
+        wzd = _axis_onehot(lzl, _horner_w(dxl[:, 2], cf), e=ez)
+        dwxl = _axis_onehot(lxl, _horner_dw(dxl[:, 0], cf), e=ex)
+        dwyl = _axis_onehot(lyl, _horner_dw(dxl[:, 1], cf), e=ey)
+        dwzd = _axis_onehot(lzl, _horner_dw(dxl[:, 2], cf), e=ez)
+        wxy3 = jnp.stack([
+            (dwxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey),
+            (wxl[:, :, None] * dwyl[:, None, :]).reshape(cap, ex * ey),
+            (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey),
+        ]).reshape(3 * cap, ex * ey)
+        patch = jax.lax.dynamic_slice(
+            up, (txi * tlx, tyi * tly, tzi * tlz), (ex, ey, ez))
+        t1 = jnp.matmul(wxy3, patch.reshape(ex * ey, ez),
+                        precision=jax.lax.Precision.HIGHEST)
+        t1 = t1.reshape(3, cap, ez)
+        gx = jnp.sum(t1[0] * wzd, axis=1)
+        gy = jnp.sum(t1[1] * wzd, axis=1)
+        gz = jnp.sum(t1[2] * dwzd, axis=1)
+        return jnp.stack([gx, gy, gz], axis=1)
+
+    xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
+               for a in (jnp.arange(t_tiles, dtype=jnp.int32),
+                         lxs, lys, lzs, dxs))
+    _, vals = jax.lax.scan(
+        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+    out = jnp.zeros((n + 1, 3), dtype).at[table.reshape(-1)].add(
+        vals.reshape(t_tiles * cap, 3))
+    e = out[:n] * jnp.asarray(_delinv(grid), dtype)[None, :]
+    return jnp.where(overflow, jnp.nan, e)
+
+
+def gather3_ad(grid: PPPMGrid, u, x, slots: TileSlots = None):
+    """E = -grad(phi) at atom positions from ONE potential mesh (the ad
+    differentiation scheme, LAMMPS `kspace_modify diff ad`).  Exactly
+    -d/dx of the discrete mesh energy 0.5*sum(rho*u) — see the autodiff
+    equivalence test.  Returns (N, 3)."""
+    if _use_dense(grid, x.shape[0]):
+        (ix, iy, iz), (wx, wy, wz), (dxx, dxy, dxz), _, _ = \
+            _stencil_full(grid, x)
+        cf = jnp.asarray(grid.coeffs, x.dtype)
+        n = x.shape[0]
+        rows = jnp.arange(n)[:, None]
+        WX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(wx)
+        WY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(wy)
+        WZ = jnp.zeros((n, grid.nz), x.dtype).at[rows, iz].add(wz)
+        DWX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(
+            _horner_dw(dxx, cf))
+        DWY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(
+            _horner_dw(dxy, cf))
+        DWZ = jnp.zeros((n, grid.nz), x.dtype).at[rows, iz].add(
+            _horner_dw(dxz, cf))
+        bf = u.reshape(grid.nx * grid.ny, grid.nz).T
+        t = jnp.matmul(WZ, bf, precision=jax.lax.Precision.HIGHEST)
+        tz = jnp.matmul(DWZ, bf, precision=jax.lax.Precision.HIGHEST)
+        wxy = (WX[:, :, None] * WY[:, None, :]).reshape(n, grid.nx * grid.ny)
+        gx = jnp.sum((DWX[:, :, None] * WY[:, None, :]).reshape(
+            n, grid.nx * grid.ny) * t, axis=1)
+        gy = jnp.sum((WX[:, :, None] * DWY[:, None, :]).reshape(
+            n, grid.nx * grid.ny) * t, axis=1)
+        gz = jnp.sum(wxy * tz, axis=1)
+        return jnp.stack([gx, gy, gz], axis=1) * jnp.asarray(
+            _delinv(grid), x.dtype)[None, :]
+    return gather3_ad_tiled(grid, u, x, slots=slots)
+
+
+def pppm_energy_u(grid: PPPMGrid, rho):
+    """(energy, u mesh) sharing ONE forward RFFT — the ad force path's
+    Poisson solve: one rfftn + one irfftn per step instead of the ik
+    path's one + three."""
+    nzh = grid.nz // 2 + 1
+    rhok = jnp.fft.rfftn(rho)
+    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
+    wz = _half_weights(grid, rho.dtype)
+    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
+    u = jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
+        grid.nx * grid.ny * grid.nz / grid.volume)
+    return e, u
+
+
+# ---------------------------------------------------------------------------
+# z-plane fast path: electrodes occupy a handful of z mesh planes, so their
+# mesh transforms never need a full 3-D FFT.  The forward transform of a
+# z-sparse density is FFT2(planes) @ exp(-2 pi i kz z/nz); the potential ON
+# those planes is 2 Re[IFFT2(phik @ c exp(+2 pi i kz z/nz)/nz)] (Hermitian
+# z-half-spectrum reconstruction).  Combined with caching the electrolyte
+# rhok, the per-step PPPM cost drops to ONE full forward FFT (electrolyte
+# spread) + ONE full inverse FFT (force potential mesh) — the TPU-FFT-level
+# expression of the reference's electrode/electrolyte brick split
+# (pppm_conp.cpp:172-228, 385-426).
+# ---------------------------------------------------------------------------
+
+def electrode_zplanes(grid: PPPMGrid, xe) -> np.ndarray:
+    """Sorted unique (wrapped) z mesh nodes the electrode stencils touch,
+    padded by one guard node each side (so sub-cell electrode motion — e.g.
+    finite-difference probes — stays inside the set).  Host-side, from the
+    setup positions; electrodes are frozen in every reference deck."""
+    xe = np.asarray(xe)
+    p = grid.order
+    n = grid.nz
+    delinv = n / grid.zprd_grid
+    u = (xe[:, 2] - grid.box_lo[2]) * delinv
+    if p % 2 == 1:
+        m = np.floor(u + 0.5).astype(np.int64)
+    else:
+        m = np.floor(u).astype(np.int64)
+    offs = np.arange(-(p - 1) // 2 - 1, p - (p - 1) // 2 + 1)  # +-1 guard
+    nodes = np.unique((m[:, None] + offs[None, :]) % n)
+    return nodes.astype(np.int32)
+
+
+def zplane_inverse(grid: PPPMGrid, zp: np.ndarray) -> np.ndarray:
+    """(nz,) int32 map from z node to plane slot, -1 outside the set."""
+    inv = np.full(grid.nz, -1, np.int32)
+    inv[zp] = np.arange(len(zp), dtype=np.int32)
+    return inv
+
+
+def _zplane_wz(grid: PPPMGrid, x, zp_inv):
+    """(N, P) z-axis weights restricted to the plane set + fail-loud flag.
+    A stencil node outside the set would silently lose charge/potential —
+    poison instead (the caller NaNs its output)."""
+    p = grid.order
+    n = grid.nz
+    dtype = x.dtype
+    delinv = n / grid.zprd_grid
+    u = (x[:, 2] - grid.box_lo[2]) * delinv
+    if p % 2 == 1:
+        m = jnp.floor(u + 0.5).astype(jnp.int32)
+        dx = m.astype(dtype) - u
+    else:
+        m = jnp.floor(u).astype(jnp.int32)
+        dx = m.astype(dtype) + 0.5 - u
+    offs = jnp.arange(p, dtype=jnp.int32) - (p - 1) // 2
+    iz = jnp.mod(m[:, None] + offs[None, :], n)
+    zpi = jnp.asarray(zp_inv)
+    slot = zpi[iz]                                    # (N, p)
+    bad = jnp.any(slot < 0)
+    w = _horner_w(dx, jnp.asarray(grid.coeffs, dtype))
+    nplanes = int((np.asarray(zp_inv) >= 0).sum())
+    rows = jnp.arange(x.shape[0])[:, None]
+    WZ = jnp.zeros((x.shape[0], nplanes), dtype).at[
+        rows, jnp.maximum(slot, 0)].add(w)
+    return WZ, bad
+
+
+def spread_zplanes(grid: PPPMGrid, x, q, zp_inv):
+    """Spread charges that live on the z-plane set: (nx, ny, P) real.
+    NaN-poisoned if any stencil node falls outside the set (fail loud)."""
+    (ix, iy, _), (wx, wy, _) = _stencil(grid, x)
+    n = x.shape[0]
+    rows = jnp.arange(n)[:, None]
+    WX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(wx)
+    WY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(wy)
+    WZ, bad = _zplane_wz(grid, x, zp_inv)
+    wxy = (WX[:, :, None] * WY[:, None, :]).reshape(n, grid.nx * grid.ny)
+    rho = jnp.matmul(wxy.T, q[:, None] * WZ,
+                     precision=jax.lax.Precision.HIGHEST)
+    rho = rho.reshape(grid.nx, grid.ny, -1)
+    return jnp.where(bad, jnp.nan, rho)
+
+
+def rhok_from_zplanes(grid: PPPMGrid, rho_planes, zp):
+    """Forward z-half-spectrum transform of a z-sparse density:
+    rhok = FFT2_xy(planes) @ exp(-2 pi i kz zp / nz) — P tiny 2-D FFTs and
+    one small complex matmul instead of a full rfftn."""
+    nzh = grid.nz // 2 + 1
+    v = jnp.fft.fftn(rho_planes, axes=(0, 1))          # (nx, ny, P) complex
+    kz = np.arange(nzh)
+    ez = np.exp(-2j * math.pi * np.outer(np.asarray(zp), kz) / grid.nz)
+    ez = jnp.asarray(ez, v.dtype)                      # (P, nzh)
+    out = jnp.matmul(v.reshape(grid.nx * grid.ny, -1), ez,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(grid.nx, grid.ny, nzh)
+
+
+def u_on_zplanes(grid: PPPMGrid, rhok, zp):
+    """Potential mesh values on the z-plane set from the half-spectrum
+    density: u[:, :, zp] of poisson_u, without the full inverse FFT.
+
+    Per (x, y) the z signal is real, so its half spectrum reconstructs as
+    u(z) = 2 Re[sum_kz c_kz phik e^{+2 pi i kz z / nz}] / nz with c = 1/2 at
+    kz = 0 and the even-nz Nyquist plane, 1 elsewhere; the xy inverse
+    transform commutes with the z sum (conj-mirror identity)."""
+    nzh = grid.nz // 2 + 1
+    gk = jnp.asarray(grid.greens[..., :nzh], jnp.float32
+                     if rhok.dtype == jnp.complex64 else jnp.float64)
+    phik = rhok * gk
+    kz = np.arange(nzh)
+    c = np.ones(nzh)
+    c[0] = 0.5
+    if grid.nz % 2 == 0:
+        c[-1] = 0.5
+    ez = (c[:, None] * np.exp(2j * math.pi * np.outer(kz, np.asarray(zp))
+                              / grid.nz) / grid.nz)
+    ez = jnp.asarray(ez, phik.dtype)                   # (nzh, P)
+    a = jnp.matmul(phik.reshape(grid.nx * grid.ny, nzh), ez,
+                   precision=jax.lax.Precision.HIGHEST)
+    a = a.reshape(grid.nx, grid.ny, -1)
+    u = 2.0 * jnp.real(jnp.fft.ifftn(a, axes=(0, 1)))
+    return u * (grid.nx * grid.ny * grid.nz / grid.volume)
+
+
+def gather_zplanes(grid: PPPMGrid, u_planes, x, zp_inv):
+    """Stencil readout of a z-plane-restricted mesh at positions whose
+    stencils live inside the plane set (NaN-poisoned otherwise)."""
+    (ix, iy, _), (wx, wy, _) = _stencil(grid, x)
+    n = x.shape[0]
+    rows = jnp.arange(n)[:, None]
+    WX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(wx)
+    WY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(wy)
+    WZ, bad = _zplane_wz(grid, x, zp_inv)
+    nplanes = WZ.shape[1]
+    wxy = (WX[:, :, None] * WY[:, None, :]).reshape(n, grid.nx * grid.ny)
+    t = jnp.matmul(WZ, u_planes.reshape(grid.nx * grid.ny, nplanes).T,
+                   precision=jax.lax.Precision.HIGHEST)
+    out = jnp.sum(wxy * t, axis=1)
+    return jnp.where(bad, jnp.nan, out)
+
+
+def poisson_u_from_k(grid: PPPMGrid, rhok):
+    """Potential mesh from the half-spectrum density (poisson_u with the
+    forward transform already done)."""
+    nzh = grid.nz // 2 + 1
+    gk = jnp.asarray(grid.greens[..., :nzh], jnp.float32
+                     if rhok.dtype == jnp.complex64 else jnp.float64)
+    return jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
+        grid.nx * grid.ny * grid.nz / grid.volume)
+
+
+def pppm_energy_u_from_k(grid: PPPMGrid, rhok):
+    """(energy, u mesh) from the half-spectrum density: one irfftn, no
+    forward transform (the caller assembled rhok by linearity, e.g.
+    cached electrolyte rhok + cheap electrode z-plane rhok)."""
+    nzh = grid.nz // 2 + 1
+    rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
+    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    wz = _half_weights(grid, rdt)
+    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
+    u = jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
+        grid.nx * grid.ny * grid.nz / grid.volume)
+    return e, u
+
+
+def pppm_energy_efield_from_k(grid: PPPMGrid, rhok):
+    """(energy, (ex, ey, ez)) from the half-spectrum density (the ik branch
+    of the rhok-cached force path)."""
+    nzh = grid.nz // 2 + 1
+    rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
+    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    wz = _half_weights(grid, rdt)
+    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
+    phik = rhok * gk
+    scale = grid.nx * grid.ny * grid.nz / grid.volume
+    out = []
+    for ax, fkv in enumerate(_deriv_fk(grid, nzh)):
+        shape = [1, 1, 1]
+        shape[ax] = -1
+        ik = (1j * jnp.asarray(fkv, rdt)).reshape(shape).astype(phik.dtype)
+        out.append(jnp.fft.irfftn(-ik * phik, s=grid.shape) * scale)
+    return e, tuple(out)
 
 
 def _axis_weight_matrices(grid: PPPMGrid, x):

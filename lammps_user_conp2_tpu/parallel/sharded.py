@@ -130,6 +130,10 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             solve_mat = conp.ctx.ainv
         asolve = _pad_to(np.asarray(solve_mat, dtype), d)          # (Ne', Ne)
         ele_idx_p = _pad_to(ele_idx, d)                            # (Ne',)
+        # pad rows must point at a REAL electrode (results are masked by
+        # ele_valid, but the z-plane gather fail-loud check would trip on
+        # an arbitrary atom-0 position)
+        ele_idx_p[ne:] = ele_idx[0]
         ele_valid = np.zeros(len(ele_idx_p), bool)
         ele_valid[:ne] = True
     else:
@@ -270,21 +274,43 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             qp_ = jnp.pad(q, (0, npad_rows))
             xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
             qi_l = jax.lax.dynamic_slice_in_dim(qp_, i0, nrow)
-            rho_elyte, slots_l = (kcache if kcache is not None
-                                  else (None, None))
+            rhok_elyte, slots_l = (kcache if kcache is not None
+                                   else (None, None))
             tiled = not pppm_ops._use_dense(grid_p, nrow)
-            if rho_elyte is not None and conp is not None:
+            # the ad/ik choice must match what a SINGLE device would pick
+            # for the global system (shard-invariance: ad and ik forces
+            # differ by discretization, not rounding)
+            tiled_global = not pppm_ops._use_dense(grid_p, n)
+            if rhok_elyte is not None and conp is not None:
+                # electrode density added in k-space (models/md.py
+                # compute_forces): no full forward FFT in the force path
                 eix = jnp.asarray(conp.ele_idx)
-                rho = rho_elyte + pppm_ops.spread(grid_p, x[eix], q[eix])
+                if conp.ele_zplanes is not None:
+                    rho_ep = pppm_ops.spread_zplanes(
+                        grid_p, x[eix], q[eix], conp.ele_zpinv)
+                    rhok = rhok_elyte + pppm_ops.rhok_from_zplanes(
+                        grid_p, rho_ep, conp.ele_zplanes)
+                else:
+                    rhok = rhok_elyte + jnp.fft.rfftn(
+                        pppm_ops.spread(grid_p, x[eix], q[eix]))
             else:
                 if tiled and slots_l is None:
                     slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
-                rho = jax.lax.psum(
-                    pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
-            ek, efield = pppm_ops.pppm_energy_efield(grid_p, rho)
+                rhok = jnp.fft.rfftn(jax.lax.psum(
+                    pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l),
+                    axis))
+            if md.pppm_diff == "ad" or (
+                    md.pppm_diff == "auto" and tiled_global):
+                # ad differentiation (MDConfig.pppm_diff): one inverse FFT
+                # + a one-mesh gather over my atom rows
+                ek, umesh = pppm_ops.pppm_energy_u_from_k(grid_p, rhok)
+                f_rows = qi_l[:, None] * pppm_ops.gather3_ad(
+                    grid_p, umesh, xi_l, slots=slots_l)
+            else:
+                ek, efield = pppm_ops.pppm_energy_efield_from_k(grid_p, rhok)
+                f_rows = qi_l[:, None] * pppm_ops.gather3(
+                    grid_p, efield, xi_l, slots=slots_l)
             ek = qqr2e * ek
-            f_rows = qi_l[:, None] * pppm_ops.gather3(grid_p, efield, xi_l,
-                                                      slots=slots_l)
             f = f + qqr2e * jax.lax.all_gather(f_rows, axis, axis=0,
                                                tiled=True)[:n]
         else:
@@ -372,7 +398,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return f, pe
 
     # ------------------------------------------------------------------
-    def _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0):
+    def _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0,
+                       x0_cg=None):
         """Replicated b -> replicated eleallq via the configured solver.
 
         INV:        my A^-1 rows matvec + all_gather (fix_conp.cpp:1132-1141)
@@ -392,7 +419,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             def apply_a(p):
                 ap_l = jnp.matmul(asolve_l, p, precision=hp)
                 return jax.lax.all_gather(ap_l, axis, axis=0, tiled=True)[:ne]
-            eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
+            eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance,
+                                  cfg.cg_maxiter, x0=x0_cg)
             return eleallq
         # CG_MATFREE
         from ..ops import ewald_factored as ewf
@@ -432,7 +460,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 out = out + (4.0 * math.pi / ksp.volume) * z_e * jnp.sum(z_e * p)
             return out
 
-        eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance, cfg.cg_maxiter)
+        eleallq, _ = cg_solve(apply_a, b, cfg.cg_tolerance,
+                              cfg.cg_maxiter, x0=x0_cg)
         return eleallq
 
     def _finish_update(x, q, step, eleallq):
@@ -462,7 +491,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         return q_new, scalar
 
     def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0,
-                      nbr=None):
+                      nbr=None, scalar_prev=None):
         """Row/k-sharded charge solve.
 
         Returns replicated (q_new, scalar, kcache) — kcache is
@@ -490,9 +519,17 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
             rho_elyte = jax.lax.psum(
                 pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
-            kcache = (rho_elyte, slots_l)
-            u_mesh = pppm_ops.poisson_u(grid_p, rho_elyte)
-            b_l = -pppm_ops.gather(grid_p, u_mesh, x[eidx_l])
+            rhok_elyte = jnp.fft.rfftn(rho_elyte)    # replicated
+            kcache = (rhok_elyte, slots_l)
+            if conp.ele_zplanes is not None:
+                # z-plane fast readout (models/conp.py b_vector_full)
+                up = pppm_ops.u_on_zplanes(grid_p, rhok_elyte,
+                                           conp.ele_zplanes)
+                b_l = -pppm_ops.gather_zplanes(grid_p, up, x[eidx_l],
+                                               conp.ele_zpinv)
+            else:
+                u_mesh = pppm_ops.poisson_u_from_k(grid_p, rhok_elyte)
+                b_l = -pppm_ops.gather(grid_p, u_mesh, x[eidx_l])
             b_l = jnp.where(evalid_l, b_l, 0.0)
             b = jax.lax.all_gather(b_l, axis, axis=0, tiled=True)[:ne]
         else:
@@ -534,7 +571,11 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             slabcorr = (4.0 * math.pi / ksp.volume) * jnp.sum(q_elyte * x[:, 2])
             b = b - xe_all[:, 2] * slabcorr
 
-        eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0)
+        # CG warm start from the previous charges (replicated math —
+        # identical to the single-chip engine, models/conp.py)
+        x0_cg = conp._cg_warm_start(q, step, scalar_prev, b.dtype)
+        eleallq = _solve_eleallq(x, b, kv_l, ug_l, asolve_l, eidx_l,
+                                 evalid_l, e0, x0_cg)
         q_new, scalar = _finish_update(x, q, step, eleallq)
         return q_new, scalar, kcache
 
@@ -574,7 +615,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         if conp is not None:
             nevery = conp.cfg.nevery
             solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
-                                          asolve_l, eidx_l, evalid_l, e0, nbr)
+                                          asolve_l, eidx_l, evalid_l, e0, nbr,
+                                          scalar_prev=state.scalar_out)
             if nevery == 1:
                 q, scalar, kcache = solve()
             else:

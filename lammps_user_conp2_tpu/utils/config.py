@@ -141,6 +141,14 @@ class MDConfig:
     # electrode planes vs dilute electrolyte — so a mean-density estimate
     # can undersize the list and NaN-poison mid-run)
     neighbor_kmax: Optional[int] = None
+    # PPPM force differentiation: "ik" (spectral, 1 fwd + 3 inv FFTs + a
+    # 3-mesh gather) or "ad" (differentiate the B-spline interpolant of one
+    # potential mesh — 1 fwd + 1 inv FFT + a 1-mesh gather; the exact
+    # gradient of the discrete mesh energy).  "auto" = ad on the tiled
+    # large-mesh path, ik on the dense small-system path (which all the
+    # reference-log parity anchors were validated on).  LAMMPS analogue:
+    # `kspace_modify diff ad|ik` (pppm.cpp).
+    pppm_diff: str = "auto"
     # dtype for the force/integration path; solve path is configured separately
     dtype: str = "float64"
     solve_dtype: str = "float64"

@@ -83,6 +83,33 @@ def test_pppm_engine_short_trajectory_matches_ewald():
     np.testing.assert_allclose(np.asarray(st2.q), np.asarray(st1.q), atol=5e-5)
 
 
+def test_pppm_ad_engine_trajectory_matches_ik():
+    """Engine-level wiring of MDConfig.pppm_diff='ad' (the production
+    large-mesh force path): a short dilute trajectory under ad
+    differentiation tracks the ik one to discretization error, and the
+    charge solve (which never uses the force differentiation) stays
+    essentially identical at step 0."""
+    system, md, cfg = workloads.dilute(0)
+    cfgp = dataclasses.replace(cfg, kspace=KSpaceStyle.PPPM)
+    mdik = dataclasses.replace(md, kspace_style=KSpaceStyle.PPPM,
+                               pppm_diff="ik")
+    mdad = dataclasses.replace(md, kspace_style=KSpaceStyle.PPPM,
+                               pppm_diff="ad")
+    s_p = setup_conp(system, mdik, cfgp)
+    e1 = build_engine(system, mdik, s_p)
+    e2 = build_engine(system, mdad, s_p)
+    st1_0 = e1.init_state()
+    st2_0 = e2.init_state()
+    np.testing.assert_allclose(np.asarray(st2_0.q), np.asarray(st1_0.q),
+                               atol=1e-12)
+    st1, _ = e1.run(st1_0, 10)
+    st2, _ = e2.run(st2_0, 10)
+    np.testing.assert_allclose(np.asarray(st2.x), np.asarray(st1.x),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(st2.q), np.asarray(st1.q),
+                               atol=5e-5)
+
+
 def test_nghosts_counts_images():
     x = np.array([[0.5, 5.0, 5.0],    # near x-lo face -> 1 ghost
                   [5.0, 5.0, 5.0],    # interior -> 0
@@ -133,7 +160,11 @@ def test_pppm_slab_z_resolution_converged():
         g_ewald=g1.g_ewald,
         grid=(g1.lammps_grid[0], g1.lammps_grid[1], 2 * g1.lammps_grid[2]))
     assert g_fine.nz >= 2 * g1.lammps_grid[2]
-    solver_fine = dataclasses.replace(solver, pppm_grid=g_fine)
+    # the electrode z-plane tables are grid-derived — regenerate for g_fine
+    zp_f = pppm_ops.electrode_zplanes(g_fine, system.x0[solver.ele_idx])
+    solver_fine = dataclasses.replace(
+        solver, pppm_grid=g_fine, ele_zplanes=zp_f,
+        ele_zpinv=pppm_ops.zplane_inverse(g_fine, zp_f))
 
     x = jnp.asarray(system.x0)
     q = jnp.asarray(system.q0)

@@ -147,6 +147,151 @@ def test_tiled_periodic_z_grid():
     np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_d), atol=1e-11)
 
 
+def test_ad_force_is_exact_mesh_energy_gradient(slab_setup):
+    """The ad scheme differentiates the B-spline interpolant analytically —
+    q*gather3_ad must equal -d(mesh energy)/dx via jax autodiff to float
+    roundoff (this is the property that makes ad forces exactly
+    conservative on the mesh; LAMMPS kspace_modify diff ad)."""
+    grid, x, q, _ = slab_setup
+    x = x[:400]
+    q = q[:400]
+
+    def energy(xx):
+        rho = P.spread(grid, xx, q)
+        return P.pppm_energy(grid, rho)
+
+    e, g = jax.value_and_grad(energy)(x)
+    _, u = jax.jit(lambda xx: P.pppm_energy_u(grid, P.spread(grid, xx, q)))(x)
+    f_ad = q[:, None] * P.gather3_ad(grid, u, x)
+    scale = float(jnp.max(jnp.abs(g)))
+    np.testing.assert_allclose(np.asarray(f_ad), -np.asarray(g),
+                               atol=1e-9 * scale)
+
+
+def test_ad_tiled_matches_dense(slab_setup):
+    """Tiled and dense gather3_ad compute the same discretization."""
+    grid, x, q, _ = slab_setup
+    rho, _, _ = _dense_spread(grid, x, q)
+    _, u = P.pppm_energy_u(grid, rho)
+    g_t = jax.jit(lambda b, xx: P.gather3_ad_tiled(grid, b, xx))(u, x)
+    # dense formulation via the public dispatcher on a small subset check:
+    # force the dense branch by calling the internals
+    gd = jax.jit(lambda b, xx: P.gather3_ad(grid, b, xx))(u, x)
+    # public dispatcher picks tiled for this mesh; build dense explicitly
+    (ix, iy, iz), (wx, wy, wz), (dxx, dxy, dxz), _, _ = P._stencil_full(grid, x)
+    cf = jnp.asarray(grid.coeffs, x.dtype)
+    n = x.shape[0]
+    rows = jnp.arange(n)[:, None]
+    WX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(wx)
+    WY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(wy)
+    WZ = jnp.zeros((n, grid.nz), x.dtype).at[rows, iz].add(wz)
+    DWX = jnp.zeros((n, grid.nx), x.dtype).at[rows, ix].add(P._horner_dw(dxx, cf))
+    DWY = jnp.zeros((n, grid.ny), x.dtype).at[rows, iy].add(P._horner_dw(dxy, cf))
+    DWZ = jnp.zeros((n, grid.nz), x.dtype).at[rows, iz].add(P._horner_dw(dxz, cf))
+    bf = u.reshape(grid.nx * grid.ny, grid.nz).T
+    t = jnp.matmul(WZ, bf)
+    tz = jnp.matmul(DWZ, bf)
+    gx = jnp.sum((DWX[:, :, None] * WY[:, None, :]).reshape(n, -1) * t, axis=1)
+    gy = jnp.sum((WX[:, :, None] * DWY[:, None, :]).reshape(n, -1) * t, axis=1)
+    gz = jnp.sum((WX[:, :, None] * WY[:, None, :]).reshape(n, -1) * tz, axis=1)
+    g_ref = jnp.stack([gx, gy, gz], 1) * jnp.asarray(P._delinv(grid),
+                                                     x.dtype)[None, :]
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_ref),
+                               atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(g_ref),
+                               atol=1e-12 * scale)
+
+
+def test_ad_close_to_ik(slab_setup):
+    """ad and ik forces agree to discretization error (both converge to the
+    true k-space force; the difference is bounded by the B-spline
+    interpolation error at order 5)."""
+    grid, x, q, _ = slab_setup
+    rho, _, _ = _dense_spread(grid, x, q)
+    _, efield = P.pppm_energy_efield(grid, rho)
+    f_ik = q[:, None] * P.gather3(grid, efield, x)
+    _, u = P.pppm_energy_u(grid, rho)
+    f_ad = q[:, None] * P.gather3_ad(grid, u, x)
+    scale = float(jnp.max(jnp.abs(f_ik)))
+    # loose: differentiation-scheme difference, not roundoff
+    np.testing.assert_allclose(np.asarray(f_ad), np.asarray(f_ik),
+                               atol=2e-3 * scale)
+
+
+def test_zplane_forward_transform_matches_rfftn(slab_setup):
+    """rhok_from_zplanes (P tiny 2-D FFTs + small z-DFT matmul) equals the
+    full rfftn of the z-sparse mesh."""
+    grid, x, q, n = slab_setup
+    xe, qe = x[n:], q[n:]
+    zp = P.electrode_zplanes(grid, np.asarray(xe))
+    zpi = P.zplane_inverse(grid, zp)
+    rho_p = P.spread_zplanes(grid, xe, qe, zpi)
+    assert np.isfinite(np.asarray(rho_p)).all()
+    # full-mesh oracle
+    rho_full, _, _ = _dense_spread(grid, xe, qe)
+    full_p = np.zeros(grid.shape)
+    full_p[:, :, zp] = np.asarray(rho_p)
+    np.testing.assert_allclose(full_p, np.asarray(rho_full), atol=1e-12)
+    rhok = P.rhok_from_zplanes(grid, rho_p, zp)
+    rhok_ref = jnp.fft.rfftn(rho_full)
+    scale = float(jnp.abs(rhok_ref).max())
+    np.testing.assert_allclose(np.asarray(rhok), np.asarray(rhok_ref),
+                               atol=1e-11 * scale)
+
+
+def test_zplane_potential_matches_full_inverse(slab_setup):
+    """u_on_zplanes equals poisson_u's values on the plane set, and
+    gather_zplanes equals the full gather at the electrodes."""
+    grid, x, q, n = slab_setup
+    xe = x[n:]
+    rho, _, _ = _dense_spread(grid, x, q)
+    rhok = jnp.fft.rfftn(rho)
+    u_full = P.poisson_u_from_k(grid, rhok)
+    np.testing.assert_allclose(np.asarray(u_full),
+                               np.asarray(P.poisson_u(grid, rho)), atol=1e-12)
+    zp = P.electrode_zplanes(grid, np.asarray(xe))
+    zpi = P.zplane_inverse(grid, zp)
+    up = P.u_on_zplanes(grid, rhok, zp)
+    scale = float(jnp.abs(u_full).max())
+    np.testing.assert_allclose(np.asarray(up),
+                               np.asarray(u_full[:, :, zp]),
+                               atol=1e-11 * scale)
+    g_fast = P.gather_zplanes(grid, up, xe, zpi)
+    g_ref = P.gather(grid, u_full, xe)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=1e-11 * scale)
+
+
+def test_zplane_out_of_set_fails_loud(slab_setup):
+    """An atom whose stencil leaves the plane set poisons the output."""
+    grid, x, q, n = slab_setup
+    xe = x[n:]
+    zp = P.electrode_zplanes(grid, np.asarray(xe))
+    zpi = P.zplane_inverse(grid, zp)
+    x_bad = jnp.concatenate([xe, jnp.asarray([[5.0, 5.0, 45.0]])])
+    q_bad = jnp.concatenate([q[n:], jnp.asarray([1.0])])
+    rho_p = P.spread_zplanes(grid, x_bad, q_bad, zpi)
+    assert not np.isfinite(np.asarray(rho_p)).all()
+    g = P.gather_zplanes(grid, jnp.zeros((grid.nx, grid.ny, len(zp))),
+                         x_bad, zpi)
+    assert not np.isfinite(np.asarray(g)).all()
+
+
+def test_energy_u_from_k_matches(slab_setup):
+    grid, x, q, _ = slab_setup
+    rho, _, _ = _dense_spread(grid, x, q)
+    e_ref, u_ref = P.pppm_energy_u(grid, rho)
+    e2, u2 = P.pppm_energy_u_from_k(grid, jnp.fft.rfftn(rho))
+    np.testing.assert_allclose(float(e2), float(e_ref), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u_ref), atol=1e-13)
+    e3, ef3 = P.pppm_energy_efield_from_k(grid, jnp.fft.rfftn(rho))
+    e_ref2, ef_ref = P.pppm_energy_efield(grid, rho)
+    np.testing.assert_allclose(float(e3), float(e_ref2), rtol=1e-13)
+    for a, b in zip(ef3, ef_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+
 def test_tile_overflow_fails_loud(slab_setup):
     """More atoms in one tile than cap -> NaN-poisoned mesh, not silent
     truncation (the analogue of LAMMPS's out-of-range atom check,

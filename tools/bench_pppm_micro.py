@@ -51,44 +51,29 @@ def main():
     dtype = jnp.float32
 
     # 1. slot binning
+    cf = jnp.asarray(grid.coeffs, dtype)
     def f_slots(xx):
-        geom2, (qs, lxs, lys, lzs, wxs, wys, wzs), table, ov = \
-            P._tile_slots(grid, xx, q)
-        return xx + eps * (jnp.sum(qs) + jnp.sum(wxs))
+        s = P.tile_slots(grid, xx, q)
+        return xx + eps * (jnp.sum(s.qs) + jnp.sum(s.dxs))
     print(f"tile_slots            : {chain_ms(f_slots, x):7.2f} ms",
           flush=True)
 
-    geom2, slotted, table, ov = jax.jit(
-        lambda xx: P._tile_slots(grid, xx, q))(x)
-    qs, lxs, lys, lzs, wxs, wys, wzs = slotted
+    s0 = jax.jit(lambda xx: P.tile_slots(grid, xx, q))(x)
+    qs, lxs, lys, lzs, dxs = s0.qs, s0.lxs, s0.lys, s0.lzs, s0.dxs
 
     # 2. weight mats + patch matmuls (spread core, no overlap-add)
     def f_patches(qq):
-        def one(ql, lxl, lyl, lzl, wxl, wyl, wzl):
+        def one(ql, lxl, lyl, lzl, dxl):
             wxy, wzd = P._local_weight_mats(
-                lxl, lyl, lzl, wxl, wyl, wzl,
-                ex=ex, ey=ey, ez=ez, p=p, dtype=dtype)
+                lxl, lyl, lzl, dxl, cf, ex=ex, ey=ey, ez=ez, dtype=dtype)
             return jnp.matmul(wxy.T, ql[:, None] * wzd,
                               precision=jax.lax.Precision.HIGHEST)
         xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
-                   for a in (qq, lxs, lys, lzs, wxs, wys, wzs))
+                   for a in (qq, lxs, lys, lzs, dxs))
         _, patches = jax.lax.scan(
             lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
         return qq + eps * jnp.sum(patches)
     print(f"spread patches (scan) : {chain_ms(f_patches, qs):7.2f} ms",
-          flush=True)
-
-    # 2b. batched-matmul patch build (no scan)
-    def f_patches_batched(qq):
-        wxy, wzd = jax.vmap(
-            lambda a, b, c, d, e, f: P._local_weight_mats(
-                a, b, c, d, e, f, ex=ex, ey=ey, ez=ez, p=p, dtype=dtype)
-        )(lxs, lys, lzs, wxs, wys, wzs)
-        patches = jnp.einsum("tce,tcz->tez", wxy,
-                             qq[:, :, None] * wzd,
-                             precision=jax.lax.Precision.HIGHEST)
-        return qq + eps * jnp.sum(patches)
-    print(f"spread patches (batch): {chain_ms(f_patches_batched, qs):7.2f} ms",
           flush=True)
 
     # 3. overlap-add alone
@@ -118,6 +103,12 @@ def main():
         g = P.gather_tiled(grid, [brick, brick * 2, brick * 3], xx)
         return xx + eps * g[0][:, None]
     print(f"gather_tiled (3)      : {chain_ms(f_g3, x):7.2f} ms", flush=True)
+
+    # 5b. ad gather (one mesh, derivative weights)
+    def f_gad(xx):
+        g = P.gather3_ad_tiled(grid, brick, xx)
+        return xx + eps * g
+    print(f"gather3_ad_tiled      : {chain_ms(f_gad, x):7.2f} ms", flush=True)
 
     # 6. full spread for reference
     def f_spread(xx):

@@ -63,56 +63,82 @@ def main():
           f"k_max={eng.ncfg.k_max}")
 
     full = chain_ms(lambda s: eng.step(s), st)
-    print(f"full step              : {full:7.2f} ms")
+    print(f"full step              : {full:7.2f} ms", flush=True)
 
     def f_pair(xx):
         f, ev, ec, ov = nlist_pair_forces(
             eng.ncfg, nbr, xx, q, eng.type_idx, eng.tables,
             eng.exclusions, g_ewald=eng.ksp_force.g_ewald, qqr2e=u.qqr2e)
         return xx + eps * f
-    print(f"pair sweep (nlist)     : {chain_ms(f_pair, x):7.2f} ms")
+    print(f"pair sweep (nlist)     : {chain_ms(f_pair, x):7.2f} ms",
+          flush=True)
 
     def f_rebuild(xx):
         nb = build_neighbor_list(eng.ncfg, xx, eng.tables, eng.type_idx)
         return xx + eps * jnp.sum(nb.lj)
     reb = chain_ms(f_rebuild, x, iters=20)
     print(f"nlist rebuild          : {reb:7.2f} ms  (amortized over "
-          f"~20-step skin interval: {reb / 20:.2f} ms/step)")
+          f"~20-step skin interval: {reb / 20:.2f} ms/step)", flush=True)
 
+    def f_slots(xx):
+        s = pppm_ops.tile_slots(grid, xx, q)
+        return xx + eps * (jnp.sum(s.qs) + jnp.sum(s.dxs))
+    print(f"tile_slots build       : {chain_ms(f_slots, x):7.2f} ms",
+          flush=True)
+
+    slots0 = jax.jit(lambda xx: pppm_ops.tile_slots(grid, xx, q))(x)
     def f_spread(xx):
-        rho = pppm_ops.spread(grid, xx, q)
+        rho = pppm_ops.spread(grid, xx, q, slots=slots0)
         return xx + eps * rho[0, 0, 0]
-    print(f"pppm spread (full N)   : {chain_ms(f_spread, x):7.2f} ms")
+    print(f"pppm spread (slots)    : {chain_ms(f_spread, x):7.2f} ms",
+          flush=True)
 
     eix = jnp.asarray(conp.ele_idx)
     xe, qe = jax.jit(lambda a, b: (a[eix], b[eix]))(x, q)
     def f_spread_ele(xx):
         rho = pppm_ops.spread(grid, xx, qe)
         return xx + eps * rho[0, 0, 0]
-    print(f"pppm spread (ele only) : {chain_ms(f_spread_ele, xe):7.2f} ms")
+    print(f"pppm spread (ele only) : {chain_ms(f_spread_ele, xe):7.2f} ms",
+          flush=True)
 
     rho0 = jax.jit(lambda a, b: pppm_ops.spread(grid, a, b))(x, q)
-    def f_fft(r):
-        ek, ef = pppm_ops.pppm_energy_efield(grid, r)
-        return r + eps * (ef[0] + ef[1] + ef[2]) * ek
-    print(f"pppm poisson (4 FFTs)  : {chain_ms(f_fft, rho0):7.2f} ms")
+    def f_pu(r):
+        uu = pppm_ops.poisson_u(grid, r)
+        return r + eps * uu
+    print(f"poisson_u (2 FFTs)     : {chain_ms(f_pu, rho0):7.2f} ms",
+          flush=True)
 
-    ef0 = jax.jit(lambda r: pppm_ops.pppm_energy_efield(grid, r)[1])(rho0)
+    def f_fft(r):
+        ek, uu = pppm_ops.pppm_energy_u(grid, r)
+        return r + eps * uu * ek
+    print(f"pppm energy+u (2 FFTs) : {chain_ms(f_fft, rho0):7.2f} ms",
+          flush=True)
+
+    u0 = jax.jit(lambda r: pppm_ops.poisson_u(grid, r))(rho0)
     def f_gather(xx):
-        fk = q[:, None] * pppm_ops.gather3(grid, ef0, xx)
+        fk = q[:, None] * pppm_ops.gather3_ad(grid, u0, xx, slots=slots0)
         return xx + eps * fk
-    print(f"pppm gather3           : {chain_ms(f_gather, x):7.2f} ms")
+    print(f"gather3_ad (slots)     : {chain_ms(f_gather, x):7.2f} ms",
+          flush=True)
 
     def f_solve(xx):
         qn, sc, rho = conp.solve_full(xx, q, 0, nbr, eng.ncfg)
         return xx + eps * qn[:, None]
-    print(f"charge solve (CG)      : {chain_ms(f_solve, x):7.2f} ms")
+    print(f"charge solve (CG)      : {chain_ms(f_solve, x):7.2f} ms",
+          flush=True)
+
+    def f_b(xx):
+        b, kc = conp.b_vector_full(xx, q, nbr, eng.ncfg)
+        return xx + eps * jnp.sum(b)
+    print(f"b vector (spread+u+g)  : {chain_ms(f_b, x):7.2f} ms",
+          flush=True)
 
     def f_forces(xx):
         f, pe = eng.compute_forces(xx, q, jnp.asarray(0.0, xx.dtype),
                                    None, nbr)
         return xx + eps * f
-    print(f"compute_forces total   : {chain_ms(f_forces, x):7.2f} ms")
+    print(f"compute_forces total   : {chain_ms(f_forces, x):7.2f} ms",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,15 @@ def make_neighbor_config(box, box_lo, cutoff, natoms, *, periodic,
     from .cells import build_cell_grid
     grid = build_cell_grid(box, box_lo, cutoff + skin, natoms,
                            periodic=periodic, density_safety=density_safety)
+    if x0 is not None:
+        # tighten the per-cell capacity to the ACTUAL max occupancy at x0
+        # (+30% headroom, lane-rounded): cap sets both the candidate sort
+        # width (27*cap) and the rsq sweep of every rebuild, and the 3x
+        # mean-density default over-sizes it ~2x.  Engine.run's overflow
+        # recovery (grow-and-retry) is the backstop for density drift.
+        occ = _max_cell_occupancy(grid, np.asarray(x0))
+        cap = int(np.ceil(occ * 1.3 / 8.0) * 8) + 8
+        grid = dataclasses.replace(grid, cap=min(cap, natoms))
     if k_max is None:
         if x0 is not None:
             # size from the ACTUAL max neighbor count at x0: conp systems
@@ -75,6 +84,20 @@ def make_neighbor_config(box, box_lo, cutoff, natoms, *, periodic,
             k_max = int(np.ceil(nexp * 1.6 / 8.0) * 8) + 8
     return NeighborConfig(grid=grid, k_max=int(k_max), cutoff=float(cutoff),
                           skin=float(skin))
+
+
+def _max_cell_occupancy(grid: CellGrid, x: np.ndarray) -> int:
+    """Host-side max atoms per cell at positions x (mirrors bin_atoms's
+    wrap/clip binning exactly)."""
+    ids = []
+    for ax, nc in enumerate(grid.ncells):
+        u = (x[:, ax] - grid.box_lo[ax]) / grid.box[ax]
+        if grid.periodic[ax]:
+            u = u - np.floor(u)
+        ids.append(np.clip((u * nc).astype(np.int64), 0, nc - 1))
+    cx, cy, cz = grid.ncells
+    cell = (ids[0] * cy + ids[1]) * cz + ids[2]
+    return int(np.bincount(cell, minlength=grid.total).max())
 
 
 def count_max_neighbors(grid: CellGrid, x, cell_chunk: int = 256) -> int:
@@ -145,7 +168,12 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
     sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
     xp = jnp.concatenate([x, sentinel], axis=0)
     xi = xp[table]                                       # (C, cap, 3)
-    xj = xp[cols]                                        # (C, m, 3)
+    # candidate positions by gathering whole CELL SLABS (27 contiguous
+    # (cap, 3) blocks per cell) instead of m scattered per-atom rows —
+    # 27x fewer gather descriptors on the same data.  Duplicate-cell slots
+    # carry real positions here but their ids are masked to n in pcols, so
+    # `valid` already excludes them.
+    xj = xi[jnp.asarray(nb)].reshape(c, m, 3)            # (C, 27, cap, 3)
     boxj = jnp.asarray(grid.box, dtype)
     d = xi[:, :, None, :] - xj[:, None, :, :]
     d = min_image(d, boxj, grid.periodic)

@@ -76,14 +76,17 @@ class ConpSolver:
         b, _ = self.b_vector_full(x, q)
         return b
 
-    def b_vector_full(self, x, q, nbr=None, ncfg=None):
+    def b_vector_full(self, x, q, nbr=None, ncfg=None, tasg=None):
         """Assemble b for the current electrolyte configuration.
 
         k-space: b_i -= sum_k 2 ug_k (c_i ReS + s_i ImS)   [km_ewald.cpp:789-825]
         real:    b_i -= sum_(elyte j in range) q_j (erfc(g r)/r + pot(r))
                                                             [fix_conp.cpp:1281-1365]
         slab:    b_i -= z_i * (4 pi / V) sum_elyte q_j z_j  [km_ewald.cpp:827-847]
-        """
+
+        ``tasg``: a persistent pppm TileAssign — the mesh binning is then a
+        cheap per-step refresh instead of a sort (the sort amortizes over
+        the reneighbor interval, like the Verlet list)."""
         dt = self.solve_dtype
         x = x.astype(dt)
         q = q.astype(dt)
@@ -103,7 +106,9 @@ class ConpSolver:
             from ..ops import pppm as pppm_ops
             grid = self.pppm_grid
             slots = None
-            if not pppm_ops._use_dense(grid, x.shape[0]):
+            if tasg is not None:
+                slots = pppm_ops.refresh_tile_slots(grid, tasg, x, q_elyte)
+            elif not pppm_ops._use_dense(grid, x.shape[0]):
                 slots = pppm_ops.tile_slots(grid, x, q_elyte)
             rho_elyte = pppm_ops.spread(grid, x, q_elyte, slots=slots)
             rhok_elyte = jnp.fft.rfftn(rho_elyte)
@@ -179,7 +184,8 @@ class ConpSolver:
         q_new, scalar, _ = self.solve_full(x, q, step)
         return q_new, scalar
 
-    def solve_full(self, x, q, step, nbr=None, ncfg=None, scalar_prev=None):
+    def solve_full(self, x, q, step, nbr=None, ncfg=None, scalar_prev=None,
+                   tasg=None):
         """One charge update. Returns (q_new, scalar_output, kcache).
 
         scalar: CONP induced charge dV*totsetq + sum_left(A^-1 b)
@@ -194,7 +200,7 @@ class ConpSolver:
         iterations)."""
         ctx = self.ctx
         cfg = self.cfg
-        b, kcache = self.b_vector_full(x, q, nbr, ncfg)
+        b, kcache = self.b_vector_full(x, q, nbr, ncfg, tasg)
         x0_cg = self._cg_warm_start(q, step, scalar_prev, b.dtype)
         if cfg.solver is Solver.CG:
             eleallq, _ = cg_solve(ctx.amat, b, cfg.cg_tolerance,

@@ -61,12 +61,18 @@ class Engine:
     elecheck: jnp.ndarray
     dtype: object
     use_pallas: bool
+    # persistent mesh-tile binning (ops/pppm.py TileAssign carried in
+    # MDState.tasg, rebuilt on the Verlet skin trigger): True only when the
+    # tiled PPPM path is active, a Verlet list provides the rebuild trigger,
+    # and the skin bound keeps drift within the tile margin
+    mesh_persist: bool = False
     # jitted-scan cache keyed by (nsteps,) so repeated run() calls don't
     # retrace (frozen dataclass: the dict itself is mutable)
     _run_cache: dict = dataclasses.field(default_factory=dict, compare=False)
 
     # ------------------------------------------------------------- forces
-    def compute_forces(self, x, q, scalar_out, kcache=None, nbr=None):
+    def compute_forces(self, x, q, scalar_out, kcache=None, nbr=None,
+                       tasg=None):
         """Returns (f, pe) for the current configuration.
 
         In PPPM mode ``kcache`` is (rhok_elyte, tile_slots) cached by the
@@ -74,7 +80,8 @@ class Engine:
         pppm_conp.cpp:428-450): exactly one electrolyte spread AND one tile
         binning per step serve both the charge solve and the force
         evaluation.  ``nbr`` is the current NeighborList when the
-        Verlet-list path is active."""
+        Verlet-list path is active; ``tasg`` the persistent mesh-tile
+        assignment (mesh_persist) when no kcache slots are available."""
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
@@ -125,7 +132,10 @@ class Engine:
                 if rhok_elyte is None:
                     q_elyte = jnp.where(is_ele, 0.0, q)
                     if tiled and slots is None:
-                        slots = pppm_ops.tile_slots(grid, x, q_elyte)
+                        slots = (pppm_ops.refresh_tile_slots(
+                                     grid, tasg, x, q_elyte)
+                                 if tasg is not None
+                                 else pppm_ops.tile_slots(grid, x, q_elyte))
                     rhok_elyte = jnp.fft.rfftn(
                         pppm_ops.spread(grid, x, q_elyte, slots=slots))
                 # re-spread only the Ne electrode rows (pppm_conp.cpp:385-426
@@ -145,7 +155,9 @@ class Engine:
                         pppm_ops.spread(grid, x[eix], q[eix]))
             else:
                 if tiled and slots is None:
-                    slots = pppm_ops.tile_slots(grid, x, q)
+                    slots = (pppm_ops.refresh_tile_slots(grid, tasg, x, q)
+                             if tasg is not None
+                             else pppm_ops.tile_slots(grid, x, q))
                 rhok = jnp.fft.rfftn(pppm_ops.spread(grid, x, q, slots=slots))
             if self.md.pppm_diff == "ad" or (
                     self.md.pppm_diff == "auto" and tiled):
@@ -248,17 +260,27 @@ class Engine:
             x = self.zmirror.apply(x, state.step + 1)
 
         nbr = state.nbr
+        tasg = state.tasg
         if self.ncfg is not None:
             # Verlet-skin reneighbor check inside the jitted step (LAMMPS
             # Neighbor::check_distance); both cond branches return the same
-            # static shapes
+            # static shapes.  The persistent mesh-tile assignment shares the
+            # trigger: the skin bound that keeps the list exact also keeps
+            # every atom inside its tile's drift margin (gated at
+            # build_engine: skin/2 <= dm * min cell).
             from ..ops.neighbors import build_neighbor_list, needs_rebuild
-            nbr = jax.lax.cond(
+
+            def rebuild(xx):
+                nb = build_neighbor_list(self.ncfg, xx, self.tables,
+                                         self.type_idx)
+                if self.mesh_persist:
+                    from ..ops import pppm as pppm_ops
+                    return nb, pppm_ops.tile_assign(self.pppm_grid, xx)
+                return nb, tasg
+
+            nbr, tasg = jax.lax.cond(
                 needs_rebuild(self.ncfg, nbr, x),
-                lambda xx: build_neighbor_list(self.ncfg, xx, self.tables,
-                                               self.type_idx),
-                lambda xx: nbr,
-                x)
+                rebuild, lambda xx: (nbr, tasg), x)
             # sticky overflow: once the capacity is exceeded the physics is
             # NaN-poisoned, and a later rebuild from NaN positions would
             # silently clear the flag — keep it set so the host-boundary
@@ -272,16 +294,16 @@ class Engine:
             if nevery == 1:
                 q, scalar, kcache = self.conp.solve_full(
                     x, q, state.step + 1, nbr, self.ncfg,
-                    scalar_prev=state.scalar_out)
+                    scalar_prev=state.scalar_out, tasg=tasg)
             else:
                 q, scalar = jax.lax.cond(
                     (state.step + 1) % nevery == 0,
                     lambda: self.conp.solve_full(
                         x, q, state.step + 1, nbr, self.ncfg,
-                        scalar_prev=state.scalar_out)[:2],
+                        scalar_prev=state.scalar_out, tasg=tasg)[:2],
                     lambda: (q, scalar))
 
-        f, pe = self.compute_forces(x, q, scalar, kcache, nbr)
+        f, pe = self.compute_forces(x, q, scalar, kcache, nbr, tasg)
         v = itg.kick(v, f)
         if self.cons is not None:
             v = rattle_velocities(self.cons, x, v, box=self.ksp_force.box,
@@ -289,7 +311,7 @@ class Engine:
         v, xi, vxi = itg.thermostat_half(v, xi, vxi, state.step)
         return MDState(x=x, v=v, q=q, f=f, step=state.step + 1,
                        nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe,
-                       nbr=nbr)
+                       nbr=nbr, tasg=tasg)
 
     # -------------------------------------------------------------- setup
     def init_state(self, x0=None, v0=None, q0=None) -> MDState:
@@ -318,19 +340,24 @@ class Engine:
                 scalar = jnp.zeros((), dt)
                 kcache = None
                 nbr = None
+                tasg = None
                 if self.ncfg is not None:
                     from ..ops.neighbors import build_neighbor_list
                     nbr = build_neighbor_list(self.ncfg, x, self.tables,
                                               self.type_idx)
+                if self.mesh_persist:
+                    from ..ops import pppm as pppm_ops
+                    tasg = pppm_ops.tile_assign(self.pppm_grid, x)
                 if self.conp is not None:
                     q, scalar, kcache = self.conp.solve_full(
-                        x, q, jnp.zeros((), jnp.int32), nbr, self.ncfg)
-                f, pe = self.compute_forces(x, q, scalar, kcache, nbr)
+                        x, q, jnp.zeros((), jnp.int32), nbr, self.ncfg,
+                        tasg=tasg)
+                f, pe = self.compute_forces(x, q, scalar, kcache, nbr, tasg)
                 return MDState(
                     x=x, v=v, q=q, f=f, step=jnp.zeros((), jnp.int32),
                     nhc_xi=jnp.zeros((nt, tch), dt),
                     nhc_vxi=jnp.zeros((nt, tch), dt),
-                    scalar_out=scalar, energy=pe, nbr=nbr)
+                    scalar_out=scalar, energy=pe, nbr=nbr, tasg=tasg)
 
             self._run_cache["_init"] = go
         return go(x, v, q)
@@ -441,16 +468,21 @@ class Engine:
         @jax.jit
         def heal(st: MDState) -> MDState:
             nbr = None
+            tasg = None
             if self.ncfg is not None:
                 nbr = build_neighbor_list(self.ncfg, st.x, self.tables,
                                           self.type_idx)
+            if self.mesh_persist:
+                from ..ops import pppm as pppm_ops
+                tasg = pppm_ops.tile_assign(self.pppm_grid, st.x)
             q, scalar, kcache = st.q, st.scalar_out, None
             if self.conp is not None:
                 q, scalar, kcache = self.conp.solve_full(
                     st.x, st.q, st.step, nbr, self.ncfg,
-                    scalar_prev=st.scalar_out)
-            f, pe = self.compute_forces(st.x, q, scalar, kcache, nbr)
-            return st._replace(q=q, f=f, scalar_out=scalar, energy=pe, nbr=nbr)
+                    scalar_prev=st.scalar_out, tasg=tasg)
+            f, pe = self.compute_forces(st.x, q, scalar, kcache, nbr, tasg)
+            return st._replace(q=q, f=f, scalar_out=scalar, energy=pe,
+                               nbr=nbr, tasg=tasg)
 
         return heal(state)
 
@@ -553,6 +585,19 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         from ..ops.ewald_factored import factorize
         fksp = factorize(ksp)
 
+    # persistent mesh-tile binning: the Verlet skin trigger bounds drift by
+    # skin/2 between rebuilds, so the assignment stays exact iff skin/2 fits
+    # inside the tile drift margin on every axis (else fall back to per-step
+    # binning — correctness over amortization)
+    mesh_persist = False
+    if pppm_grid is not None and ncfg is not None:
+        from ..ops import pppm as pppm_ops
+        if not pppm_ops._use_dense(pppm_grid, system.natoms):
+            g = pppm_grid
+            min_cell = min(g.box[0] / g.nx, g.box[1] / g.ny,
+                           g.zprd_grid / g.nz)
+            mesh_persist = 0.5 * ncfg.skin <= pppm_ops.TILE_DM * min_cell
+
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
         ksp_force=ksp, pppm_grid=pppm_grid, zmirror=zmirror, fksp=fksp,
@@ -563,4 +608,5 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         elecheck=jnp.asarray(system.elecheck),
         dtype=dtype,
         use_pallas=use_pallas,
+        mesh_persist=mesh_persist,
     )

@@ -32,6 +32,8 @@ class MDState(NamedTuple):
     scalar_out: jnp.ndarray  # () the fix scalar f_e
     energy: jnp.ndarray     # () potential energy of current configuration
     nbr: object = None      # NeighborList pytree (large-N pair path) or None
+    tasg: object = None     # pppm TileAssign pytree (persistent mesh-tile
+                            # binning, rebuilt on reneighbor) or None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -363,6 +363,10 @@ class TileGeom(NamedTuple):
     cap: int
     z_span: bool  # True: z bins cover only the occupied slab span, origin
                   # shifted one bin below box_lo (no periodic wrap in z)
+    dm: int       # drift margin (mesh cells per side) baked into every
+                  # patch: a TileAssign stays valid while atoms drift up to
+                  # dm cells per axis, so the packed-key sort amortizes over
+                  # the Verlet skin interval like the neighbor list
 
 
 def _occupied_nz(grid: PPPMGrid) -> int:
@@ -373,16 +377,27 @@ def _occupied_nz(grid: PPPMGrid) -> int:
                int(math.ceil(grid.nz * grid.box[2] / grid.zprd_grid)) + 1)
 
 
+# drift margin (mesh cells per axis per side) built into every tile patch:
+# lets a stale TileAssign remain exact while atoms drift up to DM cells (the
+# engine gates persistence on skin/2 <= DM * min cell size), at the cost of
+# (tl+2(hw+DM))/(tl+2hw) wider patch matmuls (~+25% at tl=16, p=5).
+TILE_DM = 1
+
+
 def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
     p = grid.order
     hw = (p - 1) // 2 if p % 2 == 1 else p // 2
+    dm = TILE_DM
+    bw = hw + dm                     # patch border width
     hixy = max(40, 2 * TILE_TARGET_XY)
-    tlx = _pick_tile(grid.nx, hi=hixy, target=TILE_TARGET_XY)
-    tly = _pick_tile(grid.ny, hi=hixy, target=TILE_TARGET_XY)
+    tlx = _pick_tile(grid.nx, lo=max(8, 2 * bw), hi=hixy,
+                     target=TILE_TARGET_XY)
+    tly = _pick_tile(grid.ny, lo=max(8, 2 * bw), hi=hixy,
+                     target=TILE_TARGET_XY)
     ntx, nty = grid.nx // tlx, grid.ny // tly
     nz_occ = _occupied_nz(grid)
     # span mode: bin the occupied z range non-periodically (one guard bin
-    # below box_lo for wrap spill, >=1 above); needs tlz > hw + 2 so a
+    # below box_lo for wrap spill, >=1 above); needs tlz > bw + 2 so a
     # guard bin's outer border can never receive weight (fail-loud checked
     # at bin time) and the extended ring maps into [0, nz) with two static
     # slices ((ntz - 1) * tlz <= nz)
@@ -393,7 +408,7 @@ def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
         # atom center (mz <= nz_occ -> zt_max = (nz_occ + tlz) // tlz),
         # plus one empty bin above so the top bin's border overhang is
         # provably zero.  Shrink tlz until the ring maps into [0, nz).
-        lo = max(8, hw + 3)
+        lo = max(8, 2 * bw, bw + 3)
         tlz = max(lo, min(TILE_TARGET_Z, nz_occ))
         while tlz >= lo:
             ntz = (nz_occ + tlz) // tlz + 2
@@ -403,7 +418,7 @@ def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
         else:
             z_span, tlz, ntz = False, grid.nz, 1
     else:
-        tlz = _pick_tile(grid.nz, lo=max(8, hw + 3), hi=grid.nz,
+        tlz = _pick_tile(grid.nz, lo=max(8, 2 * bw, bw + 3), hi=grid.nz,
                          target=min(TILE_TARGET_Z, grid.nz))
         ntz = grid.nz // tlz
     t_tiles = ntx * nty * ntz
@@ -414,7 +429,8 @@ def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
     cap = int(math.ceil(natoms / (ntx * nty * occ_bins)
                         * (1.8 if ntz == 1 else 2.5))) + 32
     cap = min(cap, natoms + 1)
-    return TileGeom(p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span)
+    return TileGeom(p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap,
+                    z_span, dm)
 
 
 class TileSlots(NamedTuple):
@@ -437,16 +453,31 @@ class TileSlots(NamedTuple):
     overflow: jnp.ndarray  # () bool
 
 
-def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
-    """Bin atoms by 3-D mesh tile and pre-sort everything into (T, cap, .)
-    slot arrays with ONE packed-key sort + ONE scatter — the tile scan then
-    reads contiguous slices, no per-tile gathers.  Empty slots have q=0 and
-    atom id n so they contribute nothing."""
+class TileAssign(NamedTuple):
+    """Persistent atom→tile-slot assignment — the sort/scatter product of
+    the binning, reusable across steps like the Verlet list (the per-atom
+    payload in TileSlots is cheap to refresh each step; the packed-key sort
+    is not).  Stays EXACT while every atom remains within TileGeom.dm mesh
+    cells per axis of its binning position: drifted atoms land in the patch
+    margin.  The engine rebuilds it on the Verlet skin trigger, which
+    bounds drift by skin/2 (build_engine gates persistence on
+    skin/2 <= dm * min cell size); drift beyond the margin NaN-poisons via
+    the overflow flag (fail loud)."""
+    slot: jnp.ndarray      # (N,) int32 slot index = tile * cap + rank
+    table: jnp.ndarray     # (T, cap) int32 atom ids (n = empty slot)
+    overflow: jnp.ndarray  # () bool — capacity overflow at build time
+
+
+def tile_assign(grid: PPPMGrid, x) -> TileAssign:
+    """Bin atoms by 3-D mesh tile: ONE packed-key int32 sort (atom index in
+    the low bits — the fast TPU selection pattern), rank-in-segment by
+    cummax, two scatters.  ~19 ms at 100k atoms on a v5e — amortize it by
+    refreshing only the payload per step (refresh_tile_slots) and
+    rebuilding the assignment on reneighbor events."""
     n = x.shape[0]
-    dtype = x.dtype
     geom = _tile_geometry(grid, n)
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    _, _, (dxx, dxy, dxz), (cx, cy, cz), mz = _stencil_full(grid, x)
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    _, _, _, (cx, cy, cz), mz = _stencil_full(grid, x)
     if z_span:
         # non-periodic z bins over the occupied span, origin one bin below
         # the box floor (wrap spill from atoms just under box_lo); atoms
@@ -456,11 +487,9 @@ def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
         # dropped in the overlap-add) — an atom there must fail loud too
         zoob = (zt < 0) | (zt >= ntz - 1)
         zt = jnp.clip(zt, 0, ntz - 1)
-        lz = mz + tlz - zt * tlz
     else:
         zt = cz // tlz
         zoob = jnp.zeros_like(zt, bool)
-        lz = cz % tlz
     tid = ((cx // tlx) * nty + (cy // tly)) * ntz + zt
     shift = max(1, int(n - 1).bit_length()) if n > 1 else 1
     if t_tiles << shift < 2 ** 31:
@@ -480,28 +509,82 @@ def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
     first = jax.lax.cummax(jnp.where(changed, iota, 0))
     rank = iota - first
     overflow = (jnp.max(rank) >= cap) | jnp.any(zoob)
-    slot = ts * cap + jnp.minimum(rank, cap - 1)
-    table = jnp.full((t_tiles * cap,), n, jnp.int32).at[slot].set(
+    slot_sorted = ts * cap + jnp.minimum(rank, cap - 1)
+    table = jnp.full((t_tiles * cap,), n, jnp.int32).at[slot_sorted].set(
         order.astype(jnp.int32))
+    slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+    return TileAssign(slot, table.reshape(t_tiles, cap), overflow)
 
+
+def refresh_tile_slots(grid: PPPMGrid, asg: TileAssign, x, q) -> TileSlots:
+    """TileSlots for the CURRENT (x, q) under a (possibly stale) tile
+    assignment: elementwise stencil math + ONE packed (N, 7) scatter — no
+    sort.  Local coordinates are taken relative to each atom's ASSIGNED
+    tile (wrap-aware in periodic axes), so an atom that drifted across a
+    tile boundary since the assignment was built lands in the dm-cell
+    patch margin; drift beyond the margin sets the overflow flag, which
+    NaN-poisons the mesh downstream (fail loud, never silent weight
+    loss)."""
+    n = x.shape[0]
+    dtype = x.dtype
+    geom = _tile_geometry(grid, n)
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    _, _, (dxx, dxy, dxz), (cx, cy, cz), mz = _stencil_full(grid, x)
+    tid = asg.slot // cap
+    txi = tid // (nty * ntz)
+    tyi = (tid // ntz) % nty
+    tzi = tid % ntz
+
+    def rel(c, t0, tl, nt, nper):
+        # local coord relative to the assigned tile origin: the (unique for
+        # nt >= 2) periodic representative of c - t0 in [-dm, tl + dm).
+        # For nt == 1 any representative in [0, nper) is equivalent — the
+        # overlap-add border roll wraps onto the same tile.
+        d = jnp.remainder(c - t0, nper)
+        if nt > 1:
+            d = jnp.where(d >= tl + dm, d - nper, d)
+        return d
+
+    # stored value = patch index of the stencil origin = local coord + dm
+    lx = rel(cx, txi * tlx, tlx, ntx, grid.nx) + dm
+    ly = rel(cy, tyi * tly, tly, nty, grid.ny) + dm
+    if z_span:
+        # span bins are non-periodic and indexed by UNWRAPPED z node
+        lz = mz - (tzi - 1) * tlz + dm
+    else:
+        lz = rel(cz, tzi * tlz, tlz, ntz, grid.nz) + dm
+
+    def oob(o, tl):
+        # the p-wide stencil at patch origin o fits in [0, tl + 2(hw+dm))
+        # iff o in [0, tl + 2 dm - 1]
+        return (o < 0) | (o > tl + 2 * dm - 1)
+
+    drifted = oob(lx, tlx) | oob(ly, tly) | oob(lz, tlz)
+    overflow = asg.overflow | jnp.any(drifted)
     # ONE packed scatter for all per-atom data (lx/ly/lz are small ints —
     # exactly representable in f32); seven separate scatters cost ~25 ms at
-    # 100k atoms, one costs ~4 ms
+    # 100k atoms, one costs ~4 ms.  Empty slots are never written: q=0 and
+    # atom id n, so they contribute nothing.
     packed = jnp.stack([
         q.astype(dtype),
-        (cx % tlx).astype(dtype),            # local coords: tile-independent
-        (cy % tly).astype(dtype),
-        lz.astype(dtype),
+        lx.astype(dtype), ly.astype(dtype), lz.astype(dtype),
         dxx.astype(dtype), dxy.astype(dtype), dxz.astype(dtype)], axis=1)
-    ps = jnp.zeros((t_tiles * cap, 7), dtype).at[slot].set(
-        packed[order]).reshape(t_tiles, cap, 7)
+    ps = jnp.zeros((t_tiles * cap, 7), dtype).at[asg.slot].set(
+        packed).reshape(t_tiles, cap, 7)
     qs = ps[:, :, 0]
     lxs = ps[:, :, 1].astype(jnp.int32)
     lys = ps[:, :, 2].astype(jnp.int32)
     lzs = ps[:, :, 3].astype(jnp.int32)
     dxs = ps[:, :, 4:7]
-    return TileSlots(qs, lxs, lys, lzs, dxs,
-                     table.reshape(t_tiles, cap), overflow)
+    return TileSlots(qs, lxs, lys, lzs, dxs, asg.table, overflow)
+
+
+def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
+    """Bin atoms by 3-D mesh tile and pre-sort everything into (T, cap, .)
+    slot arrays — the tile scan then reads contiguous slices, no per-tile
+    gathers.  One-shot build = tile_assign + refresh_tile_slots (their
+    duplicate stencil expressions CSE inside one jit)."""
+    return refresh_tile_slots(grid, tile_assign(grid, x), x, q)
 
 
 def _axis_onehot(ls, ws, *, e):
@@ -532,7 +615,8 @@ def _merge_axis(pt, bin_ax: int, ext_ax: int, til: int, hw: int,
     node coordinate on `ext_ax` (length til + 2*hw).  The hw-wide borders
     shift into the neighboring bin (roll if periodic, zero-fill pad-shift
     otherwise — span mode, where the dropped overhang is provably zero);
-    only thin (hw) arrays move, the core is touched once.  Returns the
+    only thin (hw) arrays move, the core is touched once.  ``hw`` here is
+    the full border width (stencil halo + drift margin).  Returns the
     array with ext_ax reduced to length til (bins still separate)."""
     core = jax.lax.slice_in_dim(pt, hw, hw + til, axis=ext_ax)
     lb = jax.lax.slice_in_dim(pt, 0, hw, axis=ext_ax)
@@ -562,12 +646,13 @@ def _overlap_add(patches, geom: TileGeom, nz: int):
     (144,144,750)).  x/y are periodic; in span mode the z bin axis is
     NON-periodic and the extended z ring (bin 0 starts at unwrapped node
     -tlz) maps into the periodic [0, nz) axis with two static slices."""
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    bw = hw + dm
+    ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
     pt = patches.reshape(ntx, nty, ntz, ex, ey, ez)
-    pt = _merge_axis(pt, 2, 5, tlz, hw, periodic=not z_span)
-    pt = _merge_axis(pt, 1, 4, tly, hw, periodic=True)
-    pt = _merge_axis(pt, 0, 3, tlx, hw, periodic=True)
+    pt = _merge_axis(pt, 2, 5, tlz, bw, periodic=not z_span)
+    pt = _merge_axis(pt, 1, 4, tly, bw, periodic=True)
+    pt = _merge_axis(pt, 0, 3, tlx, bw, periodic=True)
     # collapse (nt, tl) axis pairs: (ntx,nty,ntz,tlx,tly,tlz) -> mesh
     brick = pt.transpose(0, 3, 1, 4, 2, 5).reshape(
         ntx * tlx, nty * tly, ntz * tlz)
@@ -594,8 +679,8 @@ def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     per-pair HBM scatter.  Tile-capacity overflow poisons the mesh with NaN
     (fail loud, like ops/cells.py).
 
-    Pass ``slots`` (built by tile_slots with the SAME x and q) to skip the
-    binning — the spread uses slots.qs."""
+    Pass ``slots`` (built by tile_slots / refresh_tile_slots with the SAME
+    x and q) to skip the binning — the spread uses slots.qs."""
     dtype = x.dtype
     if slots is None:
         slots = tile_slots(grid, x, q)
@@ -603,8 +688,9 @@ def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
                               slots.dxs)
     overflow = slots.overflow
     geom = _tile_geometry(grid, x.shape[0])
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    bw = hw + dm
+    ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
     cf = jnp.asarray(grid.coeffs, dtype)
 
     def one(ql, lxl, lyl, lzl, dxl):
@@ -628,8 +714,8 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     and contract with the local weights in ONE matmul for all B fields.
     Returns a list of (N,) values.
 
-    Pass ``slots`` (built by tile_slots with the SAME x; charges are
-    ignored here) to skip the binning."""
+    Pass ``slots`` (built by tile_slots / refresh_tile_slots with the SAME
+    x; charges are ignored here) to skip the binning."""
     n = x.shape[0]
     dtype = x.dtype
     if slots is None:
@@ -637,8 +723,9 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     lxs, lys, lzs, dxs = slots.lxs, slots.lys, slots.lzs, slots.dxs
     table, overflow = slots.table, slots.overflow
     geom = _tile_geometry(grid, x.shape[0])
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    bw = hw + dm
+    ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
     nb = len(bricks)
     cf = jnp.asarray(grid.coeffs, dtype)
     bp = jnp.stack([_pad_brick(b, geom, grid.nz) for b in bricks])
@@ -672,16 +759,17 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
 
 def _pad_brick(b, geom: TileGeom, nz: int):
     """Wrap-pad a mesh for tiled patch slicing.  In span mode bin zt's patch
-    starts at unwrapped node (zt-1)*tlz - hw, i.e. padded index zt*tlz with
-    a (tlz+hw) left wrap pad; the right pad covers the top guard bins."""
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    ez = tlz + 2 * hw
+    starts at unwrapped node (zt-1)*tlz - bw, i.e. padded index zt*tlz with
+    a (tlz+bw) left wrap pad; the right pad covers the top guard bins."""
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    bw = hw + dm
+    ez = tlz + 2 * bw
     if z_span:
-        zr = max(0, (ntz - 1) * tlz + ez - (nz + tlz + hw))
-        zpad = (tlz + hw, zr)
+        zr = max(0, (ntz - 1) * tlz + ez - (nz + tlz + bw))
+        zpad = (tlz + bw, zr)
     else:
-        zpad = (hw, hw)
-    return jnp.pad(b, ((hw, hw), (hw, hw), zpad), mode="wrap")
+        zpad = (bw, bw)
+    return jnp.pad(b, ((bw, bw), (bw, bw), zpad), mode="wrap")
 
 
 def _delinv(grid: PPPMGrid):
@@ -706,8 +794,9 @@ def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
     lxs, lys, lzs, dxs = slots.lxs, slots.lys, slots.lzs, slots.dxs
     table, overflow = slots.table, slots.overflow
     geom = _tile_geometry(grid, n)
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
-    ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    bw = hw + dm
+    ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
     cf = jnp.asarray(grid.coeffs, dtype)
     up = _pad_brick(u, geom, grid.nz)
 

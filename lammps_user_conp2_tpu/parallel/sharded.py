@@ -631,7 +631,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             from ..models.shake import rattle_velocities
             v = rattle_velocities(engine.cons, x, v, box=box, periodic=periodic)
         v, xi, vxi = itg.thermostat_half(v, xi, vxi, state.step)
-        return MDState(x=x, v=v, q=q, f=f, step=state.step + 1,
+        return MDState(x=x, v=v, q=q, f=f, step=state.step + 1, tasg=state.tasg,
                        nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe,
                        nbr=nbr)
 

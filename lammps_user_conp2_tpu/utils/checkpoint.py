@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 import json
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,10 +32,11 @@ def _config_digest(engine) -> str:
 
 
 def save_checkpoint(path: str, engine, state: MDState):
-    # the neighbor list is derived state: rebuilt deterministically from x
-    # on load, not serialized
+    # the neighbor list and mesh-tile assignment are derived state: rebuilt
+    # deterministically from x on load, not serialized
     arrays = {f"state_{k}": np.asarray(v)
-              for k, v in state._asdict().items() if k != "nbr"}
+              for k, v in state._asdict().items()
+              if k not in ("nbr", "tasg")}
     if engine.conp is not None:
         for k, v in engine.conp.ctx._asdict().items():
             arrays[f"ctx_{k}"] = np.asarray(v)
@@ -60,7 +62,7 @@ def load_checkpoint(path: str, engine) -> MDState:
     dt = engine.dtype
     kw = {}
     for k in MDState._fields:
-        if k == "nbr":
+        if k in ("nbr", "tasg"):
             continue
         a = z[f"state_{k}"]
         kw[k] = jnp.asarray(a, dt if a.dtype.kind == "f" else None)
@@ -68,4 +70,8 @@ def load_checkpoint(path: str, engine) -> MDState:
         from ..ops.neighbors import build_neighbor_list
         kw["nbr"] = build_neighbor_list(engine.ncfg, kw["x"], engine.tables,
                                         engine.type_idx)
+    if getattr(engine, "mesh_persist", False):
+        from ..ops import pppm as pppm_ops
+        kw["tasg"] = jax.jit(
+            lambda xx: pppm_ops.tile_assign(engine.pppm_grid, xx))(kw["x"])
     return MDState(**kw)

@@ -58,7 +58,7 @@ def main():
         pppm_ops.TILE_TARGET_XY = txy
         pppm_ops.TILE_TARGET_Z = tz
         geom = pppm_ops._tile_geometry(grid, system.natoms)
-        p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+        p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
 
         def f_spread(xx):
             rho = pppm_ops.spread_tiled(grid, xx, q)

@@ -43,7 +43,7 @@ def main():
         q2=q2, cutoff=md.cutoff, slabflag=True, slab_volfactor=3.0)
     geom = P._tile_geometry(grid, system.natoms)
     print(f"grid={grid.shape} geom={geom}", flush=True)
-    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span = geom
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
     ex, ey, ez = tlx + 2 * hw, tly + 2 * hw, tlz + 2 * hw
     x = jnp.asarray(system.x0, jnp.float32)
     q = jnp.asarray(system.q0, jnp.float32) + 0.01

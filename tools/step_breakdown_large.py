@@ -86,6 +86,20 @@ def main():
     print(f"tile_slots build       : {chain_ms(f_slots, x):7.2f} ms",
           flush=True)
 
+    def f_assign(xx):
+        a = pppm_ops.tile_assign(grid, xx)
+        return xx + eps * jnp.sum(a.table).astype(xx.dtype)
+    print(f"tile_assign (sort)     : {chain_ms(f_assign, x):7.2f} ms  "
+          f"(amortized over the reneighbor interval; mesh_persist="
+          f"{eng.mesh_persist})", flush=True)
+
+    asg0 = jax.jit(lambda xx: pppm_ops.tile_assign(grid, xx))(x)
+    def f_refresh(xx):
+        s = pppm_ops.refresh_tile_slots(grid, asg0, xx, q)
+        return xx + eps * (jnp.sum(s.qs) + jnp.sum(s.dxs))
+    print(f"refresh_tile_slots     : {chain_ms(f_refresh, x):7.2f} ms  "
+          f"(the per-step binning cost under mesh_persist)", flush=True)
+
     slots0 = jax.jit(lambda xx: pppm_ops.tile_slots(grid, xx, q))(x)
     def f_spread(xx):
         rho = pppm_ops.spread(grid, xx, q, slots=slots0)

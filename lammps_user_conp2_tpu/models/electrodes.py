@@ -101,7 +101,21 @@ def assemble_amatrix(
     """
     g = ksp.g_ewald
     cutsq = min(cut_coulsq, (ERFC_MAX / g) ** 2)
-    a = ewald_ops.amatrix_kspace(xe, ksp, dtype=dtype)
+    # Above ~1e10 flops (Ne^2 K) the device path's (Ne, K) trig tables are
+    # tens of GB and the f64 matmuls take minutes on the CPU XLA backend —
+    # assemble on the host via the plane-factored numpy path instead
+    # (setup always runs with concrete positions; tracers keep the jnp path).
+    xe_np = None
+    if xe.shape[0] ** 2 * ksp.kcount > 1e10:
+        try:
+            xe_np = np.asarray(xe)
+        except Exception:  # traced xe (mobile-electrode rebuild) — jnp path
+            xe_np = None
+    if xe_np is not None:
+        from ..ops.ewald_factored import amatrix_kspace_host
+        a = jnp.asarray(amatrix_kspace_host(xe_np, ksp), dtype)
+    else:
+        a = ewald_ops.amatrix_kspace(xe, ksp, dtype=dtype)
     ne = xe.shape[0]
     dx = min_image(xe[:, None, :] - xe[None, :, :], jnp.asarray(box, dtype), periodic)
     rsq = jnp.sum(dx * dx, axis=-1)

@@ -376,3 +376,107 @@ def amatrix_kspace_f(fk: FactoredKSpace, xe, dtype=jnp.float64):
     acc0 = jnp.zeros((xe.shape[0], xe.shape[0]), dtype)
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(fk.nz))
     return acc
+
+
+# ---------------------------------------------------------------------------
+# host-side (numpy) A-matrix assembly for large K
+# ---------------------------------------------------------------------------
+
+PLANE_MAX = 64
+
+
+def amatrix_kspace_host(xe, ksp: EwaldKSpace, *, plane_max: int = PLANE_MAX,
+                        chunk: int = 8192) -> np.ndarray:
+    """K-space A block on the host (numpy/BLAS) for production-scale K.
+
+    The device path (ops.ewald.amatrix_kspace) materializes (Ne, K) trig
+    tables — ~20 GB each at the 100k-atom config's K≈2.3e6 — and costs
+    O(Ne^2 K) flops.  This host path exploits the xy*z factorization
+    (reference lowmem mode, km_ewald.cpp:360-363) plus the observation that
+    electrode atoms occupy a handful of distinct z values (lattice planes):
+
+        A_ij = Re sum_a Pxy_i,a conj(Pxy_j,a) G_a(plane_i, plane_j)
+        G_a(p, q) = sum_b 2 ug[a,b] exp(i kz_b uz (z_p - z_q))
+
+    which is O(Ne^2 nxy + nxy nz P^2) — an ~nz-fold flop reduction (and no
+    (Ne, K) tables at all).  Falls back to a K-chunked direct sum (per-axis
+    complex power tables gathered per chunk — no transcendentals in the hot
+    loop) when the electrodes are NOT plane-structured (P > plane_max).
+
+    Returns the full k-space block INCLUDING the ug_tot diagonal and the
+    slab correction, matching ops.ewald.amatrix_kspace bit-for-bit up to
+    f64 summation order.
+    """
+    xe = np.asarray(xe, np.float64)
+    ne = xe.shape[0]
+    zu, zinv = np.unique(xe[:, 2], return_inverse=True)
+    if len(zu) <= plane_max:
+        a = _amatrix_host_planes(xe, ksp, zu, zinv)
+    else:
+        a = _amatrix_host_chunked(xe, ksp, chunk)
+    diag = ksp.ug_tot - (2.0 / math.sqrt(math.pi)) * ksp.g_ewald
+    np.fill_diagonal(a, diag)
+    if ksp.slabflag:
+        z = xe[:, 2]
+        a = a + (4.0 * math.pi / ksp.volume) * np.outer(z, z)
+    return a
+
+
+def _amatrix_host_planes(xe, ksp, zu, zinv):
+    fk = factorize(ksp)
+    ux, uy, uz = fk.unitk
+    nxy = fk.nxy
+    p_cnt = len(zu)
+    # G[a, p, q] = sum_b 2 ug[a,b] e^{i kz_b uz (zu_p - zu_q)}  — one zgemm
+    dz = (zu[:, None] - zu[None, :]).ravel()                 # (P*P,)
+    ez = np.exp(1j * uz * np.outer(fk.kz.astype(np.float64), dz))  # (nz, P*P)
+    g = (2.0 * fk.ug) @ ez                                   # (nxy, P*P)
+    g = g.reshape(nxy, p_cnt, p_cnt)
+    # xy phase tables (Ne, nxy)
+    phase = np.outer(xe[:, 0] * ux, fk.kxy[:, 0]) + \
+        np.outer(xe[:, 1] * uy, fk.kxy[:, 1])
+    pxy = np.exp(1j * phase)
+    a = np.zeros((xe.shape[0], xe.shape[0]))
+    groups = [np.nonzero(zinv == p)[0] for p in range(p_cnt)]
+    for p in range(p_cnt):
+        ip = groups[p]
+        if not len(ip):
+            continue
+        for q in range(p, p_cnt):
+            jq = groups[q]
+            if not len(jq):
+                continue
+            blk = ((pxy[ip] * g[:, p, q][None, :]) @ pxy[jq].conj().T).real
+            a[np.ix_(ip, jq)] = blk
+            if q != p:
+                a[np.ix_(jq, ip)] = blk.T
+    return a
+
+
+def _amatrix_host_chunked(xe, ksp, chunk):
+    """Direct half-space sum, K-chunked: per-axis complex power tables are
+    gathered per chunk (no per-element cos/sin — glibc transcendentals are
+    ~50x slower than the dgemm this feeds)."""
+    xprd, yprd, zprd = ksp.box
+    zprd_slab = zprd * (ksp.slab_volfactor if ksp.slabflag else 1.0)
+    unitk = np.array([2 * math.pi / xprd, 2 * math.pi / yprd,
+                      2 * math.pi / zprd_slab])
+    kint = np.rint(ksp.kvecs / unitk).astype(np.int64)       # (K, 3)
+    axp = np.exp(1j * unitk[0] * np.outer(xe[:, 0], np.arange(ksp.kxmax + 1)))
+    ayp = np.exp(1j * unitk[1] * np.outer(
+        xe[:, 1], np.arange(-ksp.kymax, ksp.kymax + 1)))
+    azp = np.exp(1j * unitk[2] * np.outer(
+        xe[:, 2], np.arange(-ksp.kzmax, ksp.kzmax + 1)))
+    ne = xe.shape[0]
+    a = np.zeros((ne, ne))
+    kcount = ksp.kcount
+    for lo in range(0, kcount, chunk):
+        hi = min(lo + chunk, kcount)
+        ki = kint[lo:hi]
+        e = axp[:, ki[:, 0]] * ayp[:, ki[:, 1] + ksp.kymax] \
+            * azp[:, ki[:, 2] + ksp.kzmax]                   # (Ne, Kc)
+        tw = 2.0 * ksp.ug[lo:hi]
+        c = np.ascontiguousarray(e.real)
+        s = np.ascontiguousarray(e.imag)
+        a += (c * tw) @ c.T + (s * tw) @ s.T
+    return a

@@ -198,32 +198,93 @@ def compute_greens(nx, ny, nz, box_grid, g_ewald, order, eps_hoc=1e-7):
         k = np.arange(n)
         return np.where(k <= n // 2, k, k - n)
 
-    mx = per_axis(nx)[:, None, None]
-    my = per_axis(ny)[None, :, None]
-    mz = per_axis(nz)[None, None, :]
-    kx = unitk[0] * mx
-    ky = unitk[1] * my
-    kz = unitk[2] * mz
-    ksq = kx ** 2 + ky ** 2 + kz ** 2
+    mx = per_axis(nx)
+    my = per_axis(ny)
+    mz = per_axis(nz)
+    kx1 = unitk[0] * mx                               # 1-D per-axis k
+    ky1 = unitk[1] * my
+    kz1 = unitk[2] * mz
+    ksq = (kx1 ** 2)[:, None, None] + (ky1 ** 2)[None, :, None] \
+        + (kz1 ** 2)[None, None, :]
 
-    num = np.zeros((nx, ny, nz))
-    den = np.zeros((nx, ny, nz))
-    for bx in range(-nbx, nbx + 1):
-        qx = kx + unitk[0] * nx * bx
-        wx2 = _wk2(mx + nx * bx, nx, order)
-        for by in range(-nby, nby + 1):
-            qy = ky + unitk[1] * ny * by
-            wy2 = _wk2(my + ny * by, ny, order)
-            for bz in range(-nbz, nbz + 1):
-                qz = kz + unitk[2] * nz * bz
-                wz2 = _wk2(mz + nz * bz, nz, order)
-                w2 = wx2 * wy2 * wz2
-                qsq = qx ** 2 + qy ** 2 + qz ** 2
-                qsq_safe = np.where(qsq == 0, 1.0, qsq)
-                dot = kx * qx + ky * qy + kz * qz
-                num += np.where(qsq == 0, 0.0,
-                                w2 * dot * np.exp(-0.25 * qsq / g_ewald ** 2) / qsq_safe)
-                den += w2
+    # Per-axis Brillouin-image tables: q, W^2, and the separated Gaussian
+    # exp(-q^2/4g^2) = ex(qx) ey(qy) ez(qz).  The naive triple loop does
+    # (2nb+1)^3 full-grid passes with a grid-sized exp each — minutes at
+    # production grids; everything here is O(n) per axis.
+    inv4g2 = 0.25 / g_ewald ** 2
+
+    def build_axis(m1, n, u, nb):
+        tabs = []
+        for b in range(-nb, nb + 1):
+            q = u * (m1 + n * b)
+            w2 = _wk2(m1 + n * b, n, order)
+            e = np.exp(-inv4g2 * q * q)
+            tabs.append((q, w2, e))
+        return tabs
+
+    tx = build_axis(mx, nx, unitk[0], nbx)
+    ty = build_axis(my, ny, unitk[1], nby)
+    tz = build_axis(mz, nz, unitk[2], nbz)
+
+    # denominator is fully separable: sum_b W^2 per axis, outer product
+    swx = np.sum([t[1] for t in tx], axis=0)
+    swy = np.sum([t[1] for t in ty], axis=0)
+    swz = np.sum([t[1] for t in tz], axis=0)
+    den = swx[:, None, None] * swy[None, :, None] * swz[None, None, :]
+
+    # |dot/qsq| <= |k|max/|q|min: used to prove a triple's contribution
+    # underflows to exactly 0.0 in f64 so skipping it is exact
+    kmax_norm = math.sqrt(max(kx1 ** 2)) + math.sqrt(max(ky1 ** 2)) \
+        + math.sqrt(max(kz1 ** 2)) + 1.0
+
+    # Collect the surviving image triples (those whose contribution does NOT
+    # provably underflow to exactly 0.0 in f64 — skipping those is exact),
+    # then accumulate them in one jitted lax.scan so XLA fuses the ~10
+    # elementwise grid passes per triple into 2-3 memory sweeps.
+    tiny = np.finfo(np.float64).smallest_subnormal
+    qx_s, gx_s, qy_s, gy_s, qz_s, gz_s = [], [], [], [], [], []
+    for qx, wx2, ex in tx:
+        gx = wx2 * ex
+        for qy, wy2, ey in ty:
+            gy = wy2 * ey
+            exy_max = gx.max() * gy.max()
+            for qz, wz2, ez in tz:
+                gz = wz2 * ez
+                qmin = math.sqrt(np.abs(qx).min() ** 2 + np.abs(qy).min() ** 2
+                                 + np.abs(qz).min() ** 2)
+                # conservative magnitude bound on every element of the term
+                bound = exy_max * gz.max() * kmax_norm / max(
+                    qmin, unitk.min() * 0.5)
+                if bound < tiny:
+                    continue                       # exact: term rounds to 0
+                qx_s.append(qx); gx_s.append(gx)
+                qy_s.append(qy); gy_s.append(gy)
+                qz_s.append(qz); gz_s.append(gz)
+
+    import jax
+    import jax.numpy as jnp
+
+    with jax.enable_x64(True):
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            def body(num, tabs):
+                qx, gx, qy, gy, qz, gz = tabs
+                qsq = (qx ** 2)[:, None, None] + (qy ** 2)[None, :, None] \
+                    + (qz ** 2)[None, None, :]
+                dot = (kx1j * qx)[:, None, None] + (ky1j * qy)[None, :, None] \
+                    + (kz1j * qz)[None, None, :]
+                g3 = gx[:, None, None] * gy[None, :, None] * gz[None, None, :]
+                num = num + jnp.where(qsq == 0, 0.0,
+                                      g3 * dot / jnp.where(qsq == 0, 1.0, qsq))
+                return num, None
+
+            kx1j = jnp.asarray(kx1); ky1j = jnp.asarray(ky1); kz1j = jnp.asarray(kz1)
+            tabs = tuple(jnp.asarray(np.stack(t)) for t in
+                         (qx_s, gx_s, qy_s, gy_s, qz_s, gz_s))
+            num0 = jnp.zeros((nx, ny, nz), jnp.float64)
+            num, _ = jax.jit(lambda n0, tb: jax.lax.scan(body, n0, tb),
+                             donate_argnums=0)(num0, tabs)
+            num = np.asarray(num)
     ksq_safe = np.where(ksq == 0, 1.0, ksq)
     greens = np.where(ksq == 0, 0.0, 4 * math.pi * num / (ksq_safe * den * den))
     return greens

@@ -81,3 +81,27 @@ def test_chunked_paths_match_unchunked():
     np.testing.assert_allclose(float(e2), float(e1), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                atol=1e-12, rtol=1e-10)
+
+
+def test_host_amatrix_matches_device_paths():
+    """amatrix_kspace_host (setup-time numpy assembly for production K) must
+    reproduce ops.ewald.amatrix_kspace exactly: the z-plane-grouped path for
+    plane-structured electrodes, and the K-chunked power-gather fallback for
+    generic z — both with and without the slab correction."""
+    rng = np.random.default_rng(3)
+    for slab in (False, True):
+        _, _, ksp, _ = _setup(slab)
+        box = np.array(ksp.box)
+        ne = 24
+        # plane-structured: two z planes (the capacitor geometry)
+        xe = rng.uniform(0, 1, (ne, 3)) * box
+        xe[: ne // 2, 2] = 2.25
+        xe[ne // 2:, 2] = 10.5
+        a_ref = np.asarray(ew.amatrix_kspace(jnp.asarray(xe), ksp))
+        a_pl = ewf.amatrix_kspace_host(xe, ksp)
+        np.testing.assert_allclose(a_pl, a_ref, atol=1e-12, rtol=1e-11)
+        # generic z -> chunked fallback (force with plane_max=2)
+        xe2 = rng.uniform(0, 1, (ne, 3)) * box
+        a_ref2 = np.asarray(ew.amatrix_kspace(jnp.asarray(xe2), ksp))
+        a_ch = ewf.amatrix_kspace_host(xe2, ksp, plane_max=2, chunk=256)
+        np.testing.assert_allclose(a_ch, a_ref2, atol=1e-12, rtol=1e-11)

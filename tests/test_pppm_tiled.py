@@ -308,3 +308,50 @@ def test_tile_overflow_fails_loud(slab_setup):
         pytest.skip("capacity heuristic covers this n; cannot force overflow")
     rho = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(xx, qq)
     assert not np.isfinite(np.asarray(rho)).all()
+
+
+def test_greens_matches_bruteforce_brillouin():
+    """compute_greens (separable axis tables + underflow-pruned jitted scan)
+    must match the straightforward Hockney-Eastwood triple Brillouin loop
+    (LAMMPS compute_gf_ik, pppm.cpp) to f64 roundoff."""
+    import math
+
+    def brute(nx, ny, nz, box_grid, g_ewald, order, eps_hoc=1e-7):
+        xprd, yprd, zprd_g = box_grid
+        unitk = 2 * math.pi / np.array([xprd, yprd, zprd_g])
+        nb = [int((g_ewald * L / (math.pi * n)) * ((-math.log(eps_hoc)) ** 0.25)) + 2
+              for n, L in ((nx, xprd), (ny, yprd), (nz, zprd_g))]
+        nbx, nby, nbz = nb
+        ax = lambda n: np.where(np.arange(n) <= n // 2, np.arange(n),
+                                np.arange(n) - n)
+        mx = ax(nx)[:, None, None]; my = ax(ny)[None, :, None]
+        mz = ax(nz)[None, None, :]
+        kx, ky, kz = unitk[0] * mx, unitk[1] * my, unitk[2] * mz
+        ksq = kx ** 2 + ky ** 2 + kz ** 2
+        num = np.zeros((nx, ny, nz)); den = np.zeros((nx, ny, nz))
+        for bx in range(-nbx, nbx + 1):
+            qx = kx + unitk[0] * nx * bx
+            wx2 = P._wk2(mx + nx * bx, nx, order)
+            for by in range(-nby, nby + 1):
+                qy = ky + unitk[1] * ny * by
+                wy2 = P._wk2(my + ny * by, ny, order)
+                for bz in range(-nbz, nbz + 1):
+                    qz = kz + unitk[2] * nz * bz
+                    wz2 = P._wk2(mz + nz * bz, nz, order)
+                    w2 = wx2 * wy2 * wz2
+                    qsq = qx ** 2 + qy ** 2 + qz ** 2
+                    qsq_s = np.where(qsq == 0, 1.0, qsq)
+                    dot = kx * qx + ky * qy + kz * qz
+                    num += np.where(qsq == 0, 0.0, w2 * dot *
+                                    np.exp(-0.25 * qsq / g_ewald ** 2) / qsq_s)
+                    den += w2
+        ksq_s = np.where(ksq == 0, 1.0, ksq)
+        return np.where(ksq == 0, 0.0, 4 * math.pi * num / (ksq_s * den * den))
+
+    for (nx, ny, nz, box, g) in [(16, 12, 20, (10.0, 11.0, 20.0), 0.45),
+                                 (15, 12, 18, (9.0, 8.0, 13.0), 0.9),
+                                 (12, 12, 36, (8.0, 8.0, 24.0), 0.2)]:
+        want = brute(nx, ny, nz, box, g, 5)
+        got = P.compute_greens(nx, ny, nz, box, g, 5)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 1e-14

@@ -2,11 +2,13 @@
 """Production-scale benchmark: the 100k-atom synthetic capacitor.
 
 Configuration: PPPM mesh k-space (tiled scatter-free spread/gather),
-matrix-free CG electrode solve (exact factored-Ewald operator), Verlet
-neighbor lists with skin.  First run compiles for ~10 min at this size;
-the persistent compile cache (.jax_cache) makes reruns fast.
+INV electrode solve (the host-assembled plane-factored A inverse — one
+(Ne,Ne) matvec per step; pass cg_matfree as argv[3] for the matrix-free
+CG path), Verlet neighbor lists with skin.  First run compiles for
+~10 min at this size; the persistent compile cache (.jax_cache) makes
+reruns fast.
 
-Usage: python tools/bench_large.py [natoms_elyte] [nele_side]
+Usage: python tools/bench_large.py [natoms_elyte] [nele_side] [solver]
 """
 import os
 import sys
@@ -28,11 +30,11 @@ from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
 def main():
     n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
     nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
+    solver = Solver[(sys.argv[3] if len(sys.argv) > 3 else "inv").upper()]
     t0 = time.time()
     system, md, cfg = workloads.synthetic(
         n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)
-    cfg = dataclasses.replace(cfg, solver=Solver.CG_MATFREE,
-                              kspace=KSpaceStyle.PPPM)
+    cfg = dataclasses.replace(cfg, solver=solver, kspace=KSpaceStyle.PPPM)
     md = dataclasses.replace(md, pair_path="nlist",
                              kspace_style=KSpaceStyle.PPPM)
     conp = setup_conp(system, md, cfg, solve_dtype=jnp.float32)

@@ -77,6 +77,12 @@ def cmd_run(args):
         th = {k: np.asarray(v) for k, v in th.items()}
         for i in range(len(th["step"])):
             print(" ".join(f"{float(th[c][i]):.8g}" for c in cols), file=out)
+        if args.steps % nchunk != 0:
+            # the chained thermo slice only carries multiples of the
+            # interval — emit the final state's row too (the reference log
+            # always ends on the run's last step)
+            thf = {k: float(v) for k, v in eng.thermo(st).items()}
+            print(" ".join(f"{thf[c]:.8g}" for c in cols), file=out)
     else:
         # trajectory dumps need per-chunk host fetches
         _ = jax.block_until_ready(eng.run(st, nchunk, thermo_every=nchunk)[0])

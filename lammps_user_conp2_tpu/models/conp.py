@@ -76,6 +76,30 @@ class ConpSolver:
         b, _ = self.b_vector_full(x, q)
         return b
 
+    def elyte_kcache(self, x, q, tasg=None):
+        """(rhok_elyte, slots) exactly as b_vector_full builds them.
+
+        Also called by engine steps that SKIP the charge solve (nevery > 1)
+        so the force path's mesh-reuse invariant (pppm_conp.cpp:428-450)
+        holds on EVERY step, not just solve steps — and so both lax.cond
+        branches return an identically-shaped cache."""
+        if self.pppm_grid is None:
+            return None
+        from ..ops import pppm as pppm_ops
+        dt = self.solve_dtype
+        x = x.astype(dt)
+        q = q.astype(dt)
+        q_elyte = jnp.where(jnp.asarray(self.elyte_mask), q, 0.0)
+        grid = self.pppm_grid
+        slots = None
+        if tasg is not None:
+            slots = pppm_ops.refresh_tile_slots(grid, tasg, x, q_elyte)
+        elif not pppm_ops._use_dense(grid, x.shape[0]):
+            slots = pppm_ops.tile_slots(grid, x, q_elyte)
+        rhok_elyte = jnp.fft.rfftn(
+            pppm_ops.spread(grid, x, q_elyte, slots=slots))
+        return (rhok_elyte, slots)
+
     def b_vector_full(self, x, q, nbr=None, ncfg=None, tasg=None):
         """Assemble b for the current electrolyte configuration.
 
@@ -105,13 +129,8 @@ class ConpSolver:
             # FFT and the tile binning are paid once per step.
             from ..ops import pppm as pppm_ops
             grid = self.pppm_grid
-            slots = None
-            if tasg is not None:
-                slots = pppm_ops.refresh_tile_slots(grid, tasg, x, q_elyte)
-            elif not pppm_ops._use_dense(grid, x.shape[0]):
-                slots = pppm_ops.tile_slots(grid, x, q_elyte)
-            rho_elyte = pppm_ops.spread(grid, x, q_elyte, slots=slots)
-            rhok_elyte = jnp.fft.rfftn(rho_elyte)
+            kcache = self.elyte_kcache(x, q, tasg)
+            rhok_elyte, slots = kcache
             if self.ele_zplanes is not None:
                 # electrodes live on a handful of z planes: read u there
                 # via a small z-DFT matmul + P tiny 2-D FFTs instead of a
@@ -262,7 +281,12 @@ class ConpSolver:
         if cfg.solver is Solver.INV:
             return None
         if cfg.mode is Mode.CONP:
-            potdiff_prev = (cfg.target(step) if callable(cfg.target)
+            # the charges q were written by the PREVIOUS solve, which used
+            # target(step - nevery) — a ramped (callable) target evaluated
+            # at the current step would skew the reconstruction by
+            # (dtarget)*elesetq and cost the warm start iterations
+            potdiff_prev = (cfg.target(step - cfg.nevery)
+                            if callable(cfg.target)
                             else jnp.asarray(cfg.target, dt))
         elif scalar_prev is not None:
             potdiff_prev = jnp.asarray(scalar_prev, dt)

@@ -296,12 +296,18 @@ class Engine:
                     x, q, state.step + 1, nbr, self.ncfg,
                     scalar_prev=state.scalar_out, tasg=tasg)
             else:
-                q, scalar = jax.lax.cond(
+                # the skip branch still builds the electrolyte mesh cache
+                # (same work the force path would otherwise redo) so BOTH
+                # branches return an identically-shaped kcache and the
+                # pppm_conp.cpp:428-450 reuse invariant holds on solve
+                # steps too
+                q, scalar, kcache = jax.lax.cond(
                     (state.step + 1) % nevery == 0,
                     lambda: self.conp.solve_full(
                         x, q, state.step + 1, nbr, self.ncfg,
-                        scalar_prev=state.scalar_out, tasg=tasg)[:2],
-                    lambda: (q, scalar))
+                        scalar_prev=state.scalar_out, tasg=tasg),
+                    lambda: (q, scalar,
+                             self.conp.elyte_kcache(x, q, tasg)))
 
         f, pe = self.compute_forces(x, q, scalar, kcache, nbr, tasg)
         v = itg.kick(v, f)

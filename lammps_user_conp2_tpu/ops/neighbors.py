@@ -151,45 +151,93 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
     are then accumulated per type with dense masked FMAs, no gathers."""
     grid = ncfg.grid
     n = x.shape[0]
-    dtype = x.dtype
     k = ncfg.k_max
-    from .cells import _neighbor_cells, bin_atoms
+    from .cells import bin_atoms
     table, _cell, overflow = bin_atoms(grid, x)          # (C, cap)
+    prep = _nlist_prep(ncfg, x, table, type_idx)
+    c = table.shape[0]
+    skey, ovf_blk = _cell_block_keys(ncfg, x, prep, 0, c)
+    sk = _scatter_rows(prep, skey, 0, c, n=n, k=k)
+    return _decode_list(ncfg, x, sk, overflow | ovf_blk, type_idx, tables)
+
+
+def _nlist_prep(ncfg: NeighborConfig, x, table, type_idx):
+    """Whole-domain inputs of the candidate selection: packed (id, type)
+    table, binned positions, neighbor-cell map.  Small ((C, cap)-sized) —
+    computed replicated; the (C, cap, 27*cap) selection itself can then be
+    sharded over cell blocks (_cell_block_keys)."""
+    grid = ncfg.grid
+    n = x.shape[0]
+    from .cells import _neighbor_cells
     nb, uniq = _neighbor_cells(grid)
-    c, cap = table.shape
     tp = jnp.pad(type_idx, (0, 1)).astype(jnp.int32)     # tp[n] = 0
     ptab = (table << _TYPE_BITS) | tp[table]             # packed (id, type)
-    pcols = ptab[jnp.asarray(nb)]                        # (C, 27, cap)
-    pcols = jnp.where(jnp.asarray(uniq)[:, :, None], pcols,
-                      jnp.int32(n << _TYPE_BITS))
-    m = 27 * cap
-    pcols = pcols.reshape(c, m)
-    cols = pcols >> _TYPE_BITS                           # candidate ids
-    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], x.dtype)
     xp = jnp.concatenate([x, sentinel], axis=0)
     xi = xp[table]                                       # (C, cap, 3)
+    return table, ptab, xi, jnp.asarray(nb), jnp.asarray(uniq)
+
+
+def _cell_block_keys(ncfg: NeighborConfig, x, prep, c0, cblk):
+    """Sorted candidate keys for cells [c0, c0+cblk): (cblk*cap, k) int32
+    plus the block's capacity-overflow flag.  The O(C cap^2 27) distance
+    sweep and the row sort — the expensive parts of a rebuild — run on the
+    block only, so devices can split the cell axis (parallel/sharded.py)."""
+    grid = ncfg.grid
+    n = x.shape[0]
+    dtype = x.dtype
+    k = ncfg.k_max
+    table, ptab, xi, nb, uniq = prep
+    cap = table.shape[1]
+    table_b = jax.lax.dynamic_slice_in_dim(table, c0, cblk)
+    nb_b = jax.lax.dynamic_slice_in_dim(nb, c0, cblk)
+    uniq_b = jax.lax.dynamic_slice_in_dim(uniq, c0, cblk)
+    xi_b = jax.lax.dynamic_slice_in_dim(xi, c0, cblk)
+    pcols = ptab[nb_b]                                   # (cblk, 27, cap)
+    pcols = jnp.where(uniq_b[:, :, None], pcols,
+                      jnp.int32(n << _TYPE_BITS))
+    m = 27 * cap
+    pcols = pcols.reshape(cblk, m)
+    cols = pcols >> _TYPE_BITS                           # candidate ids
     # candidate positions by gathering whole CELL SLABS (27 contiguous
     # (cap, 3) blocks per cell) instead of m scattered per-atom rows —
     # 27x fewer gather descriptors on the same data.  Duplicate-cell slots
     # carry real positions here but their ids are masked to n in pcols, so
     # `valid` already excludes them.
-    xj = xi[jnp.asarray(nb)].reshape(c, m, 3)            # (C, 27, cap, 3)
+    xj = xi[nb_b].reshape(cblk, m, 3)                    # (cblk, 27, cap, 3)
     boxj = jnp.asarray(grid.box, dtype)
-    d = xi[:, :, None, :] - xj[:, None, :, :]
+    d = xi_b[:, :, None, :] - xj[:, None, :, :]
     d = min_image(d, boxj, grid.periodic)
-    rsq = jnp.sum(d * d, axis=-1)                        # (C, cap, m)
-    valid = (table[:, :, None] != cols[:, None, :]) \
-        & (table[:, :, None] < n) & (cols[:, None, :] < n)
+    rsq = jnp.sum(d * d, axis=-1)                        # (cblk, cap, m)
+    valid = (table_b[:, :, None] != cols[:, None, :]) \
+        & (table_b[:, :, None] < n) & (cols[:, None, :] < n)
     rlistsq = grid.cutoff ** 2
     inr = valid & (rsq < rlistsq)
-    overflow = overflow | (jnp.max(jnp.sum(inr, axis=2)) > k)
+    ovf = jnp.max(jnp.sum(inr, axis=2)) > k
     miss = jnp.int32((n + 1) << _TYPE_BITS)
-    key = jnp.where(inr, pcols[:, None, :], miss)        # (C, cap, m)
-    skey = jax.lax.sort(key.reshape(c * cap, m), dimension=1)[:, :k]
-    # back to atom order: each real atom owns exactly one slot (pad slots
-    # land on the discarded row n)
-    sk = jnp.full((n + 1, k), miss, jnp.int32).at[table.reshape(-1)].set(
-        skey.reshape(c * cap, k))[:n]
+    key = jnp.where(inr, pcols[:, None, :], miss)        # (cblk, cap, m)
+    skey = jax.lax.sort(key.reshape(cblk * cap, m), dimension=1)[:, :k]
+    return skey, ovf
+
+
+def _scatter_rows(prep, skey, c0, cblk, *, n, k):
+    """Block keys -> per-atom rows (n, k): each real atom owns exactly one
+    slot (pad/empty slots land on the discarded row n).  Rows outside the
+    block stay at `miss`, so sharded blocks merge with an elementwise
+    minimum (parallel/sharded.py uses lax.pmin)."""
+    table = prep[0]
+    miss = jnp.int32((n + 1) << _TYPE_BITS)
+    table_b = jax.lax.dynamic_slice_in_dim(table, c0, cblk)
+    return jnp.full((n + 1, k), miss, jnp.int32).at[
+        table_b.reshape(-1)].set(skey)[:n]
+
+
+def _decode_list(ncfg, x, sk, overflow, type_idx, tables) -> NeighborList:
+    """(n, k) packed keys -> NeighborList (ids, LJ coefficient planes)."""
+    n = x.shape[0]
+    k = ncfg.k_max
+    dtype = x.dtype
+    miss = jnp.int32((n + 1) << _TYPE_BITS)
     hit = sk < miss
     idx = jnp.where(hit, sk >> _TYPE_BITS, n)
     tj = sk & _TYPE_MASK                                 # 0 on misses

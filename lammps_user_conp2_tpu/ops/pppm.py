@@ -261,9 +261,6 @@ def compute_greens(nx, ny, nz, box_grid, g_ewald, order, eps_hoc=1e-7):
                 qy_s.append(qy); gy_s.append(gy)
                 qz_s.append(qz); gz_s.append(gz)
 
-    import jax
-    import jax.numpy as jnp
-
     with jax.enable_x64(True):
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
@@ -447,7 +444,17 @@ TILE_DM = 1
 
 def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
     p = grid.order
-    hw = (p - 1) // 2 if p % 2 == 1 else p // 2
+    if p % 2 == 0:
+        # the tiled local-coordinate math places the stencil at
+        # [center - hw, center + hw] (odd-order symmetric); an even order
+        # would need origin center - (p/2 - 1), one node higher than the
+        # stored coordinate implies — fail loud rather than deposit one
+        # node low (setup hardcodes order=5; LAMMPS even orders would need
+        # this offset plumbed through _stencil_full/_axis_onehot/oob)
+        raise NotImplementedError(
+            "tiled PPPM spread/gather supports odd interpolation orders "
+            f"only (got order={p}); use the dense path for even orders")
+    hw = (p - 1) // 2
     dm = TILE_DM
     bw = hw + dm                     # patch border width
     hixy = max(40, 2 * TILE_TARGET_XY)
@@ -545,8 +552,12 @@ def tile_assign(grid: PPPMGrid, x) -> TileAssign:
         # outside the ring would corrupt the mesh -> overflow (fail loud)
         zt = (mz + tlz) // tlz
         # bin ntz-1 is a strictly-empty guard (its upper border overhang is
-        # dropped in the overlap-add) — an atom there must fail loud too
-        zoob = (zt < 0) | (zt >= ntz - 1)
+        # dropped in the overlap-add) — an atom there must fail loud too.
+        # At the bottom the dropped overhang is bin 0's LOWER border
+        # (unwrapped nodes < -tlz): an atom keeps its full stencil only if
+        # mz - hw >= -tlz, so anything below hw - tlz must also fail loud
+        # (not just zt < 0) or it would silently lose stencil weight
+        zoob = (zt < 0) | (zt >= ntz - 1) | (mz < hw - tlz)
         zt = jnp.clip(zt, 0, ntz - 1)
     else:
         zt = cz // tlz
@@ -935,14 +946,7 @@ def pppm_energy_u(grid: PPPMGrid, rho):
     """(energy, u mesh) sharing ONE forward RFFT — the ad force path's
     Poisson solve: one rfftn + one irfftn per step instead of the ik
     path's one + three."""
-    nzh = grid.nz // 2 + 1
-    rhok = jnp.fft.rfftn(rho)
-    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
-    wz = _half_weights(grid, rho.dtype)
-    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
-    u = jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
-        grid.nx * grid.ny * grid.nz / grid.volume)
-    return e, u
+    return pppm_energy_u_from_k(grid, jnp.fft.rfftn(rho))
 
 
 # ---------------------------------------------------------------------------
@@ -1210,11 +1214,7 @@ def poisson_u(grid: PPPMGrid, rho):
 
     rho is real, so the half-spectrum transform does ~half the FFT work of
     the complex path (the influence function is symmetric per axis)."""
-    nzh = grid.nz // 2 + 1
-    rhok = jnp.fft.rfftn(rho)
-    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
-    return jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
-        grid.nx * grid.ny * grid.nz / grid.volume)
+    return poisson_u_from_k(grid, jnp.fft.rfftn(rho))
 
 
 def _deriv_fk(grid: PPPMGrid, nzh: int):
@@ -1254,10 +1254,10 @@ def pppm_energy(grid: PPPMGrid, rho):
     """K-space energy (no qqr2e prefactor, no self/background terms)."""
     nzh = grid.nz // 2 + 1
     rhok = jnp.fft.rfftn(rho)
-    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
-    wz = _half_weights(grid, rho.dtype)
-    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
-    return e
+    rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
+    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    wz = _half_weights(grid, rdt)
+    return 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
 
 
 def pppm_energy_efield(grid: PPPMGrid, rho):
@@ -1266,20 +1266,7 @@ def pppm_energy_efield(grid: PPPMGrid, rho):
     The reference's force compute reuses the charge-solve FFT within a step
     (pppm_conp.cpp:428-450); here the energy readout reuses the force path's
     forward transform — one rfftn + three irfftn per step."""
-    nzh = grid.nz // 2 + 1
-    rhok = jnp.fft.rfftn(rho)
-    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
-    wz = _half_weights(grid, rho.dtype)
-    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
-    phik = rhok * gk
-    scale = grid.nx * grid.ny * grid.nz / grid.volume
-    out = []
-    for ax, fk in enumerate(_deriv_fk(grid, nzh)):
-        shape = [1, 1, 1]
-        shape[ax] = -1
-        ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(phik.dtype)
-        out.append(jnp.fft.irfftn(-ik * phik, s=grid.shape) * scale)
-    return e, tuple(out)
+    return pppm_energy_efield_from_k(grid, jnp.fft.rfftn(rho))
 
 
 def pppm_forces(grid: PPPMGrid, rho, x, q):

@@ -270,7 +270,11 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             # re-spread (pppm_conp.cpp:428-450).
             from ..ops import pppm as pppm_ops
             grid_p = engine.pppm_grid
-            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)))
+            # edge-pad positions: zero-filled pad atoms sit OUTSIDE the box
+            # when box_lo is positive and would trip the z-span binning's
+            # fail-loud out-of-box check (their q=0 keeps them physically
+            # inert either way)
+            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)), mode="edge")
             qp_ = jnp.pad(q, (0, npad_rows))
             xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
             qi_l = jax.lax.dynamic_slice_in_dim(qp_, i0, nrow)
@@ -490,6 +494,27 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
         return q_new, scalar
 
+    def sharded_elyte_kcache(x, q_elyte):
+        """(rhok_elyte replicated, per-device TileSlots of MY atom rows) —
+        the sharded analogue of ConpSolver.elyte_kcache.  Used by the solve
+        AND by skip steps (nevery > 1) so the force path never redoes the
+        electrolyte spread + forward FFT."""
+        from ..ops import pppm as pppm_ops
+        grid_p = conp.pppm_grid
+        i0 = jax.lax.axis_index(axis) * nrow
+        # edge-pad: see sharded_forces — pad atoms must stay in-box for
+        # the z-span binning's fail-loud check
+        xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)), mode="edge")
+        qep = jnp.pad(q_elyte, (0, npad_rows))
+        xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
+        qi_l = jax.lax.dynamic_slice_in_dim(qep, i0, nrow)
+        slots_l = None
+        if not pppm_ops._use_dense(grid_p, nrow):
+            slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
+        rho_elyte = jax.lax.psum(
+            pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
+        return (jnp.fft.rfftn(rho_elyte), slots_l)   # rhok replicated
+
     def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0,
                       nbr=None, scalar_prev=None):
         """Row/k-sharded charge solve.
@@ -509,18 +534,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             # internally); electrode stencil gather over MY electrode rows.
             from ..ops import pppm as pppm_ops
             grid_p = conp.pppm_grid
-            i0 = jax.lax.axis_index(axis) * nrow
-            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)))
-            qep = jnp.pad(q_elyte, (0, npad_rows))
-            xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
-            qi_l = jax.lax.dynamic_slice_in_dim(qep, i0, nrow)
-            slots_l = None
-            if not pppm_ops._use_dense(grid_p, nrow):
-                slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
-            rho_elyte = jax.lax.psum(
-                pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
-            rhok_elyte = jnp.fft.rfftn(rho_elyte)    # replicated
-            kcache = (rhok_elyte, slots_l)
+            kcache = sharded_elyte_kcache(x, q_elyte)
+            rhok_elyte, slots_l = kcache
             if conp.ele_zplanes is not None:
                 # z-plane fast readout (models/conp.py b_vector_full)
                 up = pppm_ops.u_on_zplanes(grid_p, rhok_elyte,
@@ -597,13 +612,38 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
 
         nbr = state.nbr
         if engine.ncfg is not None and cell_grid is None:
-            # Verlet-skin reneighbor check; the rebuild runs replicated on
-            # every device (it amortizes over ~skin/(2 v dt) steps)
-            from ..ops.neighbors import build_neighbor_list, needs_rebuild
+            # Verlet-skin reneighbor check; the binning sort + decode are
+            # replicated (small), but the expensive candidate sweep + row
+            # sort split over the CELL axis: each device selects for its
+            # block of cells and the per-atom rows merge with an
+            # elementwise pmin (rows a device doesn't own stay at the miss
+            # sentinel; tail blocks may overlap via dynamic_slice clamping,
+            # which is harmless — duplicates compute identical rows)
+            from ..ops.cells import bin_atoms
+            from ..ops.neighbors import (_cell_block_keys, _decode_list,
+                                         _nlist_prep, _scatter_rows,
+                                         needs_rebuild)
+
+            def rebuild_sharded(xx):
+                ncfg_n = engine.ncfg
+                table, _cell, ovf0 = bin_atoms(ncfg_n.grid, xx)
+                prep = _nlist_prep(ncfg_n, xx, table, type_idx)
+                c_cells = table.shape[0]
+                cblk_n = -(-c_cells // d)
+                c0 = jnp.minimum(jax.lax.axis_index(axis) * cblk_n,
+                                 c_cells - cblk_n)
+                skey, ovf_b = _cell_block_keys(ncfg_n, xx, prep, c0, cblk_n)
+                sk_l = _scatter_rows(prep, skey, c0, cblk_n,
+                                     n=n, k=ncfg_n.k_max)
+                sk = jax.lax.pmin(sk_l, axis)
+                ovf = ovf0 | (jax.lax.pmax(
+                    ovf_b.astype(jnp.int32), axis) > 0)
+                return _decode_list(ncfg_n, xx, sk, ovf, type_idx,
+                                    engine.tables)
+
             nbr = jax.lax.cond(
                 needs_rebuild(engine.ncfg, nbr, x),
-                lambda xx: build_neighbor_list(engine.ncfg, xx,
-                                               engine.tables, type_idx),
+                rebuild_sharded,
                 lambda xx: nbr,
                 x)
             # sticky overflow flag (see Engine.step): keeps the poisoning
@@ -620,9 +660,17 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             if nevery == 1:
                 q, scalar, kcache = solve()
             else:
-                q, scalar = jax.lax.cond((state.step + 1) % nevery == 0,
-                                         lambda: solve()[:2],
-                                         lambda: (q, scalar))
+                # the skip branch builds the same electrolyte mesh cache the
+                # force path would otherwise redo (see Engine.step)
+                def skip():
+                    kc = None
+                    if conp.pppm_grid is not None:
+                        q_elyte = jnp.where(jnp.asarray(conp.elyte_mask),
+                                            q, 0.0)
+                        kc = sharded_elyte_kcache(x, q_elyte)
+                    return q, scalar, kc
+                q, scalar, kcache = jax.lax.cond(
+                    (state.step + 1) % nevery == 0, solve, skip)
 
         f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l,
                                i0, eidx_l, evalid_l, kcache, nbr)

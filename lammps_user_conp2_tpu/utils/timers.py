@@ -81,26 +81,28 @@ def profile_step(engine, state, *, iters: int = 10, log_path: str | None = None)
     if engine.pppm_grid is not None:
         from ..ops import pppm as pppm_ops
         grid = engine.pppm_grid
-        rho = pppm_ops.spread(grid, x, q)
-        rhok = jax.numpy.fft.rfftn(rho)
-        res["pppm_spread"] = _time_it(
-            jax.jit(lambda x, q: pppm_ops.spread(grid, x, q)), (x, q), iters)
+        # every one-off prep dispatch is jitted too: eager large-N
+        # dispatches on axon can die with bare UNIMPLEMENTED (complex ops,
+        # reshape) at 100k scale
+        spread_j = jax.jit(lambda x, q: pppm_ops.spread(grid, x, q))
+        rho = spread_j(x, q)
+        rhok = jax.jit(jax.numpy.fft.rfftn)(rho)
+        res["pppm_spread"] = _time_it(spread_j, (x, q), iters)
         tiled = not pppm_ops._use_dense(grid, x.shape[0])
         if engine.md.pppm_diff == "ad" or (
                 engine.md.pppm_diff == "auto" and tiled):
             # production ad path: 1 fwd + 1 inv FFT, one-mesh gather
-            res["pppm_fft"] = _time_it(
-                jax.jit(lambda r: pppm_ops.pppm_energy_u_from_k(grid, r)),
-                (rhok,), iters)
-            um = pppm_ops.pppm_energy_u_from_k(grid, rhok)[1]
+            u_from_k_j = jax.jit(
+                lambda r: pppm_ops.pppm_energy_u_from_k(grid, r))
+            res["pppm_fft"] = _time_it(u_from_k_j, (rhok,), iters)
+            um = u_from_k_j(rhok)[1]
             res["pppm_gather"] = _time_it(
                 jax.jit(lambda e, x: pppm_ops.gather3_ad(grid, e, x)),
                 (um, x), iters)
         else:
-            res["pppm_fft"] = _time_it(
-                jax.jit(lambda r: pppm_ops.pppm_energy_efield(grid, r)),
-                (rho,), iters)
-            ef = pppm_ops.pppm_energy_efield(grid, rho)[1]
+            efield_j = jax.jit(lambda r: pppm_ops.pppm_energy_efield(grid, r))
+            res["pppm_fft"] = _time_it(efield_j, (rho,), iters)
+            ef = efield_j(rho)[1]
             res["pppm_gather"] = _time_it(
                 jax.jit(lambda e, x: pppm_ops.gather3(grid, e, x)),
                 (ef, x), iters)

@@ -355,3 +355,31 @@ def test_greens_matches_bruteforce_brillouin():
         got = P.compute_greens(nx, ny, nz, box, g, 5)
         scale = np.abs(want).max()
         assert np.abs(got - want).max() / scale < 1e-14
+
+
+def test_zspan_bottom_stencil_fails_loud(slab_setup):
+    """An atom so far below box_lo that part of its stencil falls below the
+    span ring's coverage (mz < hw - tlz) must set the overflow flag — the
+    overlap-add drops bin 0's lower border, so proceeding would silently
+    lose stencil weight (fail loud, never silent)."""
+    grid, x, q, n = slab_setup
+    geom = P._tile_geometry(grid, x.shape[0])
+    if not geom.z_span:
+        pytest.skip("span mode not engaged at this grid")
+    dz = grid.zprd_grid / grid.nz
+    # just below the coverage limit: mz ~ (hw - tlz) - 2 cells
+    zbad = (geom.hw - geom.tlz - 2) * dz
+    xbad = jnp.asarray(np.asarray(x).copy())
+    xbad = xbad.at[0, 2].set(zbad)
+    asg = P.tile_assign(grid, xbad)
+    assert bool(asg.overflow)
+    # slightly below box_lo (wrap spill) must still be fine
+    xok = jnp.asarray(np.asarray(x).copy()).at[0, 2].set(-0.4 * dz)
+    asg2 = P.tile_assign(grid, xok)
+    assert not bool(asg2.overflow)
+    # and the spill atom's spread must still match the dense path exactly
+    sl = P.refresh_tile_slots(grid, asg2, xok, q)
+    rho_t = P.spread_tiled(grid, xok, q, slots=sl)
+    rho_d, _, _ = _dense_spread(grid, xok, q)
+    np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_d),
+                               atol=5e-13)

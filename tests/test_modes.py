@@ -173,3 +173,32 @@ def test_matfree_mobile_electrodes():
     rmse = float(np.sqrt(np.mean(
         (np.asarray(q0_live[ele]) - np.asarray(q0_ref[ele])) ** 2)))
     assert rmse < 1e-7
+
+
+@pytest.mark.slow
+def test_inv_matches_matfree_production_config():
+    """Engine-level INV == CG_MATFREE on the production configuration
+    (PPPM mesh k-space + Verlet nlist pair path) at a mid-size synthetic
+    capacitor — the configuration tools/bench_large.py runs with INV by
+    default now that the host plane-factored A assembly makes the inverse
+    viable at production K counts."""
+    import dataclasses
+    import jax.numpy as jnp
+    from lammps_user_conp2_tpu.models.md import build_engine
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+    system, md, cfg = workloads.synthetic(n_elyte=2048, nele_side=7,
+                                          lz=48.0, lxy=32.0)
+    md = dataclasses.replace(md, pair_path="nlist",
+                             kspace_style=KSpaceStyle.PPPM)
+    qs = {}
+    for sv in (Solver.INV, Solver.CG_MATFREE):
+        cfgx = dataclasses.replace(cfg, solver=sv, kspace=KSpaceStyle.PPPM,
+                                   cg_tolerance=1e-14, cg_maxiter=500)
+        conp = setup_conp(system, md, cfgx, solve_dtype=jnp.float64)
+        eng = build_engine(system, md, conp, dtype=jnp.float64)
+        st = eng.init_state()
+        st, _ = eng.run(st, 5, thermo_every=0)
+        qs[sv] = np.asarray(st.q)[np.asarray(system.ele_mask)]
+    # the gap is CG-tolerance-limited and compounds over the 5-step
+    # trajectory (charges feed back into forces); observed ~1e-8
+    assert np.abs(qs[Solver.INV] - qs[Solver.CG_MATFREE]).max() < 5e-8

@@ -77,7 +77,7 @@ def cmd_run(args):
         th = {k: np.asarray(v) for k, v in th.items()}
         for i in range(len(th["step"])):
             print(" ".join(f"{float(th[c][i]):.8g}" for c in cols), file=out)
-        if args.steps % nchunk != 0:
+        if nchunk > 0 and args.steps % nchunk != 0:
             # the chained thermo slice only carries multiples of the
             # interval — emit the final state's row too (the reference log
             # always ends on the run's last step)

@@ -141,7 +141,6 @@ class ConpSolver:
             else:
                 u = pppm_ops.poisson_u_from_k(grid, rhok_elyte)
                 b = -pppm_ops.gather(grid, u, xe)
-            kcache = (rhok_elyte, slots)
         elif self.fksp is not None:
             # factorized-Ewald fast path: 8 MXU matmuls instead of O(N*K)
             # transcendentals (ops/ewald_factored.py)

@@ -295,7 +295,7 @@ class Engine:
                 q, scalar, kcache = self.conp.solve_full(
                     x, q, state.step + 1, nbr, self.ncfg,
                     scalar_prev=state.scalar_out, tasg=tasg)
-            else:
+            elif jnp.dtype(self.conp.solve_dtype) == jnp.dtype(self.dtype):
                 # the skip branch still builds the electrolyte mesh cache
                 # (same work the force path would otherwise redo) so BOTH
                 # branches return an identically-shaped kcache and the
@@ -308,6 +308,16 @@ class Engine:
                         scalar_prev=state.scalar_out, tasg=tasg),
                     lambda: (q, scalar,
                              self.conp.elyte_kcache(x, q, tasg)))
+            else:
+                # mixed precision (solve_dtype != engine dtype):
+                # compute_forces would discard a solve-dtype cache anyway —
+                # don't pay the skip branch's spread + FFT twice
+                q, scalar = jax.lax.cond(
+                    (state.step + 1) % nevery == 0,
+                    lambda: self.conp.solve_full(
+                        x, q, state.step + 1, nbr, self.ncfg,
+                        scalar_prev=state.scalar_out, tasg=tasg)[:2],
+                    lambda: (q, scalar))
 
         f, pe = self.compute_forces(x, q, scalar, kcache, nbr, tasg)
         v = itg.kick(v, f)

@@ -129,53 +129,104 @@ def candidate_columns(grid: CellGrid, x):
     return table, cols.reshape(grid.total, 27 * grid.cap), overflow
 
 
-def sweep_cell_blocks(grid: CellGrid, x, q, type_idx, tables: PairTables,
-                      rows_blocks, cols_blocks, *, g_ewald, qqr2e):
-    """The cell-tile pair sweep over pre-blocked (nblk, B, cap)/(nblk, B, m)
-    row/candidate ids.  Returns (evdwl, ecoul, fslots (nblk, B, cap, 3)).
+TYPE_BITS = 5  # id<<TYPE_BITS | type packing (same budget as ops/neighbors.py)
 
-    Shared by the single-device path and the shard_map cell path (each
-    device sweeps its own block slice and psums the scattered forces)."""
+
+def cell_slab_tables(grid: CellGrid, x, q, type_idx):
+    """Slot-ordered per-cell tables for the slab sweep.
+
+    Returns (table, xq (C, cap, 4) = positions + charge, pt (C, cap) int32 =
+    (id << TYPE_BITS) | type, overflow).  Built with ONE (C*cap)-row gather
+    each; the sweep then reads candidates as whole-cell SLABS (27 contiguous
+    (cap, .) blocks per cell) -- ~cap x fewer gather descriptors than the
+    per-atom-id candidate matrix (TPU gathers cost ~per descriptor, not per
+    element)."""
     n = x.shape[0]
     dtype = x.dtype
-    cap = rows_blocks.shape[2]
-    m = cols_blocks.shape[2]
+    table, _cell, overflow = bin_atoms(grid, x)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
+    xqp = jnp.concatenate(
+        [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
+        axis=0)
+    tp = jnp.pad(type_idx, (0, 1)).astype(jnp.int32)     # tp[n] = 0
+    xq = xqp[table]                                      # (C, cap, 4)
+    pt = (table << TYPE_BITS) | tp[table]
+    return table, xq, pt, overflow
 
-    # sentinel-padded per-atom arrays (index n = far-away, q=0)
-    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
-    xp = jnp.concatenate([x, sentinel], axis=0)
-    qp = jnp.pad(q, (0, 1))
-    tp = jnp.pad(type_idx, (0, 1))
+
+def pad_slab_tables(grid: CellGrid, xq, pt, padc: int, n: int):
+    """Pad the cell axis to a block multiple: pad cells are empty (ids n,
+    type 0, sentinel positions) with no unique neighbors, so padded blocks
+    contribute exactly nothing."""
+    nb, uniq = _neighbor_cells(grid)
+    nb_j = jnp.asarray(nb)
+    uq_j = jnp.asarray(uniq)
+    if padc:
+        xq = jnp.pad(xq, ((0, padc), (0, 0), (0, 0)),
+                     constant_values=1e6)
+        pt = jnp.pad(pt, ((0, padc), (0, 0)),
+                     constant_values=np.int32(n << TYPE_BITS))
+        nb_j = jnp.pad(nb_j, ((0, padc), (0, 0)))
+        uq_j = jnp.pad(uq_j, ((0, padc), (0, 0)))  # False: all masked
+    return xq, pt, nb_j, uq_j
+
+
+def sweep_cell_slabs(grid: CellGrid, tables: PairTables, xq, pt,
+                     nb_blocks, uniq_blocks, c0, *, g_ewald, qqr2e, n):
+    """Cell-tile pair sweep, slab formulation: per block of B cells the
+    candidates are the 27 neighbor cells' slot slabs, gathered as whole
+    (cap, .) blocks from the replicated (C, cap, .) tables -- 27 descriptors
+    per cell instead of 27*cap per-atom rows.  Row cells are the contiguous
+    range starting at c0 (each device passes its block offset).
+
+    Returns (evdwl, ecoul, fslots (nblk, B, cap, 3)) with the 0.5 full-list
+    energy factor applied.  Pair semantics identical to the previous
+    id-gather sweep: empty/duplicate candidate slots carry q=0 and type 0
+    (zero coefficients), self pairs masked by id equality, sentinel rows
+    masked by id < n."""
+    dtype = xq.dtype
+    cap = xq.shape[1]
+    B = nb_blocks.shape[1]
     cutsq = grid.cutoff ** 2
+    nt1 = tables.lj1.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    tmask = (1 << TYPE_BITS) - 1
 
     def body(carry, blk):
-        ev, ec = carry
-        rws, cls = blk                           # (B, cap), (B, m)
-        xi = xp[rws]                             # (B, cap, 3)
-        qi = qp[rws]
-        ti = tp[rws]
-        xj = xp[cls]                             # (B, m, 3)
-        qj = qp[cls]
-        tj = tp[cls]
+        ev, ec, kblk = carry
+        nbc, uq = blk                            # (B, 27), (B, 27)
+        row0 = c0 + kblk * B
+        xqi = jax.lax.dynamic_slice_in_dim(xq, row0, B)      # (B, cap, 4)
+        pti = jax.lax.dynamic_slice_in_dim(pt, row0, B)      # (B, cap)
+        xqj = xq[nbc]                            # (B, 27, cap, 4) slab gather
+        ptj = pt[nbc]                            # (B, 27, cap)
+        # duplicate-cell slots -> empty (id n, type 0); the id test then
+        # masks them out of the pair set exactly like the old cols mask
+        ptj = jnp.where(uq[:, :, None], ptj, jnp.int32(n << TYPE_BITS))
+        m = 27 * cap
+        xqj = xqj.reshape(B, m, 4)
+        ptj = ptj.reshape(B, m)
+        idi = pti >> TYPE_BITS
+        idj = ptj >> TYPE_BITS
+        ti = pti & tmask
+        tj = ptj & tmask
         d = []
-        rsq = jnp.zeros((rws.shape[0], cap, m), dtype)
+        rsq = jnp.zeros((B, cap, m), dtype)
         for ax in range(3):
-            da = xi[:, :, None, ax] - xj[:, None, :, ax]   # (B, cap, m)
+            da = xqi[:, :, None, ax] - xqj[:, None, :, ax]   # (B, cap, m)
             if grid.periodic[ax]:
                 L = grid.box[ax]
                 da = da - L * jnp.round(da * (1.0 / L))
             d.append(da)
             rsq = rsq + da * da
-        mask = (rsq < cutsq) & (rws[:, :, None] != cls[:, None, :]) \
-            & (rws[:, :, None] < n)
+        mask = (rsq < cutsq) & (idi[:, :, None] != idj[:, None, :]) \
+            & (idi[:, :, None] < n)
         rsq_safe = jnp.where(mask, rsq, 1.0)
         r2inv = 1.0 / rsq_safe
         r6inv = r2inv * r2inv * r2inv
-        # per-pair LJ coefficients via one-hot batched matmuls — a (B,cap,m)
+        # per-pair LJ coefficients via one-hot batched matmuls -- a (B,cap,m)
         # vector gather would dominate the whole kernel on TPU
-        nt1 = tables.lj1.shape[0]
         ohj = (tj[:, :, None] == jnp.arange(nt1)[None, None, :]).astype(dtype)
-        hp = jax.lax.Precision.HIGHEST
         ein = lambda tab: jnp.einsum("bit,bjt->bij", tab[ti], ohj,
                                      precision=hp)
         l1, l2, l3, l4 = (ein(tables.lj1), ein(tables.lj2),
@@ -187,6 +238,8 @@ def sweep_cell_blocks(grid: CellGrid, x, q, type_idx, tables: PairTables,
         expm2 = jnp.exp(-grij * grij)
         tt = 1.0 / (1.0 + EWALD_P * grij)
         erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
+        qi = xqi[:, :, 3]
+        qj = xqj[:, :, 3]
         pref = qqr2e * qi[:, :, None] * qj[:, None, :] / r
         fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
         ecoul = jnp.where(mask, pref * erfc, 0.0)
@@ -194,11 +247,12 @@ def sweep_cell_blocks(grid: CellGrid, x, q, type_idx, tables: PairTables,
         frow = jnp.stack([jnp.sum(fpair * d[0], axis=2),
                           jnp.sum(fpair * d[1], axis=2),
                           jnp.sum(fpair * d[2], axis=2)], axis=2)  # (B,cap,3)
-        return (ev + 0.5 * jnp.sum(elj), ec + 0.5 * jnp.sum(ecoul)), frow
+        return (ev + 0.5 * jnp.sum(elj), ec + 0.5 * jnp.sum(ecoul),
+                kblk + 1), frow
 
-    (ev, ec), fb = jax.lax.scan(
-        body, (jnp.zeros((), dtype), jnp.zeros((), dtype)),
-        (rows_blocks, cols_blocks))
+    (ev, ec, _), fb = jax.lax.scan(
+        body, (jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.int32(0)),
+        (nb_blocks, uniq_blocks))
     return ev, ec, fb
 
 
@@ -216,19 +270,17 @@ def cell_pair_forces(grid: CellGrid, x, q, type_idx, tables: PairTables,
     it; physics is silently wrong if a cell overflows its capacity)."""
     n = x.shape[0]
     dtype = x.dtype
-    table, cols, overflow = candidate_columns(grid, x)
+    table, xq, pt, overflow = cell_slab_tables(grid, x, q, type_idx)
     C, cap = table.shape
-    m = cols.shape[1]
     nblk = -(-C // cell_block)
     padc = nblk * cell_block - C
-    rows_p = jnp.pad(table, ((0, padc), (0, 0)), constant_values=n)
-    cols_p = jnp.pad(cols, ((0, padc), (0, 0)), constant_values=n)
+    xq_p, pt_p, nb_p, uq_p = pad_slab_tables(grid, xq, pt, padc, n)
 
-    ev, ec, fb = sweep_cell_blocks(
-        grid, x, q, type_idx, tables,
-        rows_p.reshape(nblk, cell_block, cap),
-        cols_p.reshape(nblk, cell_block, m),
-        g_ewald=g_ewald, qqr2e=qqr2e)
+    ev, ec, fb = sweep_cell_slabs(
+        grid, tables, xq_p, pt_p,
+        nb_p.reshape(nblk, cell_block, 27),
+        uq_p.reshape(nblk, cell_block, 27),
+        jnp.int32(0), g_ewald=g_ewald, qqr2e=qqr2e, n=n)
     # scatter per-slot forces back to atom order (each atom owns one slot)
     fslots = fb.reshape(nblk * cell_block * cap, 3)[:C * cap]
     f = jnp.zeros((n + 1, 3), dtype).at[table.reshape(-1)].add(fslots)[:n]

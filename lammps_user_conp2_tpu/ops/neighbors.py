@@ -275,11 +275,15 @@ def nlist_pair_rows(ncfg: NeighborConfig, x, q, xi, qi, idx_rows, lj_rows, *,
     the 0.5 full-list energy factor applied."""
     n = x.shape[0]
     dtype = x.dtype
-    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
-    xp = jnp.concatenate([x, sentinel], axis=0)
-    qp = jnp.pad(q, (0, 1))
-    xj = xp[idx_rows]
-    qj = qp[idx_rows]
+    # packed position+charge gather: one descriptor set, not two (see
+    # nlist_pair_forces)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
+    xqp = jnp.concatenate(
+        [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
+        axis=0)
+    xqj = xqp[idx_rows]
+    xj = xqj[..., :3]
+    qj = xqj[..., 3]
     boxj = jnp.asarray(ncfg.grid.box, dtype)
     d = min_image(xi[:, None, :] - xj, boxj, ncfg.grid.periodic)
     rsq = jnp.sum(d * d, axis=-1)
@@ -312,11 +316,16 @@ def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     n = x.shape[0]
     dtype = x.dtype
     idx = nlist.idx
-    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
-    xp = jnp.concatenate([x, sentinel], axis=0)
-    qp = jnp.pad(q, (0, 1))
-    xj = xp[idx]                                         # (N, K, 3)
-    qj = qp[idx]
+    # ONE packed (N, K)-row gather for positions AND charges — TPU gather
+    # cost scales with descriptor count, so two separate gathers through
+    # the same index matrix pay twice
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
+    xqp = jnp.concatenate(
+        [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
+        axis=0)
+    xqj = xqp[idx]                                       # (N, K, 4)
+    xj = xqj[..., :3]
+    qj = xqj[..., 3]
     boxj = jnp.asarray(ncfg.grid.box, dtype)
     d = min_image(x[:, None, :] - xj, boxj, ncfg.grid.periodic)
     rsq = jnp.sum(d * d, axis=-1)

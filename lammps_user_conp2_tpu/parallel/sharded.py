@@ -212,21 +212,26 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             return f, ev + dev, ec + dec
         if cell_grid is not None:
             from ..ops import cells as cells_ops
-            table, cols, overflow = cells_ops.candidate_columns(cell_grid, x)
+            # replicated slot tables (one (C*cap)-row gather each); each
+            # device then slab-sweeps only its own range of cell blocks
+            table, xq, pt, overflow = cells_ops.cell_slab_tables(
+                cell_grid, x, q, type_idx)
             cap = table.shape[1]
-            mcol = cols.shape[1]
-            rows_p = jnp.pad(table, ((0, _padc), (0, 0)), constant_values=n)
-            cols_p = jnp.pad(cols, ((0, _padc), (0, 0)), constant_values=n)
+            xq_p, pt_p, nb_p, uq_p = cells_ops.pad_slab_tables(
+                cell_grid, xq, pt, _padc, n)
             c0 = jax.lax.axis_index(axis) * (_nblk_loc * _cell_block)
+            nb_l = jax.lax.dynamic_slice_in_dim(
+                nb_p, c0, _nblk_loc * _cell_block)
+            uq_l = jax.lax.dynamic_slice_in_dim(
+                uq_p, c0, _nblk_loc * _cell_block)
             rows_l = jax.lax.dynamic_slice_in_dim(
-                rows_p, c0, _nblk_loc * _cell_block)
-            cols_l = jax.lax.dynamic_slice_in_dim(
-                cols_p, c0, _nblk_loc * _cell_block)
-            ev_l, ec_l, fb_l = cells_ops.sweep_cell_blocks(
-                cell_grid, x, q, type_idx, engine.tables,
-                rows_l.reshape(_nblk_loc, _cell_block, cap),
-                cols_l.reshape(_nblk_loc, _cell_block, mcol),
-                g_ewald=ksp.g_ewald, qqr2e=qqr2e)
+                jnp.pad(table, ((0, _padc), (0, 0)), constant_values=n),
+                c0, _nblk_loc * _cell_block)
+            ev_l, ec_l, fb_l = cells_ops.sweep_cell_slabs(
+                cell_grid, engine.tables, xq_p, pt_p,
+                nb_l.reshape(_nblk_loc, _cell_block, 27),
+                uq_l.reshape(_nblk_loc, _cell_block, 27),
+                c0, g_ewald=ksp.g_ewald, qqr2e=qqr2e, n=n)
             # scatter my cells' slot forces, then psum((N,3)) over devices
             f_l = jnp.zeros((n + 1, 3), x.dtype).at[rows_l.reshape(-1)].add(
                 fb_l.reshape(-1, 3))[:n]

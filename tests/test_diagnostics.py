@@ -204,3 +204,29 @@ def test_pppm_tiled_spread_gather_match_dense():
     val_t = pppm_ops.gather_tiled(g, [brick], x)[0]
     np.testing.assert_allclose(np.asarray(val_t), np.asarray(val_ref),
                                atol=1e-14)
+
+
+def test_capacitance_static_matches_solve_linearity():
+    """tools/capacitance.py's static estimator: dQ_left/dV must equal the
+    finite difference of two actual charge solves at different potentials
+    (the update rule q = A^-1 b + dV elesetq is linear in dV,
+    fix_conp.cpp:1153-1158)."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    from tools.capacitance import static_capacitance
+    from lammps_user_conp2_tpu import workloads
+    from lammps_user_conp2_tpu.models.conp import setup_conp
+
+    system, md, cfg = workloads.dilute(0)
+    left = np.asarray(system.elecheck[system.ele_mask]) == 1
+    x0 = jnp.asarray(system.x0)
+    q0 = jnp.asarray(system.q0)
+    qs = {}
+    for dv in (1.0, 3.0):
+        s = setup_conp(system, md, dataclasses.replace(cfg, target=dv))
+        qn, _ = s.solve(x0, q0, 0)
+        qs[dv] = np.asarray(qn)[np.asarray(system.ele_mask)][left].sum()
+        c_static = static_capacitance(s)
+    dq_dv = (qs[3.0] - qs[1.0]) / 2.0
+    np.testing.assert_allclose(dq_dv, c_static, rtol=1e-8)

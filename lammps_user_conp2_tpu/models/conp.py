@@ -618,8 +618,13 @@ def _setup_conp_f64(
     ele_zplanes = ele_zpinv = None
     if pppm_grid is not None and not cfg.mobile_electrodes:
         from ..ops import pppm as pppm_ops
-        ele_zplanes = pppm_ops.electrode_zplanes(pppm_grid, x0[ele_idx])
-        ele_zpinv = pppm_ops.zplane_inverse(pppm_grid, ele_zplanes)
+        zp = pppm_ops.electrode_zplanes(pppm_grid, x0[ele_idx])
+        # the z-plane transform does P plane FFTs + a (nzh, P) z-DFT; for a
+        # z-extended (rough) electrode occupying a large fraction of the
+        # mesh the full inverse FFT is cheaper — gate on the plane count
+        if len(zp) <= max(pppm_grid.nz // 4, 16):
+            ele_zplanes = zp
+            ele_zpinv = pppm_ops.zplane_inverse(pppm_grid, ele_zplanes)
 
     return ConpSolver(
         cfg=cfg, ksp=ksp, kernels=kernels, ctx=ctx, fksp=fksp,

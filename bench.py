@@ -140,7 +140,10 @@ def main():
             result["il_twolayer_error"] = repr(e)[:200]
 
     if os.environ.get("BENCH_SKIP_LARGE") != "1":
-        _bench_large_subprocess(result)
+        # give the 100k section whatever remains of a ~30 min overall
+        # envelope (its first uncached compile is ~10 min; cached, seconds)
+        budget = max(300, int(1800 - (time.time() - t_start)))
+        _bench_large_subprocess(result, budget_s=budget)
 
     result["bench_wall_s"] = round(time.time() - t_start, 1)
     import jax

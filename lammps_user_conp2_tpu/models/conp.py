@@ -497,6 +497,9 @@ def _setup_conp_f64(
             slabflag=slabflag,
             slab_volfactor=slab_volfactor if slabflag else 1.0,
             g_ewald=g_ewald)
+        # occupancy-measured tile slot capacity (cap multiplies every tile
+        # matmul's flops; the density formula over-sizes ~2.7x at 100k)
+        pppm_grid = pppm_ops.with_tile_cap(pppm_grid, x0)
 
     kernels = make_kernels(cfg, system)
     cut_coulsq = min(md.cutoff ** 2, (ERFC_MAX / g_ewald) ** 2)

@@ -445,6 +445,28 @@ class Engine:
                                dataclasses.replace(g, cap=2 * g.cap))
         self._run_cache.clear()
 
+    def _mesh_tiled(self) -> bool:
+        from ..ops import pppm as pppm_ops
+        return (self.pppm_grid is not None
+                and not pppm_ops._use_dense(self.pppm_grid,
+                                            self.system.natoms))
+
+    def _grow_tile_capacity(self) -> None:
+        """Grow the mesh tile slot capacity after an occupancy overflow.
+        The tiled spread/gather NaN-poisons on overflow (TileSlots.overflow)
+        but no sticky flag reaches the state, so run() retries bounded on
+        any NaN without a neighbor overflow — a genuine physics NaN just
+        re-fails and exits after the bounded retries."""
+        from ..ops import pppm as pppm_ops
+        g = self.pppm_grid
+        geom = pppm_ops._tile_geometry(g, self.system.natoms)
+        g2 = dataclasses.replace(
+            g, tile_cap=min(2 * geom.cap, self.system.natoms + 1))
+        object.__setattr__(self, "pppm_grid", g2)
+        if self.conp is not None and self.conp.pppm_grid is not None:
+            object.__setattr__(self.conp, "pppm_grid", g2)
+        self._run_cache.clear()
+
     def run(self, state: MDState, nsteps: int, *, thermo_every: int = 1):
         """jit + lax.scan main loop; returns (final_state, thermo pytree).
 
@@ -460,14 +482,24 @@ class Engine:
             return go(st)
 
         final, th = execute(state)
-        if self.ncfg is not None and state.nbr is not None:
-            for _ in range(3):
-                if np.isfinite(float(final.energy)) or \
-                        not bool(final.nbr.overflow):
-                    break
+        for _ in range(3):
+            if np.isfinite(float(final.energy)):
+                break
+            if self.ncfg is not None and state.nbr is not None and \
+                    bool(final.nbr.overflow):
                 self._grow_neighbor_capacity()
-                state = self._heal_state(state)
-                final, th = execute(state)
+            elif self._mesh_tiled() or self.cell_grid is not None:
+                # no sticky flag distinguishes mesh-tile from cell-table
+                # overflow (or a genuine physics NaN) — grow whichever
+                # capacities are in play, bounded by the retry count
+                if self._mesh_tiled():
+                    self._grow_tile_capacity()
+                if self.cell_grid is not None:
+                    self._grow_neighbor_capacity()
+            else:
+                break
+            state = self._heal_state(state)
+            final, th = execute(state)
         if thermo_every > 1:
             th = jax.tree.map(lambda a: a[thermo_every - 1::thermo_every], th)
         return final, th
@@ -559,6 +591,8 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
             slabflag=md.slab is not None,
             slab_volfactor=md.slab if md.slab is not None else 1.0,
             g_ewald=ksp.g_ewald)
+        # occupancy-measured tile slot capacity (see setup_conp)
+        pppm_grid = pppm_ops.with_tile_cap(pppm_grid, system.x0)
 
     cell_grid = None
     ncfg = None

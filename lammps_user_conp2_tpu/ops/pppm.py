@@ -168,6 +168,10 @@ class PPPMGrid:
     coeffs: np.ndarray       # (order, order) B-spline polynomials
     lammps_grid: tuple       # grid LAMMPS would print (parity diagnostics)
     est_accuracy: float
+    tile_cap: int = None     # per-tile slot capacity override for the tiled
+                             # spread/gather (None = density formula).  Set
+                             # from the actual occupancy at x0 (+headroom) by
+                             # with_tile_cap; Engine.run grows it on overflow
 
     @property
     def shape(self):
@@ -496,6 +500,12 @@ def _tile_geometry(grid: PPPMGrid, natoms: int) -> TileGeom:
     occ_bins = max(1, nz_occ // tlz) if ntz > 1 else 1
     cap = int(math.ceil(natoms / (ntx * nty * occ_bins)
                         * (1.8 if ntz == 1 else 2.5))) + 32
+    if grid.tile_cap is not None:
+        # occupancy-measured override (with_tile_cap): the density formula's
+        # 2.5x inhomogeneity safety over-sizes real systems ~2.7x, and cap
+        # multiplies every tile matmul's flops (100k step: gather3 37.5 ->
+        # 21.2 ms from this alone)
+        cap = int(grid.tile_cap)
     cap = min(cap, natoms + 1)
     return TileGeom(p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap,
                     z_span, dm)
@@ -536,14 +546,9 @@ class TileAssign(NamedTuple):
     overflow: jnp.ndarray  # () bool — capacity overflow at build time
 
 
-def tile_assign(grid: PPPMGrid, x) -> TileAssign:
-    """Bin atoms by 3-D mesh tile: ONE packed-key int32 sort (atom index in
-    the low bits — the fast TPU selection pattern), rank-in-segment by
-    cummax, two scatters.  ~19 ms at 100k atoms on a v5e — amortize it by
-    refreshing only the payload per step (refresh_tile_slots) and
-    rebuilding the assignment on reneighbor events."""
-    n = x.shape[0]
-    geom = _tile_geometry(grid, n)
+def _tile_ids(grid: PPPMGrid, geom: TileGeom, x):
+    """Per-atom tile index (and z out-of-ring flag) — the binning shared by
+    tile_assign and tile_occupancy."""
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
     _, _, _, (cx, cy, cz), mz = _stencil_full(grid, x)
     if z_span:
@@ -563,6 +568,44 @@ def tile_assign(grid: PPPMGrid, x) -> TileAssign:
         zt = cz // tlz
         zoob = jnp.zeros_like(zt, bool)
     tid = ((cx // tlx) * nty + (cy // tly)) * ntz + zt
+    return tid, zoob
+
+
+def tile_occupancy(grid: PPPMGrid, x) -> int:
+    """Max atoms in any mesh tile at positions x (host-returned int)."""
+    x = jnp.asarray(x)
+    geom = _tile_geometry(grid, x.shape[0])
+
+    def f(xx):
+        tid, _ = _tile_ids(grid, geom, xx)
+        return jnp.max(jnp.zeros((geom.t_tiles,), jnp.int32).at[tid].add(1))
+
+    return int(jax.jit(f)(x))
+
+
+def with_tile_cap(grid: PPPMGrid, x0, *, headroom=1.25) -> PPPMGrid:
+    """Bake an occupancy-measured tile slot capacity into the grid: the
+    density formula's 2.5x inhomogeneity safety over-sizes real conp systems
+    ~2.7x, and cap multiplies every tile matmul's flops.  +25% headroom
+    (lane-rounded) covers density drift between reneighbor events;
+    Engine.run's grow-and-retry recovery is the backstop beyond that."""
+    if _use_dense(grid, len(x0)) or grid.tile_cap is not None:
+        return grid
+    occ = tile_occupancy(grid, x0)
+    cap = int(math.ceil(max(occ, 8) * headroom / 8.0) * 8)
+    return dataclasses.replace(grid, tile_cap=min(cap, len(x0) + 1))
+
+
+def tile_assign(grid: PPPMGrid, x) -> TileAssign:
+    """Bin atoms by 3-D mesh tile: ONE packed-key int32 sort (atom index in
+    the low bits — the fast TPU selection pattern), rank-in-segment by
+    cummax, two scatters.  ~19 ms at 100k atoms on a v5e — amortize it by
+    refreshing only the payload per step (refresh_tile_slots) and
+    rebuilding the assignment on reneighbor events."""
+    n = x.shape[0]
+    geom = _tile_geometry(grid, n)
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    tid, zoob = _tile_ids(grid, geom, x)
     shift = max(1, int(n - 1).bit_length()) if n > 1 else 1
     if t_tiles << shift < 2 ** 31:
         # single int32 sort with the atom index packed into the key bits —
@@ -679,6 +722,19 @@ def _local_weight_mats(lxs, lys, lzs, dxs, cf, *, ex, ey, ez, dtype):
     cap = lxs.shape[0]
     wxy = (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey)
     return wxy, wzd
+
+
+def _local_weight_mats_T(lxs, lys, lzs, dxs, cf, *, ex, ey, ez, dtype):
+    """Transposed layout: (ex*ey, cap) xy and (ez, cap) z weight matrices —
+    the tile matmuls then put the long cap axis on the 128 MXU lanes
+    (tools/exp_gather3.py: ez ~ 38 on production meshes wastes ~70% of the
+    lanes in the untransposed layout)."""
+    wxl = _axis_onehot(lxs, _horner_w(dxs[:, 0], cf), e=ex)
+    wyl = _axis_onehot(lys, _horner_w(dxs[:, 1], cf), e=ey)
+    wzd = _axis_onehot(lzs, _horner_w(dxs[:, 2], cf), e=ez)
+    cap = lxs.shape[0]
+    wxyT = (wxl.T[:, None, :] * wyl.T[None, :, :]).reshape(ex * ey, cap)
+    return wxyT, wzd.T
 
 
 def _merge_axis(pt, bin_ax: int, ext_ax: int, til: int, hw: int,
@@ -806,15 +862,17 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
         txi = t // (nty * ntz)
         tyi = (t // ntz) % nty
         tzi = t % ntz
-        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, dxl, cf,
-                                      ex=ex, ey=ey, ez=ez, dtype=dtype)
+        wxyT, wzdT = _local_weight_mats_T(lxl, lyl, lzl, dxl, cf,
+                                          ex=ex, ey=ey, ez=ez, dtype=dtype)
         zero = jnp.zeros((), t.dtype)
         patch = jax.lax.dynamic_slice(
             bp, (zero, txi * tlx, tyi * tly, tzi * tlz), (nb, ex, ey, ez))
-        pm = patch.transpose(1, 2, 0, 3).reshape(ex * ey, nb * ez)
-        t1 = jnp.matmul(wxy, pm,
-                        precision=jax.lax.Precision.HIGHEST)   # (cap, B*ez)
-        return jnp.sum(t1.reshape(-1, nb, ez) * wzd[:, None, :], axis=2)
+        # transposed: lanes carry cap, not nb*ez (~38 on production meshes)
+        pm = patch.transpose(3, 0, 1, 2).reshape(ez * nb, ex * ey)
+        t1 = jnp.matmul(pm, wxyT,
+                        precision=jax.lax.Precision.HIGHEST)  # (ez*nb, cap)
+        return jnp.sum(t1.reshape(ez, nb, cap) * wzdT[:, None, :],
+                       axis=0).transpose(1, 0)                 # (cap, nb)
 
     # scan over x-tile rows, vmap across y/z-tiles (as in spread_tiled)
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
@@ -882,20 +940,21 @@ def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
         dwxl = _axis_onehot(lxl, _horner_dw(dxl[:, 0], cf), e=ex)
         dwyl = _axis_onehot(lyl, _horner_dw(dxl[:, 1], cf), e=ey)
         dwzd = _axis_onehot(lzl, _horner_dw(dxl[:, 2], cf), e=ez)
-        wxy3 = jnp.stack([
-            (dwxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey),
-            (wxl[:, :, None] * dwyl[:, None, :]).reshape(cap, ex * ey),
-            (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey),
-        ]).reshape(3 * cap, ex * ey)
+        # transposed layout (exy, 3cap): the long 3cap axis rides the 128
+        # MXU lanes instead of ez (~38 at production meshes -> ~30% lane
+        # utilization); measured 37.5 -> 16.0 ms at the 100k geometry
+        # together with the occupancy cap (tools/exp_gather3.py)
+        wxy3 = jnp.concatenate([
+            (dwxl.T[:, None, :] * wyl.T[None, :, :]).reshape(ex * ey, cap),
+            (wxl.T[:, None, :] * dwyl.T[None, :, :]).reshape(ex * ey, cap),
+            (wxl.T[:, None, :] * wyl.T[None, :, :]).reshape(ex * ey, cap),
+        ], axis=1)
         patch = jax.lax.dynamic_slice(
             up, (txi * tlx, tyi * tly, tzi * tlz), (ex, ey, ez))
-        t1 = jnp.matmul(wxy3, patch.reshape(ex * ey, ez),
-                        precision=jax.lax.Precision.HIGHEST)
-        t1 = t1.reshape(3, cap, ez)
-        gx = jnp.sum(t1[0] * wzd, axis=1)
-        gy = jnp.sum(t1[1] * wzd, axis=1)
-        gz = jnp.sum(t1[2] * dwzd, axis=1)
-        return jnp.stack([gx, gy, gz], axis=1)
+        t1 = jnp.matmul(patch.reshape(ex * ey, ez).T, wxy3,
+                        precision=jax.lax.Precision.HIGHEST)   # (ez, 3cap)
+        wz3 = jnp.concatenate([wzd.T, wzd.T, dwzd.T], axis=1)
+        return jnp.sum(t1 * wz3, axis=0).reshape(3, cap).T
 
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
                for a in (jnp.arange(t_tiles, dtype=jnp.int32),

@@ -70,6 +70,48 @@ def test_persistent_trajectory_matches_per_step_binning(tiled_engines):
 
 
 @pytest.mark.slow
+def test_tile_overflow_recovery_grows_capacity():
+    """An undersized mesh tile capacity NaN-poisons the step (fail-loud,
+    TileSlots.overflow); Engine.run retries with a grown tile_cap — no
+    sticky mesh flag reaches the state, so the retry is blind but bounded —
+    and completes with physics identical to a correctly-sized engine.
+    Companion to tests/test_neighbors.py::test_overflow_recovery_grows_
+    capacity (LAMMPS neighbor-page reallocation, SURVEY.md 2.3-1)."""
+    old = pppm_ops._use_dense
+    pppm_ops._use_dense = lambda grid, n: False
+    try:
+        system, md, cfg = workloads.synthetic(n_elyte=320, nele_side=6,
+                                              lz=40.0, lxy=16.0)
+        cfg = dataclasses.replace(cfg, solver=Solver.CG_MATFREE,
+                                  kspace=KSpaceStyle.PPPM)
+        md = dataclasses.replace(md, pair_path="nlist",
+                                 kspace_style=KSpaceStyle.PPPM)
+        conp_ok = setup_conp(system, md, cfg)
+        eng_ok = build_engine(system, md, conp_ok)
+        conp_bad = setup_conp(system, md, cfg)
+        eng_bad = build_engine(system, md, conp_bad)
+        occ = pppm_ops.tile_occupancy(
+            dataclasses.replace(eng_bad.pppm_grid, tile_cap=None),
+            system.x0)
+        bad = dataclasses.replace(eng_bad.pppm_grid,
+                                  tile_cap=max(1, occ // 2))
+        object.__setattr__(eng_bad, "pppm_grid", bad)
+        object.__setattr__(conp_bad, "pppm_grid", bad)
+        st_bad = eng_bad.init_state()
+        assert not np.isfinite(float(st_bad.energy))
+        f_bad, _ = eng_bad.run(st_bad, 3)
+        f_ok, _ = eng_ok.run(eng_ok.init_state(), 3)
+        assert eng_bad.pppm_grid.tile_cap > bad.tile_cap
+        assert np.isfinite(float(f_bad.energy))
+        np.testing.assert_allclose(np.asarray(f_bad.x), np.asarray(f_ok.x),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(f_bad.q), np.asarray(f_ok.q),
+                                   atol=1e-10)
+    finally:
+        pppm_ops._use_dense = old
+
+
+@pytest.mark.slow
 def test_persistent_assignment_actually_rebuilds(tiled_engines):
     """The carried assignment changes at a reneighbor event (the lax.cond
     rebuild branch is exercised, not just the identity path).  Force the

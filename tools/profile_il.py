@@ -20,7 +20,11 @@ from lammps_user_conp2_tpu.models.conp import setup_conp
 from lammps_user_conp2_tpu.models.md import build_engine
 
 
-def chain_ms(fn, x0, iters=50, trials=3):
+CHAIN_ITERS = int(os.environ.get('PROFILE_ITERS', '1000'))
+
+
+def chain_ms(fn, x0, iters=None, trials=3):
+    iters = CHAIN_ITERS if iters is None else iters
     run = jax.jit(lambda s: jax.lax.fori_loop(0, iters, lambda i, t: fn(t), s))
     s = jax.block_until_ready(run(x0))
     best = float("inf")
@@ -42,7 +46,7 @@ def main():
           "pppm", eng.pppm_grid is not None, "fksp", eng.fksp is not None)
 
     # full step
-    ms = chain_ms(eng.step, st, iters=50)
+    ms = chain_ms(eng.step, st)
     print(f"full step           : {ms:8.3f} ms  ({1e3/ms:.1f} steps/s)")
 
     x, q = st.x, st.q

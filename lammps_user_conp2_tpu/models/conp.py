@@ -82,8 +82,21 @@ class ConpSolver:
         Also called by engine steps that SKIP the charge solve (nevery > 1)
         so the force path's mesh-reuse invariant (pppm_conp.cpp:428-450)
         holds on EVERY step, not just solve steps — and so both lax.cond
-        branches return an identically-shaped cache."""
+        branches return an identically-shaped cache.
+
+        In factored-Ewald mode the cache is (axis_tables, Sr_elyte,
+        Si_elyte) — the per-step transcendental tables plus the electrolyte
+        structure factor, shared with the force path the same way."""
         if self.pppm_grid is None:
+            if self._ewald_cacheable():
+                from ..ops import ewald_factored as ewf
+                dt = self.solve_dtype
+                x = x.astype(dt)
+                q = q.astype(dt)
+                q_elyte = jnp.where(jnp.asarray(self.elyte_mask), q, 0.0)
+                tabs = ewf.axis_tables(self.fksp, x)
+                sr, si = ewf.structure_factor_tab(tabs, q_elyte)
+                return (tabs, sr, si)
             return None
         from ..ops import pppm as pppm_ops
         dt = self.solve_dtype
@@ -99,6 +112,14 @@ class ConpSolver:
         rhok_elyte = jnp.fft.rfftn(
             pppm_ops.spread(grid, x, q_elyte, slots=slots))
         return (rhok_elyte, slots)
+
+    def _ewald_cacheable(self) -> bool:
+        """Whether the factored-Ewald per-step table cache applies: above
+        KXY_CHUNK the full tables are deliberately never materialized
+        (chunked scan), so there is nothing to share."""
+        from ..ops import ewald_factored as ewf
+        return (self.fksp is not None
+                and self.fksp.nxy <= ewf.KXY_CHUNK)
 
     def b_vector_full(self, x, q, nbr=None, ncfg=None, tasg=None):
         """Assemble b for the current electrolyte configuration.
@@ -145,8 +166,20 @@ class ConpSolver:
             # factorized-Ewald fast path: 8 MXU matmuls instead of O(N*K)
             # transcendentals (ops/ewald_factored.py)
             from ..ops import ewald_factored as ewf
-            sr, si = ewf.structure_factor_f(self.fksp, x, q_elyte)
-            b = -ewf.potential_on_points_f(self.fksp, xe, sr, si)
+            if self._ewald_cacheable():
+                # build the per-step tables ONCE for all atoms; the
+                # electrode readout slices rows, and (tabs, S_elyte) are
+                # returned for the force-path reuse invariant
+                kcache = self.elyte_kcache(x, q)
+                tabs, sr, si = kcache
+                eix = jnp.asarray(self.ele_idx)
+                (pr, pi), (zr, zi) = tabs
+                tabs_e = ((pr[eix], pi[eix]), (zr[eix], zi[eix]))
+                b = -ewf.potential_on_points_tab(tabs_e, sr, si,
+                                                 self.fksp.ug)
+            else:
+                sr, si = ewf.structure_factor_f(self.fksp, x, q_elyte)
+                b = -ewf.potential_on_points_f(self.fksp, xe, sr, si)
         else:
             kvecs = jnp.asarray(self.ksp.kvecs, dt)
             ug = jnp.asarray(self.ksp.ug, dt)

@@ -173,7 +173,18 @@ class Engine:
             ek = ek * u.qqr2e
         elif self.fksp is not None:
             from ..ops import ewald_factored as ewf
-            ek, fk = ewf.energy_forces_f(self.fksp, x, q)
+            ew_cache = None
+            if kcache is not None and self.conp is not None:
+                tabs, sre, sie = kcache
+                # the cache must have been built in THIS dtype at these
+                # positions (a mixed-precision solve caches its own dtype)
+                if tabs[0][0].dtype == x.dtype:
+                    ew_cache = (tabs, sre, sie)
+            if ew_cache is not None:
+                ek, fk = ewf.energy_forces_cached(
+                    self.fksp, q, *ew_cache, jnp.asarray(self.conp.ele_idx))
+            else:
+                ek, fk = ewf.energy_forces_f(self.fksp, x, q)
             ek = ek * u.qqr2e
             fk = fk * u.qqr2e
         else:

@@ -228,6 +228,75 @@ def potential_on_points_fkv(xe, sr, si, kxy, kz, unitk, ug):
     return jnp.sum(per * tr + pei * ti, axis=1)
 
 
+def structure_factor_tab(tabs, q):
+    """S(kxy, kz) from precomputed axis tables (4 matmuls, no table build).
+
+    The per-step reuse path: the charge solve's b-vector and the force
+    evaluation run at the SAME positions, so the transcendental-heavy phase
+    tables are built once per step and shared (the Ewald analogue of the
+    pppm rhok_elyte reuse invariant, pppm_conp.cpp:428-450)."""
+    (pr, pi), (zr, zi) = tabs
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    qzr = q[:, None] * zr
+    qzi = q[:, None] * zi
+    sr = mm(pr.T, qzr) - mm(pi.T, qzi)
+    si = mm(pr.T, qzi) + mm(pi.T, qzr)
+    return sr, si
+
+
+def potential_on_points_tab(tabs_pts, sr, si, ug):
+    """b-vector readout from precomputed POINT tables (rows of the full
+    per-step tables sliced at the electrode indices)."""
+    (per, pei), (zer, zei) = tabs_pts
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    ug = jnp.asarray(ug, per.dtype)
+    mr = 2.0 * ug * sr
+    mi = 2.0 * ug * si
+    tr = mm(zer, mr.T) + mm(zei, mi.T)
+    ti = -mm(zei, mr.T) + mm(zer, mi.T)
+    return jnp.sum(per * tr + pei * ti, axis=1)
+
+
+def energy_forces_cached(fk: FactoredKSpace, q, tabs, sr_elyte, si_elyte,
+                         ele_idx):
+    """(energy, forces) with the per-step caches from the charge solve:
+    ``tabs`` are the full-atom axis tables and (sr_elyte, si_elyte) the
+    electrolyte structure factor, both computed at the same positions.
+    Only the ELECTRODE rows contribute new structure factor (the solve
+    changed only electrode charges), so S_all = S_elyte + S_ele costs
+    4 matmuls over Ne rows instead of N."""
+    (pr, pi), (zr, zi) = tabs
+    dtype = pr.dtype
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    per, pei = pr[ele_idx], pi[ele_idx]
+    zer, zei = zr[ele_idx], zi[ele_idx]
+    qe = q[ele_idx]
+    qzr = qe[:, None] * zer
+    qzi = qe[:, None] * zei
+    sr = sr_elyte + mm(per.T, qzr) - mm(pei.T, qzi)
+    si = si_elyte + mm(per.T, qzi) + mm(pei.T, qzr)
+
+    ug = jnp.asarray(fk.ug, dtype)
+    e = jnp.sum(ug * (sr * sr + si * si))
+    wr = ug * sr
+    wi = -ug * si
+    gr = mm(zr, wr.T) - mm(zi, wi.T)    # (N, nxy)
+    gi = mm(zr, wi.T) + mm(zi, wr.T)
+    ux, uy, uz = fk.unitk
+    kzv = jnp.asarray(fk.kz, dtype) * uz
+    gzr = mm(zr, (wr * kzv).T) - mm(zi, (wi * kzv).T)
+    gzi = mm(zr, (wi * kzv).T) + mm(zi, (wr * kzv).T)
+    im_pg = pr * gi + pi * gr
+    im_pgz = pr * gzi + pi * gzr
+    kxv = jnp.asarray(fk.kxy[:, 0], dtype) * ux
+    kyv = jnp.asarray(fk.kxy[:, 1], dtype) * uy
+    fx = mm(im_pg, kxv)
+    fy = mm(im_pg, kyv)
+    fz = jnp.sum(im_pgz, axis=1)
+    f = 2.0 * q[:, None] * jnp.stack([fx, fy, fz], axis=1)
+    return e, f
+
+
 def energy_forces_f(fk: FactoredKSpace, x, q):
     """(energy, forces) without qqr2e prefactor — plain Ewald k-space."""
     return energy_forces_fkv(x, q, fk.kxy, fk.kz, fk.unitk, fk.ug)

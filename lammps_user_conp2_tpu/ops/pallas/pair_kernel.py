@@ -16,24 +16,35 @@ written to a per-(jp, col-block) side buffer reduced outside the kernel).
 The diagonal tile (jp=0) contains both orderings of its pairs already, so
 its column output is zero and its energies carry a 0.5 factor.
 
-z-bounded tile skipping: electrochemical cells are z-extended slabs (the
+z-bounded tile compaction: electrochemical cells are z-extended slabs (the
 reference's decks have lz >> cutoff), so most tile pairs are provably out
 of range once atoms are ordered by z.  Per call the atoms are argsorted by
-(wrapped) z, per-tile [zmin, zmax] bounds are computed, and a small SMEM
-mask marks the tile pairs whose minimum-image z gap exceeds the cutoff;
-the kernel skips their pair chain under ``pl.when``.  This is EXACT (the
-bounds come from the same positions the kernel sees — no skin, no drift
-window) and costs one (N,) sort plus (N,)-row gathers per call.
+(wrapped) z, per-tile [zmin, zmax] bounds are computed, and the tile pairs
+whose minimum-image z gap is within the cutoff are COMPACTED into a 1-D
+grid whose (row, col) tile indices are scalar-prefetched from SMEM
+(PrefetchScalarGridSpec) — out-of-range tile pairs never get a grid step,
+so they cost neither DMA nor compute.  This is EXACT (the bounds come from
+the same positions the kernel sees — no skin, no drift window) and costs
+one (N,) sort plus (N,)-row gathers per call.  The compacted list is
+i-major so each row's output block stays resident across its visits (the
+accumulation contract); entries beyond the live count replay the last
+active (i, jc) with all flags clear, so they are resident no-ops (no DMA,
+no compute — only the grid-step overhead).  The static capacity
+``pair_cap`` defaults to the full tile-pair count, which never overflows
+and measures within ~2% of a tight cap at the N this kernel serves (the
+cell/nlist paths take over at large N); a caller passing a tighter cap
+gets NaN-poisoned forces if the live count ever exceeds it (the same
+fail-loud contract as the neighbor list).
 
 Special-bond exclusions are handled OUTSIDE the kernel: the kernel computes
 the uniform si=1 sweep, and the (few thousand) excluded pairs get a flat
 correction pass (exact algebraic difference).  This keeps the kernel free of
 per-pair gathers.
 
-The kernel assumes row/col padding to the tile sizes with q=0, x placed at
-a far-away sentinel (> cutoff from everything) for pad atoms.  Pad-pad
-pairs sit at zero distance and generate inf/nan — only into pad rows/cols,
-which are sliced away before any reduction.
+Rows/cols are padded to the tile sizes; pad atoms (sorted-order index >= n)
+are masked out of ``inrange`` inside the kernel, so they contribute exactly
+zero everywhere (a pad-pad pair sits at zero distance and would otherwise
+inject inf/nan that the column segment-sum matmul spreads to real rows).
 """
 
 from __future__ import annotations
@@ -52,15 +63,16 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
                       -1.453152027, 1.061405429)
 
 
-def _kernel(act_ref, xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
-            f_ref, fcols_ref, ev_ref, ec_ref, *, box, periodic, cutsq,
-            g_ewald, qqr2e, tr, tc, ni):
-    i = pl.program_id(0)
-    jp = pl.program_id(1)
-    diag = (jp == 0)
-    active = diag | (act_ref[i, jp] != 0)
+def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
+            qc_ref, ohc_ref, f_ref, fcols_ref, ev_ref, ec_ref, *, box,
+            periodic, cutsq, g_ewald, qqr2e, tr, tc, npts):
+    p = pl.program_id(0)
+    m = meta_ref[p]
+    active = (m & 1) != 0
+    diag = (m & 2) != 0
+    first = (m & 4) != 0
 
-    @pl.when(diag)
+    @pl.when(first)
     def _():
         f_ref[:] = jnp.zeros_like(f_ref)
         ev_ref[:] = jnp.zeros_like(ev_ref)
@@ -68,8 +80,8 @@ def _kernel(act_ref, xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
 
     @pl.when(jnp.logical_not(active))
     def _():
-        # this (jp, col) side-buffer block is visited exactly once — it must
-        # be zeroed when the pair chain is skipped
+        # this side-buffer block is visited exactly once — it must be
+        # zeroed when the pair chain is skipped (tail pad entries)
         fcols_ref[:] = jnp.zeros_like(fcols_ref)
 
     @pl.when(active)
@@ -90,12 +102,15 @@ def _kernel(act_ref, xr_ref, qr_ref, cr_ref, xc_ref, qc_ref, ohc_ref,
             d.append(da)
             rsq = rsq + da * da
 
-        jc = (i + jp) % ni
-        i0 = i * tr
-        j0 = jc * tc
+        i0 = il_ref[p] * tr
+        j0 = jc_ref[p] * tc
         rows = i0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 0)
         cols = j0 + jax.lax.broadcasted_iota(jnp.int32, (tr, tc), 1)
-        inrange = (rsq < cutsq) & (rows != cols)
+        # pad atoms (global index >= n) are excluded here, at the source:
+        # pad-pad pairs sit at zero distance and would otherwise inject
+        # inf/nan that the column segment-sum matmul spreads to real rows
+        inrange = ((rsq < cutsq) & (rows != cols)
+                   & (rows < npts) & (cols < npts))
 
         rsq_safe = jnp.where(inrange, rsq, 1.0)
         # one rsqrt serves every r power: r2inv, r (no div, no sqrt)
@@ -178,10 +193,39 @@ def _tile_mask(zkey, n, ni, tr, njp, cutoff, lz, zperiodic):
 _PAD_KEY = 1e9
 
 
+def _compact_pairs(act, ni, njp, cap):
+    """Compact the (ni, njp) active-tile mask into i-major (il, jc, meta)
+    lists of static length ``cap``.  meta bits: 1=active, 2=diagonal,
+    4=first visit of this row tile.  Tail pads replay the last active
+    entry with all bits clear (windows stay resident, nothing is written).
+    Returns (il, jc, meta, count)."""
+    flat = act.reshape(-1)                          # i-major: idx = i*njp+jp
+    order = jnp.argsort(1 - flat, stable=True)      # actives first, in order
+    count = jnp.sum(flat)
+    idx = order[:cap]
+    valid = jnp.arange(cap) < count
+    last = order[jnp.maximum(count - 1, 0)]
+    idx = jnp.where(valid, idx, last)
+    il = (idx // njp).astype(jnp.int32)
+    jp = (idx % njp).astype(jnp.int32)
+    jc = ((il + jp) % ni).astype(jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), il[1:] != il[:-1]]) & valid
+    meta = (valid.astype(jnp.int32)
+            | ((jp == 0).astype(jnp.int32) << 1)
+            | (first.astype(jnp.int32) << 2))
+    return il, jc, meta, count
+
+
 def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
-                       cutoff, g_ewald, qqr2e, tr=256, tc=256,
+                       cutoff, g_ewald, qqr2e, tr=256, tc=256, pair_cap=None,
                        interpret=False):
-    """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values)."""
+    """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values).
+
+    ``pair_cap`` bounds the compacted active-tile-pair grid; None means the
+    full tile-pair count (always sufficient).  A tighter cap (engines derive
+    one from the build-time geometry) shrinks the grid; if the live count
+    ever exceeds it the forces come back NaN-poisoned (host-side regrow)."""
     assert tr == tc, "Newton round-robin tiling requires square tiles"
     n = x.shape[0]
     dtype = x.dtype
@@ -221,78 +265,94 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     njp = (ni + 1) // 2
     act = _tile_mask(zkey, n, ni, tr, njp, float(cutoff),
                      float(box[2]), bool(periodic[2]))
-    grid = (ni, njp)
+    ntp = ni * njp
+    cap = ntp if pair_cap is None else min(int(pair_cap), ntp)
+    il, jc, meta, count = _compact_pairs(act, ni, njp, cap)
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald), qqr2e=float(qqr2e),
-        tr=tr, tc=tc, ni=ni)
-    cmap = lambda i, j: ((i + j) % ni, 0)
-    f, fcols, ev_rows, ec_rows = pl.pallas_call(
-        kern,
-        grid=grid,
+        tr=tr, tc=tc, npts=n)
+    rmap = lambda p, il_, jc_, mt_: (il_[p], 0)
+    cmap = lambda p, il_, jc_, mt_: (jc_[p], 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(cap,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, 4 * nt1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 3), rmap),
+            pl.BlockSpec((tr, 1), rmap),
+            pl.BlockSpec((tr, 4 * nt1), rmap),
             pl.BlockSpec((tc, 3), cmap),
             pl.BlockSpec((tc, 1), cmap),
             pl.BlockSpec((tc, nt1), cmap),
         ],
         out_specs=[
-            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, tc, 3), lambda i, j: (j, (i + j) % ni, 0)),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tr, 3), rmap),
+            pl.BlockSpec((1, tc, 3), lambda p, il_, jc_, mt_: (p, 0, 0)),
+            pl.BlockSpec((tr, 1), rmap),
+            pl.BlockSpec((tr, 1), rmap),
         ],
+    )
+    f, fcols, ev_rows, ec_rows = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((npr, 3), dtype),
-            jax.ShapeDtypeStruct((njp, npr, 3), dtype),
+            jax.ShapeDtypeStruct((cap, tc, 3), dtype),
             jax.ShapeDtypeStruct((npr, 1), dtype),
             jax.ShapeDtypeStruct((npr, 1), dtype),
         ],
         interpret=interpret,
-    )(act, xp, qp[:, None], cr, xp, qp[:, None], ohc)
+    )(il, jc, meta, xp, qp[:, None], cr, xp, qp[:, None], ohc)
 
-    fs = f + jnp.sum(fcols, axis=0)
+    # segment-add the per-entry column mirrors onto their column tiles via
+    # a one-hot MXU matmul (cap is O(100): cheaper than a scatter)
+    onehot = (jnp.arange(ni)[:, None] == jc[None, :]).astype(dtype)
+    fcs = jnp.matmul(onehot, fcols.reshape(cap, tc * 3),
+                     precision=jax.lax.Precision.HIGHEST)
+    fs = f + fcs.reshape(npr, 3)
+    # fail-loud on capacity overflow: dropped tile pairs would silently
+    # corrupt the physics, so poison the forces instead (run() regrows)
+    fs = jnp.where(count > cap, jnp.nan, fs)
     # undo the z-sort (pads sorted last, so valid rows are the first n)
     f = jnp.zeros((npr, 3), dtype).at[perm].set(fs)[:n]
-    ev = jnp.sum(ev_rows[:n])
-    ec = jnp.sum(ec_rows[:n])
+    ev = jnp.where(count > cap, jnp.nan, jnp.sum(ev_rows[:n]))
+    ec = jnp.where(count > cap, jnp.nan, jnp.sum(ec_rows[:n]))
 
-    # exclusion corrections: exact algebraic difference between si=s and si=1
+    # exclusion corrections: exact algebraic difference between si=s and
+    # si=1, computed in (n, m) layout — the "row" side is every atom in
+    # order, so the row gather is a broadcast and the per-atom reduction is
+    # a reshape-sum, never a scatter (TPU scatters/gathers are the cost
+    # here, not the flops); the (n, m) column gather is the only gather
     exi, exv = exclusions
     m = exi.shape[1]
-    rows = jnp.repeat(jnp.arange(n), m)
-    cols = exi.reshape(-1)
-    sval = exv.reshape(-1).astype(dtype)
-    valid = cols < n
-    cols_safe = jnp.where(valid, cols, 0)
-    dx_ = x[rows] - x[cols_safe]
+    sval = exv.astype(dtype)                        # (n, m)
+    valid = exi < n
+    cols_safe = jnp.where(valid, exi, 0)            # (n, m)
+    dx_ = x[:, None, :] - x[cols_safe]              # (n, m, 3)
     boxj = jnp.asarray(box, dtype)
     from ..pairs import min_image
-    dx_ = min_image(dx_, boxj, periodic)
-    rsq = jnp.sum(dx_ * dx_, axis=1)
+    dx_ = min_image(dx_.reshape(-1, 3), boxj, periodic).reshape(n, m, 3)
+    rsq = jnp.sum(dx_ * dx_, axis=2)
     valid = valid & (rsq < cutoff ** 2)
     rsq_safe = jnp.where(valid, rsq, 1.0)
-    r2inv = 1.0 / rsq_safe
+    rinv = jax.lax.rsqrt(rsq_safe)
+    r2inv = rinv * rinv
     r6inv = r2inv ** 3
-    ti = type_idx[rows]
-    tj = type_idx[cols_safe]
-    l1 = tables.lj1[ti, tj]
-    l2 = tables.lj2[ti, tj]
-    l3 = tables.lj3[ti, tj]
-    l4 = tables.lj4[ti, tj]
+    # per-pair LJ coefficients via a one-hot contraction over the column
+    # type instead of a 2-D table gather (types are few, gathers are slow)
+    tj = type_idx[cols_safe]                        # (n, m)
+    ohj = (tj[..., None] == jnp.arange(nt1)).astype(dtype)   # (n, m, T)
+    rowtab = jnp.stack([tables.lj1, tables.lj2, tables.lj3, tables.lj4],
+                       axis=0).astype(dtype)[:, type_idx]    # (4, n, T)
+    l1, l2, l3, l4 = jnp.einsum('knt,nmt->knm', rowtab, ohj)
     ds = (sval - 1.0)
     dflj = ds * r6inv * (l1 * r6inv - l2) * r2inv
     delj = ds * r6inv * (l3 * r6inv - l4)
-    r = jnp.sqrt(rsq_safe)
-    pref = qqr2e * q[rows] * q[cols_safe] / r
+    pref = (qqr2e * rinv) * q[:, None] * q[cols_safe]
     dfcoul = ds * pref            # -(1-s)*prefactor, both force and energy
     decoul = ds * pref
     dfpair = jnp.where(valid, dflj + dfcoul * r2inv, 0.0)
-    fcorr = dfpair[:, None] * dx_
-    f = f.at[rows].add(jnp.where(valid[:, None], fcorr, 0.0))
+    f = f + jnp.sum(dfpair[..., None] * dx_, axis=1)
     ev = ev + 0.5 * jnp.sum(jnp.where(valid, delj, 0.0))
     ec = ec + 0.5 * jnp.sum(jnp.where(valid, decoul, 0.0))
     return f, ev, ec

@@ -85,18 +85,21 @@ class ConpSolver:
         branches return an identically-shaped cache.
 
         In factored-Ewald mode the cache is (axis_tables, Sr_elyte,
-        Si_elyte) — the per-step transcendental tables plus the electrolyte
-        structure factor, shared with the force path the same way."""
+        Si_elyte, zsort) — the per-step transcendental tables plus the
+        electrolyte structure factor, shared with the force path the same
+        way, plus the (perm, z_sorted) ordering shared by every
+        slab-masked Pallas kernel in the step (ops/pallas/zorder.py)."""
         if self.pppm_grid is None:
             if self._ewald_cacheable():
                 from ..ops import ewald_factored as ewf
+                from ..ops.pallas.zorder import z_perm
                 dt = self.solve_dtype
                 x = x.astype(dt)
                 q = q.astype(dt)
                 q_elyte = jnp.where(jnp.asarray(self.elyte_mask), q, 0.0)
                 tabs = ewf.axis_tables(self.fksp, x)
                 sr, si = ewf.structure_factor_tab(tabs, q_elyte)
-                return (tabs, sr, si)
+                return (tabs, sr, si, z_perm(x, self.box, self.periodic))
             return None
         from ..ops import pppm as pppm_ops
         dt = self.solve_dtype
@@ -140,6 +143,7 @@ class ConpSolver:
         q_elyte = jnp.where(elyte, q, 0.0)
 
         kcache = None
+        zsort = None      # shared z-ordering for slab-masked Pallas kernels
         if self.pppm_grid is not None:
             # mesh path (PPPMCONP::b_cal, pppm_conp.cpp:269-316): spread the
             # electrolyte, Poisson-solve, stencil-gather at the electrodes.
@@ -171,7 +175,7 @@ class ConpSolver:
                 # electrode readout slices rows, and (tabs, S_elyte) are
                 # returned for the force-path reuse invariant
                 kcache = self.elyte_kcache(x, q)
-                tabs, sr, si = kcache
+                tabs, sr, si, zsort = kcache
                 eix = jnp.asarray(self.ele_idx)
                 (pr, pi), (zr, zi) = tabs
                 tabs_e = ((pr[eix], pi[eix]), (zr[eix], zi[eix]))
@@ -211,7 +215,7 @@ class ConpSolver:
                 jnp.asarray(self.kernels.eta_ij[te], dt),
                 jnp.asarray(self.kernels.fo_ij[te], dt),
                 ohc, box=self.box, periodic=self.periodic,
-                cut_coulsq=self.cut_coulsq, g_ewald=g)
+                cut_coulsq=self.cut_coulsq, g_ewald=g, zsort=zsort)
         else:
             dx = min_image(xe[:, None, :] - x[None, :, :],
                            jnp.asarray(self.box, dt), self.periodic)

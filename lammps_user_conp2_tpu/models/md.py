@@ -85,6 +85,15 @@ class Engine:
         sys = self.system
         u = sys.units()
         box = self.ksp_force.box
+        # factored-Ewald per-step cache from the solve: (tabs, Sr_elyte,
+        # Si_elyte, zsort), valid only when built in this dtype (a
+        # mixed-precision solve caches its own dtype)
+        ew_cache = None
+        if (kcache is not None and self.conp is not None
+                and self.pppm_grid is None and self.fksp is not None
+                and kcache[0][0][0].dtype == x.dtype):
+            ew_cache = kcache
+        zsort = ew_cache[3] if ew_cache is not None else None
         if self.ncfg is not None and nbr is not None:
             from ..ops.neighbors import nlist_pair_forces
             f, evdwl, ecoul, overflow = nlist_pair_forces(
@@ -107,7 +116,7 @@ class Engine:
             f, evdwl, ecoul = pair_forces_pallas(
                 x, q, self.type_idx, self.tables, self.exclusions,
                 box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e)
+                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e, zsort=zsort)
         else:
             f, evdwl, ecoul = dense_pair_forces(
                 x, q, self.type_idx, self.tables, self.exclusions,
@@ -173,16 +182,11 @@ class Engine:
             ek = ek * u.qqr2e
         elif self.fksp is not None:
             from ..ops import ewald_factored as ewf
-            ew_cache = None
-            if kcache is not None and self.conp is not None:
-                tabs, sre, sie = kcache
-                # the cache must have been built in THIS dtype at these
-                # positions (a mixed-precision solve caches its own dtype)
-                if tabs[0][0].dtype == x.dtype:
-                    ew_cache = (tabs, sre, sie)
             if ew_cache is not None:
+                tabs, sre, sie, _ = ew_cache
                 ek, fk = ewf.energy_forces_cached(
-                    self.fksp, q, *ew_cache, jnp.asarray(self.conp.ele_idx))
+                    self.fksp, q, tabs, sre, sie,
+                    jnp.asarray(self.conp.ele_idx))
             else:
                 ek, fk = ewf.energy_forces_f(self.fksp, x, q)
             ek = ek * u.qqr2e
@@ -229,7 +233,7 @@ class Engine:
                     jnp.asarray(kern.fo_ij[te], x.dtype),
                     self.tables.onehot,
                     box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-                    qqr2e=u.qqr2e)
+                    qqr2e=u.qqr2e, zsort=zsort)
             else:
                 fc, ecorr = conp_correction_forces(
                     x, q, self.elecheck, kern.force, kern.potential,

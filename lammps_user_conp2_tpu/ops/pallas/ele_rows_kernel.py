@@ -16,18 +16,30 @@ fo_ij overlap prefactors (ETA = uniform eta, fo = 0; fix_conp.cpp:1467-1573):
 The correction kernel accumulates row forces over column tiles (contiguous
 revisit) and emits per-row-tile partial column forces reduced outside in
 XLA; the b kernel emits row sums only.
+
+z-bounded tile skipping (the pair kernel's trick, adapted to rectangular
+electrode x all-atom sweeps): electrodes sit on a handful of z planes and
+the cell is a z-extended slab, so most (row-tile, col-tile) pairs are
+provably out of range.  Columns are z-argsorted per call (electrolyte
+columns only set the bounds — the cmask zeroes electrode columns anyway);
+row-tile bounds come from the electrode coordinates as passed (electrode
+index order is already z-grouped by construction).  An SMEM mask gates the
+whole per-tile chain under ``pl.when`` — exact, no skin.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..erfc import A1, A2, A3, A4, A5, ERFC_MAX, EWALD_F, EWALD_P
+from .zorder import Z_MARGIN, wrap_z, z_perm
 
 _ERFC_MAX_SQ = ERFC_MAX * ERFC_MAX
 
@@ -45,13 +57,19 @@ def _geometry(xr, xc, box, periodic, tr, tc):
     return d, rsq
 
 
-def _erfcr(a2_r2):
-    """erfc(sqrt(u))/sqrt(u) with the A&S polynomial + ERFC_MAX clamp."""
+def _erfcr(a2_r2, expm2=None):
+    """erfc(sqrt(u))/sqrt(u) with the A&S polynomial + ERFC_MAX clamp.
+
+    ``expm2``: exp(-u) if the caller already has it (the Gaussian chain
+    computes exp(-u/2), whose square is exp(-u) — one transcendental
+    instead of two).  One rsqrt serves both sqrt(u) and the 1/sqrt(u)."""
     safe = jnp.maximum(a2_r2, 1e-30)
-    a_r = jnp.sqrt(safe)
-    expm2 = jnp.exp(-safe)
+    rs = jax.lax.rsqrt(safe)
+    a_r = safe * rs
+    if expm2 is None:
+        expm2 = jnp.exp(-safe)
     t = 1.0 / (1.0 + EWALD_P * a_r)
-    val = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2 / a_r
+    val = t * (A1 + t * (A2 + t * (A3 + t * (A4 + t * A5)))) * expm2 * rs
     return jnp.where(a2_r2 < _ERFC_MAX_SQ, val, 0.0), expm2
 
 
@@ -65,69 +83,84 @@ def _gauss_tables(etar_ref, for_ref, ohc_ref, dtype):
     return et, fo
 
 
-def _corr_kernel(xr_ref, qr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
-                 cmask_ref, fr_ref, fcp_ref, er_ref, *,
+def _corr_kernel(act_ref, xr_ref, qr_ref, etar_ref, for_ref, xc_ref, qc_ref,
+                 ohc_ref, cmask_ref, fr_ref, fcp_ref, er_ref, *,
                  box, periodic, cutsq, qqr2e, tr, tc):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    xr = xr_ref[:]
-    xc = xc_ref[:]
-    d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
-    mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)      # elyte columns only
-    rsq_s = jnp.where(mask, rsq, 1.0)
-
-    et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
-    e2 = et * et * rsq_s
-    erfcr, expm2 = _erfcr(e2)
-    gexp = fo * jnp.exp(-0.5 * e2)
-    ek = gexp - erfcr * et
-    ferfcr = jnp.where(e2 < _ERFC_MAX_SQ, erfcr + EWALD_F * expm2, 0.0)
-    fk = e2 * gexp - ferfcr * et
-
-    pref = qqr2e * qr_ref[:] * qc_ref[:].T
-    epair = jnp.where(mask, pref * ek, 0.0)
-    fpair = jnp.where(mask, pref * fk, 0.0) / rsq_s
-
-    fr = jnp.stack([jnp.sum(fpair * d[0], axis=1),
-                    jnp.sum(fpair * d[1], axis=1),
-                    jnp.sum(fpair * d[2], axis=1)], axis=1)       # (TR, 3)
-    fc = -jnp.stack([jnp.sum(fpair * d[0], axis=0),
-                     jnp.sum(fpair * d[1], axis=0),
-                     jnp.sum(fpair * d[2], axis=0)], axis=1)      # (TC, 3)
+    active = act_ref[i, j] != 0
 
     @pl.when(j == 0)
     def _():
         fr_ref[:] = jnp.zeros_like(fr_ref)
         er_ref[:] = jnp.zeros_like(er_ref)
 
-    fr_ref[:] = fr_ref[:] + fr
-    er_ref[:] = er_ref[:] + jnp.sum(epair, axis=1, keepdims=True)
-    fcp_ref[0, :, :] = fc
+    @pl.when(jnp.logical_not(active))
+    def _():
+        # visited exactly once: must be zeroed when the chain is skipped
+        fcp_ref[:] = jnp.zeros_like(fcp_ref)
+
+    @pl.when(active)
+    def _():
+        xr = xr_ref[:]
+        xc = xc_ref[:]
+        d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
+        mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)  # elyte columns only
+        rsq_s = jnp.where(mask, rsq, 1.0)
+
+        et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
+        e2 = et * et * rsq_s
+        ghalf = jnp.exp(-0.5 * e2)
+        erfcr, expm2 = _erfcr(e2, expm2=ghalf * ghalf)
+        gexp = fo * ghalf
+        ek = gexp - erfcr * et
+        ferfcr = jnp.where(e2 < _ERFC_MAX_SQ, erfcr + EWALD_F * expm2, 0.0)
+        fk = e2 * gexp - ferfcr * et
+
+        pref = qqr2e * qr_ref[:] * qc_ref[:].T
+        epair = jnp.where(mask, pref * ek, 0.0)
+        fpair = jnp.where(mask, pref * fk, 0.0) / rsq_s
+
+        fr = jnp.stack([jnp.sum(fpair * d[0], axis=1),
+                        jnp.sum(fpair * d[1], axis=1),
+                        jnp.sum(fpair * d[2], axis=1)], axis=1)   # (TR, 3)
+        fc = -jnp.stack([jnp.sum(fpair * d[0], axis=0),
+                         jnp.sum(fpair * d[1], axis=0),
+                         jnp.sum(fpair * d[2], axis=0)], axis=1)  # (TC, 3)
+
+        fr_ref[:] = fr_ref[:] + fr
+        er_ref[:] = er_ref[:] + jnp.sum(epair, axis=1, keepdims=True)
+        fcp_ref[0, :, :] = fc
 
 
-def _b_kernel(xr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
+def _b_kernel(act_ref, xr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
               cmask_ref, br_ref, *, box, periodic, cutsq, g_ewald, tr, tc):
+    i = pl.program_id(0)
     j = pl.program_id(1)
-    xr = xr_ref[:]
-    xc = xc_ref[:]
-    d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
-    mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)
-    rsq_s = jnp.where(mask, rsq, 1.0)
-
-    et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
-    e2 = et * et * rsq_s
-    erfcr_e, _ = _erfcr(e2)
-    ek = fo * jnp.exp(-0.5 * e2) - erfcr_e * et
-    erfcr_g, _ = _erfcr(g_ewald * g_ewald * rsq_s)
-    dudq = erfcr_g * g_ewald + ek
-
-    contrib = jnp.where(mask, dudq, 0.0) * qc_ref[:].T            # (TR, TC)
-    br = -jnp.sum(contrib, axis=1, keepdims=True)
+    active = act_ref[i, j] != 0
 
     @pl.when(j == 0)
     def _():
         br_ref[:] = jnp.zeros_like(br_ref)
 
-    br_ref[:] = br_ref[:] + br
+    @pl.when(active)
+    def _():
+        xr = xr_ref[:]
+        xc = xc_ref[:]
+        d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
+        mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)
+        rsq_s = jnp.where(mask, rsq, 1.0)
+
+        et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
+        e2 = et * et * rsq_s
+        ghalf = jnp.exp(-0.5 * e2)
+        erfcr_e, _ = _erfcr(e2, expm2=ghalf * ghalf)
+        ek = fo * ghalf - erfcr_e * et
+        erfcr_g, _ = _erfcr(g_ewald * g_ewald * rsq_s)
+        dudq = erfcr_g * g_ewald + ek
+
+        contrib = jnp.where(mask, dudq, 0.0) * qc_ref[:].T        # (TR, TC)
+        br_ref[:] = br_ref[:] - jnp.sum(contrib, axis=1, keepdims=True)
 
 
 def _prep_cols(x, n, npadc, dtype):
@@ -135,9 +168,37 @@ def _prep_cols(x, n, npadc, dtype):
     return jnp.concatenate([x, jnp.tile(sentinel, (npadc, 1))], axis=0)
 
 
+def _rect_zmask(zr_key, rvalid, zc_key, cvalid, nri, tr_, ncj, tc_,
+                cutoff, lz, zperiodic):
+    """(nri, ncj) int32 mask: 1 where the (electrode row tile, column tile)
+    pair can hold an in-range pair, judged by exact per-tile z bounds.
+    Row bounds use all real electrodes in the tile; column bounds only the
+    entries flagged by ``cvalid`` (electrolyte — electrode columns are
+    masked in-kernel anyway, so they must not widen the bounds)."""
+    big = jnp.asarray(1e8, zr_key.dtype)
+    zrt = zr_key.reshape(nri, tr_)
+    rv = rvalid.reshape(nri, tr_)
+    rmin = jnp.min(jnp.where(rv, zrt, big), axis=1)
+    rmax = jnp.max(jnp.where(rv, zrt, -big), axis=1)
+    zct = zc_key.reshape(ncj, tc_)
+    cv = cvalid.reshape(ncj, tc_)
+    cmin = jnp.min(jnp.where(cv, zct, big), axis=1)
+    cmax = jnp.max(jnp.where(cv, zct, -big), axis=1)
+    cutoff = cutoff + Z_MARGIN   # float-noise insurance; see zorder.py
+    gap = jnp.maximum(cmin[None, :] - rmax[:, None],
+                      rmin[:, None] - cmax[None, :])
+    act = gap <= cutoff
+    if zperiodic:
+        span = (jnp.maximum(rmax[:, None], cmax[None, :])
+                - jnp.minimum(rmin[:, None], cmin[None, :]))
+        act = act | ((lz - span) <= cutoff)
+    act = act & jnp.any(rv, axis=1)[:, None] & jnp.any(cv, axis=1)[None, :]
+    return act.astype(jnp.int32)
+
+
 def conp_correction_pallas(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows,
                            ohc, *, box, periodic, cutoff, qqr2e,
-                           tr=128, tc=512, interpret=False):
+                           tr=128, tc=512, zsort=None, interpret=False):
     """Fused Gaussian correction: returns (f (N,3), ecorr).
 
     eta_rows/fo_rows: (Ne, T) per-electrode kernel table rows;
@@ -156,13 +217,26 @@ def conp_correction_pallas(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows,
     etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
     forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
 
-    xc = _prep_cols(x, n, padc, dtype)
-    qc = jnp.pad(q, (0, padc))[:, None]
-    ohcp = jnp.pad(ohc, ((0, padc), (0, 0))).astype(dtype)
-    cmask = jnp.pad(elyte_mask_f, (0, padc)).astype(dtype)[:, None]
+    lz = float(box[2])
+    zper = bool(periodic[2])
+    # z-sort columns so per-tile bounds are tight (see module docstring)
+    if zsort is None:
+        zsort = z_perm(x, box, periodic)
+    perm, zs_n = zsort
+    xc = _prep_cols(x[perm], n, padc, dtype)
+    qc = jnp.pad(q[perm], (0, padc))[:, None]
+    ohcp = jnp.pad(ohc[perm], ((0, padc), (0, 0))).astype(dtype)
+    cmask = jnp.pad(elyte_mask_f[perm], (0, padc)).astype(dtype)[:, None]
 
     t = ohc.shape[1]
     grid = (npr // tr, npc // tc)
+    zr_key = jnp.pad(wrap_z(x[ele_idx, 2], lz, zper), (0, padr),
+                     constant_values=1e9)
+    act = _rect_zmask(zr_key, zr_key < 1e8,
+                      jnp.pad(zs_n.astype(dtype), (0, padc),
+                              constant_values=1e9),
+                      cmask[:, 0] > 0.0, grid[0], tr, grid[1], tc,
+                      float(cutoff), lz, zper)
     kern = functools.partial(
         _corr_kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, qqr2e=float(qqr2e), tr=tr, tc=tc)
@@ -170,6 +244,7 @@ def conp_correction_pallas(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows,
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
@@ -190,16 +265,17 @@ def conp_correction_pallas(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows,
             jax.ShapeDtypeStruct((npr, 1), dtype),
         ],
         interpret=interpret,
-    )(xe, qe, etar, forr, xc, qc, ohcp, cmask)
+    )(act, xe, qe, etar, forr, xc, qc, ohcp, cmask)
 
-    f = jnp.sum(fcp, axis=0)[:n]
+    # undo the column z-sort, then add the electrode row forces
+    f = jnp.zeros((n, 3), dtype).at[perm].set(jnp.sum(fcp, axis=0)[:n])
     f = f.at[ele_idx].add(fr[:ne])
     return f, jnp.sum(er[:ne])
 
 
 def b_realspace_pallas(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
                        ohc, *, box, periodic, cut_coulsq, g_ewald,
-                       tr=128, tc=512, interpret=False):
+                       tr=128, tc=512, zsort=None, interpret=False):
     """Fused b-vector real-space block: returns b_real (Ne,).
 
     b_i = -sum_j q_j (erfc(g r)/r + potential(rsq)), elyte cols in range."""
@@ -216,13 +292,25 @@ def b_realspace_pallas(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
     etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
     forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
 
-    xc = _prep_cols(x, n, padc, dtype)
-    qc = jnp.pad(q_elyte, (0, padc))[:, None]
-    ohcp = jnp.pad(ohc, ((0, padc), (0, 0))).astype(dtype)
-    cmask = jnp.pad(elyte_mask_f, (0, padc)).astype(dtype)[:, None]
+    lz = float(box[2])
+    zper = bool(periodic[2])
+    if zsort is None:
+        zsort = z_perm(x, box, periodic)
+    perm, zs_n = zsort
+    xc = _prep_cols(x[perm], n, padc, dtype)
+    qc = jnp.pad(q_elyte[perm], (0, padc))[:, None]
+    ohcp = jnp.pad(ohc[perm], ((0, padc), (0, 0))).astype(dtype)
+    cmask = jnp.pad(elyte_mask_f[perm], (0, padc)).astype(dtype)[:, None]
 
     t = ohc.shape[1]
     grid = (npr // tr, npc // tc)
+    zr_key = jnp.pad(wrap_z(x[ele_idx, 2], lz, zper), (0, padr),
+                     constant_values=1e9)
+    act = _rect_zmask(zr_key, zr_key < 1e8,
+                      jnp.pad(zs_n.astype(dtype), (0, padc),
+                              constant_values=1e9),
+                      cmask[:, 0] > 0.0, grid[0], tr, grid[1], tc,
+                      math.sqrt(float(cut_coulsq)), lz, zper)
     kern = functools.partial(
         _b_kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cut_coulsq), g_ewald=float(g_ewald), tr=tr, tc=tc)
@@ -230,6 +318,7 @@ def b_realspace_pallas(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
         kern,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
             pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
@@ -241,5 +330,5 @@ def b_realspace_pallas(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
         out_specs=[pl.BlockSpec((tr, 1), lambda i, j: (i, 0))],
         out_shape=[jax.ShapeDtypeStruct((npr, 1), dtype)],
         interpret=interpret,
-    )(xe, etar, forr, xc, qc, ohcp, cmask)[0]
+    )(act, xe, etar, forr, xc, qc, ohcp, cmask)[0]
     return br[:ne, 0]

@@ -178,6 +178,8 @@ def _tile_mask(zkey, n, ni, tr, njp, cutoff, lz, zperiodic):
     zmin = jnp.min(jnp.where(valid, zt, big), axis=1)
     zmax = jnp.max(jnp.where(valid, zt, -big), axis=1)
     tvalid = jnp.any(valid, axis=1)
+    from .zorder import Z_MARGIN
+    cutoff = cutoff + Z_MARGIN   # float-noise insurance; see zorder.py
     ii = jnp.arange(ni)[:, None]
     jj = (ii + jnp.arange(njp)[None, :]) % ni
     gd = jnp.maximum(zmin[jj] - zmax[ii], zmin[ii] - zmax[jj])
@@ -219,13 +221,16 @@ def _compact_pairs(act, ni, njp, cap):
 
 def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
                        cutoff, g_ewald, qqr2e, tr=256, tc=256, pair_cap=None,
-                       interpret=False):
+                       zsort=None, interpret=False):
     """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values).
 
     ``pair_cap`` bounds the compacted active-tile-pair grid; None means the
     full tile-pair count (always sufficient).  A tighter cap (engines derive
     one from the build-time geometry) shrinks the grid; if the live count
-    ever exceeds it the forces come back NaN-poisoned (host-side regrow)."""
+    ever exceeds it the forces come back NaN-poisoned (host-side regrow).
+
+    ``zsort``: optional (perm, z_sorted) from ops.pallas.zorder.z_perm —
+    the per-step z-ordering shared with the electrode-row kernels."""
     assert tr == tc, "Newton round-robin tiling requires square tiles"
     n = x.shape[0]
     dtype = x.dtype
@@ -237,25 +242,21 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
         npr += tr
         ni += 1
     npad = npr - n
-    # sentinel far outside every cutoff so pad pairs are out of range
-    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
-    xp = jnp.concatenate([x, jnp.tile(sentinel, (npad, 1))], axis=0)
-    qp = jnp.pad(q, (0, npad))
-    tp = jnp.pad(type_idx, (0, npad))
 
     # z-order the atoms so the per-tile z bounds are tight (pads sort last);
     # the sort key wraps z into [0, L) when z is periodic — the kernel's own
     # minimum image is unaffected (it sees the raw coordinates)
-    zs = xp[:, 2]
-    if periodic[2]:
-        L = float(box[2])
-        zs = zs - L * jnp.floor(zs * (1.0 / L))
-    zkey = jnp.where(jnp.arange(npr) < n, zs, jnp.asarray(_PAD_KEY, dtype))
-    perm = jnp.argsort(zkey)
-    zkey = zkey[perm]
-    xp = xp[perm]
-    qp = qp[perm]
-    tp = tp[perm]
+    from .zorder import z_perm
+    if zsort is None:
+        zsort = z_perm(x, box, periodic)
+    perm, zs_n = zsort
+    # sentinel far outside every cutoff so pad pairs are out of range
+    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
+    xp = jnp.concatenate([x[perm], jnp.tile(sentinel, (npad, 1))], axis=0)
+    qp = jnp.pad(q[perm], (0, npad))
+    tp = jnp.pad(type_idx[perm], (0, npad))
+    zkey = jnp.concatenate(
+        [zs_n.astype(dtype), jnp.full((npad,), _PAD_KEY, dtype)])
 
     # per-row coefficient table [lj1|lj2|lj3|lj4][type_i] : (N', 4T)
     cr = jnp.concatenate([tables.lj1[tp], tables.lj2[tp],
@@ -313,8 +314,8 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     # fail-loud on capacity overflow: dropped tile pairs would silently
     # corrupt the physics, so poison the forces instead (run() regrows)
     fs = jnp.where(count > cap, jnp.nan, fs)
-    # undo the z-sort (pads sorted last, so valid rows are the first n)
-    f = jnp.zeros((npr, 3), dtype).at[perm].set(fs)[:n]
+    # undo the z-sort (pad rows are provably zero: masked in-kernel)
+    f = jnp.zeros((n, 3), dtype).at[perm].set(fs[:n])
     ev = jnp.where(count > cap, jnp.nan, jnp.sum(ev_rows[:n]))
     ec = jnp.where(count > cap, jnp.nan, jnp.sum(ec_rows[:n]))
 

@@ -69,7 +69,7 @@ def cmd_run(args):
         # on-device, one host fetch at the end.  Per-chunk syncing costs
         # ~35 ms fixed tunnel overhead per call and under-reported logged
         # throughput ~20x (VALIDATION.md round 2).
-        eng.compile_run(st, args.steps)
+        eng.compile_run(st, args.steps, thermo_every=nchunk)
         t0 = time.time()
         st, th = eng.run(st, args.steps, thermo_every=nchunk)
         jax.block_until_ready(st.x)

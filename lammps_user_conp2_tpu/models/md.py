@@ -429,21 +429,37 @@ class Engine:
                     qright=qright, dipole=dipole, f_e=state.scalar_out,
                     pe=state.energy)
 
-    def _make_run(self, nsteps: int):
+    def _make_run(self, nsteps: int, thermo_every: int = 1):
+        if thermo_every > 1 and nsteps % thermo_every == 0:
+            # thermo only at interval boundaries: outer scan over chunks,
+            # inner fori_loop of raw steps.  The per-step thermo reductions
+            # cost ~10x the 432-atom step itself (round-3 CLI measurement:
+            # 482 logged vs 5559 raw steps/s), so never compute rows that
+            # the caller would slice away.
+            def chunk(st, _):
+                st = jax.lax.fori_loop(
+                    0, thermo_every, lambda i, s: self.step(s), st)
+                return st, self.thermo(st)
+
+            return jax.jit(lambda st: jax.lax.scan(
+                chunk, st, None, length=nsteps // thermo_every))
+
         def body(st, _):
             st = self.step(st)
             return st, self.thermo(st)
 
         return jax.jit(lambda st: jax.lax.scan(body, st, None, length=nsteps))
 
-    def compile_run(self, state: MDState, nsteps: int) -> None:
+    def compile_run(self, state: MDState, nsteps: int,
+                    thermo_every: int = 1) -> None:
         """AOT-compile the nsteps scan for ``state``'s shapes so a following
         run() call executes without paying the compile — lets callers (CLI
         logged runs) time pure device throughput, the analogue of bench.py's
         warmed chained loops."""
-        if nsteps not in self._run_cache:
-            self._run_cache[nsteps] = \
-                self._make_run(nsteps).lower(state).compile()
+        key = (nsteps, thermo_every)
+        if key not in self._run_cache:
+            self._run_cache[key] = \
+                self._make_run(nsteps, thermo_every).lower(state).compile()
 
     def _grow_neighbor_capacity(self) -> None:
         """Grow the Verlet-list K and cell-table capacity after an overflow
@@ -489,11 +505,14 @@ class Engine:
         ``nbr.overflow``), the capacity is grown and the whole chunk re-runs
         from the entry state — a long production run recovers instead of
         dying (LAMMPS reallocates neighbor storage; SURVEY.md 2.3-1)."""
+        key = (nsteps, thermo_every)
+        chunked = thermo_every > 1 and nsteps % thermo_every == 0
+
         def execute(st):
-            go = self._run_cache.get(nsteps)
+            go = self._run_cache.get(key)
             if go is None:
-                go = self._make_run(nsteps)
-                self._run_cache[nsteps] = go
+                go = self._make_run(nsteps, thermo_every)
+                self._run_cache[key] = go
             return go(st)
 
         final, th = execute(state)
@@ -515,7 +534,7 @@ class Engine:
                 break
             state = self._heal_state(state)
             final, th = execute(state)
-        if thermo_every > 1:
+        if thermo_every > 1 and not chunked:
             th = jax.tree.map(lambda a: a[thermo_every - 1::thermo_every], th)
         return final, th
 

@@ -94,6 +94,8 @@ class Engine:
                 and kcache[0][0][0].dtype == x.dtype):
             ew_cache = kcache
         zsort = ew_cache[3] if ew_cache is not None else None
+        fused_ecorr = None   # set when the Pallas pair kernel fused the
+        #                      CONP Gaussian correction into its sweep
         if self.ncfg is not None and nbr is not None:
             from ..ops.neighbors import nlist_pair_forces
             f, evdwl, ecoul, overflow = nlist_pair_forces(
@@ -113,10 +115,25 @@ class Engine:
             ecoul = jnp.where(overflow, jnp.nan, ecoul)
         elif self.use_pallas:
             from ..ops.pallas.pair_kernel import pair_forces_pallas
-            f, evdwl, ecoul = pair_forces_pallas(
+            # with CONP active, the Gaussian correction sweep is fused into
+            # the same tile grid (shared geometry/charges/type encodings);
+            # forces come back correction-inclusive plus a 4th ecorr value
+            fuse = None
+            if self.conp is not None:
+                kern = self.conp.kernels
+                fuse = ((self.elecheck != 0).astype(x.dtype),
+                        jnp.asarray(self.conp.elyte_mask, x.dtype),
+                        jnp.asarray(kern.eta_ij, x.dtype),
+                        jnp.asarray(kern.fo_ij, x.dtype))
+            out = pair_forces_pallas(
                 x, q, self.type_idx, self.tables, self.exclusions,
                 box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e, zsort=zsort)
+                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e, zsort=zsort,
+                conp_fuse=fuse)
+            if fuse is not None:
+                f, evdwl, ecoul, fused_ecorr = out
+            else:
+                f, evdwl, ecoul = out
         else:
             f, evdwl, ecoul = dense_pair_forces(
                 x, q, self.type_idx, self.tables, self.exclusions,
@@ -213,7 +230,11 @@ class Engine:
         if self.conp is not None:
             from .conp import PALLAS_ROWS_MIN_PAIRS
             kern = self.conp.kernels
-            if self.ncfg is not None and nbr is not None:
+            if fused_ecorr is not None:
+                # the Pallas pair sweep already folded the correction into
+                # f; only the energy scalar arrives separately
+                fc, ecorr = jnp.zeros_like(f), fused_ecorr
+            elif self.ncfg is not None and nbr is not None:
                 # electrode rows of the Verlet list: O(Ne*K)
                 from ..ops.neighbors import conp_correction_from_list
                 fc, ecorr = conp_correction_from_list(

@@ -56,16 +56,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..erfc import EWALD_F
+from ..erfc import ERFC_MAX, EWALD_F
 
 EWALD_P = 0.3275911
 A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
                       -1.453152027, 1.061405429)
+_ERFC_MAX_SQ = ERFC_MAX * ERFC_MAX
 
 
 def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
-            qc_ref, ohc_ref, f_ref, fcols_ref, ev_ref, ec_ref, *, box,
-            periodic, cutsq, g_ewald, qqr2e, tr, tc, npts):
+            qc_ref, ohc_ref, *rest, box, periodic, cutsq, g_ewald, qqr2e,
+            tr, tc, npts, fuse_corr):
+    if fuse_corr:
+        # extra inputs: gr (TR, 2T) [eta_ij|fo_ij] rows, flr/flc (·, 2)
+        # [is_ele, is_elyte] flags; extra output: per-row correction energy
+        (gr_ref, flr_ref, flc_ref,
+         f_ref, fcols_ref, ev_ref, ec_ref, ecr_ref) = rest
+    else:
+        f_ref, fcols_ref, ev_ref, ec_ref = rest
     p = pl.program_id(0)
     m = meta_ref[p]
     active = (m & 1) != 0
@@ -77,6 +85,8 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
         f_ref[:] = jnp.zeros_like(f_ref)
         ev_ref[:] = jnp.zeros_like(ev_ref)
         ec_ref[:] = jnp.zeros_like(ec_ref)
+        if fuse_corr:
+            ecr_ref[:] = jnp.zeros_like(ecr_ref)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -166,6 +176,52 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
         ev_ref[:] = ev_ref[:] + esc * jnp.sum(elj, axis=1, keepdims=True)
         ec_ref[:] = ec_ref[:] + esc * jnp.sum(ecoul, axis=1, keepdims=True)
 
+        if fuse_corr:
+            # fused CONP Gaussian correction (the electrode-row sweep the
+            # reference runs as a second neighbor pass, fix_conp.cpp
+            # coul_cal) — only tiles that can hold an (electrode, elyte)
+            # pair carry meta bit 8, so pure-electrolyte tiles skip the
+            # whole chain.  eta_ij/fo_ij are type-pair tables: same one-hot
+            # MXU contraction as the LJ coefficients.
+            @pl.when((m & 8) != 0)
+            def _():
+                gr = gr_ref[:]
+                etap = dg(gr[:, 0 * t:1 * t], ohc)
+                fop = dg(gr[:, 1 * t:2 * t], ohc)
+                flr = flr_ref[:]
+                flc = flc_ref[:]
+                cm = inrange & ((flr[:, 0:1] * flc[:, 1:2].T
+                                 + flr[:, 1:2] * flc[:, 0:1].T) > 0.0)
+                e2 = etap * etap * rsq_safe
+                ghalf = jnp.exp(-0.5 * e2)
+                em2 = ghalf * ghalf        # exp(-e2): one transcendental
+                safe = jnp.maximum(e2, 1e-30)
+                rs = jax.lax.rsqrt(safe)
+                ar = safe * rs             # sqrt(e2)
+                t2 = 1.0 / (1.0 + EWALD_P * ar)
+                erfcr = (t2 * (A1 + t2 * (A2 + t2 * (A3 + t2 * (A4 + t2 * A5))))
+                         * em2 * rs)       # erfc(ar)/ar
+                inmax = e2 < _ERFC_MAX_SQ
+                erfcr = jnp.where(inmax, erfcr, 0.0)
+                gexp = fop * ghalf
+                ekc = gexp - erfcr * etap
+                ferfcr = jnp.where(inmax, erfcr + EWALD_F * em2, 0.0)
+                fkc = e2 * gexp - ferfcr * etap
+                cpref = qqr2e * (qr * qc.T)
+                ecp = jnp.where(cm, cpref * ekc, 0.0)
+                fcp = jnp.where(cm, cpref * fkc, 0.0) * r2inv
+                cx = fcp * d[0]
+                cy = fcp * d[1]
+                cz = fcp * d[2]
+                f_ref[:] = f_ref[:] + jnp.stack(
+                    [jnp.sum(cx, axis=1), jnp.sum(cy, axis=1),
+                     jnp.sum(cz, axis=1)], axis=1)
+                fcols_ref[0, :, :] = fcols_ref[0, :, :] - csc * jnp.stack(
+                    [jnp.sum(cx, axis=0), jnp.sum(cy, axis=0),
+                     jnp.sum(cz, axis=0)], axis=1)
+                ecr_ref[:] = ecr_ref[:] + esc * jnp.sum(
+                    ecp, axis=1, keepdims=True)
+
 
 def _tile_mask(zkey, n, ni, tr, njp, cutoff, lz, zperiodic):
     """(ni, njp) int32 mask: 1 where tile i and its round-robin partner
@@ -195,12 +251,13 @@ def _tile_mask(zkey, n, ni, tr, njp, cutoff, lz, zperiodic):
 _PAD_KEY = 1e9
 
 
-def _compact_pairs(act, ni, njp, cap):
+def _compact_pairs(act, ni, njp, cap, corr=None):
     """Compact the (ni, njp) active-tile mask into i-major (il, jc, meta)
     lists of static length ``cap``.  meta bits: 1=active, 2=diagonal,
-    4=first visit of this row tile.  Tail pads replay the last active
-    entry with all bits clear (windows stay resident, nothing is written).
-    Returns (il, jc, meta, count)."""
+    4=first visit of this row tile, 8=tile pair can hold an
+    (electrode, electrolyte) pair (from ``corr``, same (ni, njp) layout).
+    Tail pads replay the last active entry with all bits clear (windows
+    stay resident, nothing is written).  Returns (il, jc, meta, count)."""
     flat = act.reshape(-1)                          # i-major: idx = i*njp+jp
     order = jnp.argsort(1 - flat, stable=True)      # actives first, in order
     count = jnp.sum(flat)
@@ -216,12 +273,14 @@ def _compact_pairs(act, ni, njp, cap):
     meta = (valid.astype(jnp.int32)
             | ((jp == 0).astype(jnp.int32) << 1)
             | (first.astype(jnp.int32) << 2))
+    if corr is not None:
+        meta = meta | ((corr.reshape(-1)[idx] & valid.astype(jnp.int32)) << 3)
     return il, jc, meta, count
 
 
 def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
                        cutoff, g_ewald, qqr2e, tr=256, tc=256, pair_cap=None,
-                       zsort=None, interpret=False):
+                       zsort=None, conp_fuse=None, interpret=False):
     """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values).
 
     ``pair_cap`` bounds the compacted active-tile-pair grid; None means the
@@ -230,7 +289,15 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     ever exceeds it the forces come back NaN-poisoned (host-side regrow).
 
     ``zsort``: optional (perm, z_sorted) from ops.pallas.zorder.z_perm —
-    the per-step z-ordering shared with the electrode-row kernels."""
+    the per-step z-ordering shared with the electrode-row kernels.
+
+    ``conp_fuse``: optional (ele_flag, elyte_flag, eta_ij, fo_ij) — per-atom
+    0/1 flags (n,) plus the (T, T) Gaussian width / overlap type tables.
+    When given, the CONP Gaussian correction (the reference's second
+    coul_cal neighbor pass, fix_conp.cpp:1467-1573) is fused into the same
+    tile sweep — it shares the geometry, the charges, and the one-hot type
+    encodings already resident in VMEM — and a FOURTH value ecorr is
+    returned (forces already include the correction)."""
     assert tr == tc, "Newton round-robin tiling requires square tiles"
     n = x.shape[0]
     dtype = x.dtype
@@ -266,44 +333,74 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     njp = (ni + 1) // 2
     act = _tile_mask(zkey, n, ni, tr, njp, float(cutoff),
                      float(box[2]), bool(periodic[2]))
+    corr_tiles = None
+    if conp_fuse is not None:
+        ele_f, ely_f, eta_tab, fo_tab = conp_fuse
+        flp = jnp.pad(jnp.stack([ele_f[perm], ely_f[perm]], axis=1)
+                      .astype(dtype), ((0, npad), (0, 0)))
+        gr = jnp.concatenate([jnp.asarray(eta_tab, dtype)[tp],
+                              jnp.asarray(fo_tab, dtype)[tp]], axis=1)
+        # tile pairs that can hold an (electrode, elyte) pair in either
+        # orientation carry meta bit 8 (z-ordering groups the electrode
+        # planes into few tiles, so most tiles skip the correction chain)
+        he = jnp.any(flp[:, 0].reshape(ni, tr) > 0, axis=1)
+        hy = jnp.any(flp[:, 1].reshape(ni, tr) > 0, axis=1)
+        ii = jnp.arange(ni)[:, None]
+        jj = (ii + jnp.arange(njp)[None, :]) % ni
+        corr_tiles = ((he[ii] & hy[jj]) | (hy[ii] & he[jj])).astype(jnp.int32)
     ntp = ni * njp
     cap = ntp if pair_cap is None else min(int(pair_cap), ntp)
-    il, jc, meta, count = _compact_pairs(act, ni, njp, cap)
+    il, jc, meta, count = _compact_pairs(act, ni, njp, cap, corr_tiles)
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald), qqr2e=float(qqr2e),
-        tr=tr, tc=tc, npts=n)
+        tr=tr, tc=tc, npts=n, fuse_corr=conp_fuse is not None)
     rmap = lambda p, il_, jc_, mt_: (il_[p], 0)
     cmap = lambda p, il_, jc_, mt_: (jc_[p], 0)
+    in_specs = [
+        pl.BlockSpec((tr, 3), rmap),
+        pl.BlockSpec((tr, 1), rmap),
+        pl.BlockSpec((tr, 4 * nt1), rmap),
+        pl.BlockSpec((tc, 3), cmap),
+        pl.BlockSpec((tc, 1), cmap),
+        pl.BlockSpec((tc, nt1), cmap),
+    ]
+    out_specs = [
+        pl.BlockSpec((tr, 3), rmap),
+        pl.BlockSpec((1, tc, 3), lambda p, il_, jc_, mt_: (p, 0, 0)),
+        pl.BlockSpec((tr, 1), rmap),
+        pl.BlockSpec((tr, 1), rmap),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((npr, 3), dtype),
+        jax.ShapeDtypeStruct((cap, tc, 3), dtype),
+        jax.ShapeDtypeStruct((npr, 1), dtype),
+        jax.ShapeDtypeStruct((npr, 1), dtype),
+    ]
+    inputs = [il, jc, meta, xp, qp[:, None], cr, xp, qp[:, None], ohc]
+    if conp_fuse is not None:
+        in_specs += [pl.BlockSpec((tr, 2 * nt1), rmap),
+                     pl.BlockSpec((tr, 2), rmap),
+                     pl.BlockSpec((tc, 2), cmap)]
+        out_specs.append(pl.BlockSpec((tr, 1), rmap))
+        out_shape.append(jax.ShapeDtypeStruct((npr, 1), dtype))
+        inputs += [gr, flp, flp]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cap,),
-        in_specs=[
-            pl.BlockSpec((tr, 3), rmap),
-            pl.BlockSpec((tr, 1), rmap),
-            pl.BlockSpec((tr, 4 * nt1), rmap),
-            pl.BlockSpec((tc, 3), cmap),
-            pl.BlockSpec((tc, 1), cmap),
-            pl.BlockSpec((tc, nt1), cmap),
-        ],
-        out_specs=[
-            pl.BlockSpec((tr, 3), rmap),
-            pl.BlockSpec((1, tc, 3), lambda p, il_, jc_, mt_: (p, 0, 0)),
-            pl.BlockSpec((tr, 1), rmap),
-            pl.BlockSpec((tr, 1), rmap),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    f, fcols, ev_rows, ec_rows = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((npr, 3), dtype),
-            jax.ShapeDtypeStruct((cap, tc, 3), dtype),
-            jax.ShapeDtypeStruct((npr, 1), dtype),
-            jax.ShapeDtypeStruct((npr, 1), dtype),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
-    )(il, jc, meta, xp, qp[:, None], cr, xp, qp[:, None], ohc)
+    )(*inputs)
+    if conp_fuse is not None:
+        f, fcols, ev_rows, ec_rows, ecr_rows = outs
+    else:
+        f, fcols, ev_rows, ec_rows = outs
 
     # segment-add the per-entry column mirrors onto their column tiles via
     # a one-hot MXU matmul (cap is O(100): cheaper than a scatter)
@@ -318,6 +415,9 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     f = jnp.zeros((n, 3), dtype).at[perm].set(fs[:n])
     ev = jnp.where(count > cap, jnp.nan, jnp.sum(ev_rows[:n]))
     ec = jnp.where(count > cap, jnp.nan, jnp.sum(ec_rows[:n]))
+    ecorr = None
+    if conp_fuse is not None:
+        ecorr = jnp.where(count > cap, jnp.nan, jnp.sum(ecr_rows[:n]))
 
     # exclusion corrections: exact algebraic difference between si=s and
     # si=1, computed in (n, m) layout — the "row" side is every atom in
@@ -356,4 +456,6 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     f = f + jnp.sum(dfpair[..., None] * dx_, axis=1)
     ev = ev + 0.5 * jnp.sum(jnp.where(valid, delj, 0.0))
     ec = ec + 0.5 * jnp.sum(jnp.where(valid, decoul, 0.0))
+    if conp_fuse is not None:
+        return f, ev, ec, ecorr
     return f, ev, ec

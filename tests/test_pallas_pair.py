@@ -88,3 +88,42 @@ def test_ele_rows_kernels_match_xla_interpret():
         cut_coulsq=conp.cut_coulsq, g_ewald=g, interpret=True)
     np.testing.assert_allclose(np.asarray(br_p), np.asarray(br_ref),
                                atol=1e-13)
+
+
+def test_pallas_pair_fused_conp_correction():
+    """conp_fuse folds the Gaussian correction into the pair sweep: the
+    result must equal dense pair + dense conp_correction_forces exactly."""
+    import jax.numpy as jnp
+    from lammps_user_conp2_tpu.models.conp import setup_conp
+    from lammps_user_conp2_tpu.ops.pairs import conp_correction_forces
+
+    system, md, cfg = workloads.dilute(0)
+    conp = setup_conp(system, md, cfg)
+    eng = build_engine(system, md, conp)
+    st = eng.init_state()
+    x, q = st.x, st.q
+    u = system.units()
+    kern = conp.kernels
+    kw = dict(box=system.box, periodic=system.periodic, cutoff=md.cutoff,
+              g_ewald=conp.ksp.g_ewald, qqr2e=u.qqr2e)
+
+    f1, ev1, ec1 = dense_pair_forces(x, q, eng.type_idx, eng.tables,
+                                     eng.exclusions, **kw)
+    fc1, e1 = conp_correction_forces(
+        x, q, eng.elecheck, kern.force, kern.potential, eng.type_idx,
+        box=system.box, periodic=system.periodic, cutoff=md.cutoff,
+        qqr2e=u.qqr2e, ele_idx=jnp.asarray(conp.ele_idx))
+
+    fuse = ((eng.elecheck != 0).astype(x.dtype),
+            jnp.asarray(conp.elyte_mask, x.dtype),
+            jnp.asarray(kern.eta_ij, x.dtype),
+            jnp.asarray(kern.fo_ij, x.dtype))
+    f2, ev2, ec2, e2 = pair_forces_pallas(
+        x, q, eng.type_idx, eng.tables, eng.exclusions, tr=128, tc=128,
+        conp_fuse=fuse, interpret=True, **kw)
+
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1 + fc1),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(float(ev2), float(ev1), rtol=1e-12)
+    np.testing.assert_allclose(float(ec2), float(ec1), rtol=1e-12)
+    np.testing.assert_allclose(float(e2), float(e1), rtol=1e-10, atol=1e-12)

@@ -1005,7 +1005,7 @@ def pppm_energy_u(grid: PPPMGrid, rho):
     """(energy, u mesh) sharing ONE forward RFFT — the ad force path's
     Poisson solve: one rfftn + one irfftn per step instead of the ik
     path's one + three."""
-    return pppm_energy_u_from_k(grid, jnp.fft.rfftn(rho))
+    return pppm_energy_u_from_k(grid, rfft3(grid, rho))
 
 
 # ---------------------------------------------------------------------------
@@ -1154,7 +1154,7 @@ def poisson_u_from_k(grid: PPPMGrid, rhok):
     nzh = grid.nz // 2 + 1
     gk = jnp.asarray(grid.greens[..., :nzh], jnp.float32
                      if rhok.dtype == jnp.complex64 else jnp.float64)
-    return jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
+    return irfft3(grid, rhok * gk) * (
         grid.nx * grid.ny * grid.nz / grid.volume)
 
 
@@ -1167,7 +1167,7 @@ def pppm_energy_u_from_k(grid: PPPMGrid, rhok):
     gk = jnp.asarray(grid.greens[..., :nzh], rdt)
     wz = _half_weights(grid, rdt)
     e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
-    u = jnp.fft.irfftn(rhok * gk, s=grid.shape) * (
+    u = irfft3(grid, rhok * gk) * (
         grid.nx * grid.ny * grid.nz / grid.volume)
     return e, u
 
@@ -1187,7 +1187,7 @@ def pppm_energy_efield_from_k(grid: PPPMGrid, rhok):
         shape = [1, 1, 1]
         shape[ax] = -1
         ik = (1j * jnp.asarray(fkv, rdt)).reshape(shape).astype(phik.dtype)
-        out.append(jnp.fft.irfftn(-ik * phik, s=grid.shape) * scale)
+        out.append(irfft3(grid, -ik * phik) * scale)
     return e, tuple(out)
 
 
@@ -1256,6 +1256,65 @@ def gather3(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     return jnp.stack(gather_tiled(grid, list(bricks), x, slots=slots), axis=1)
 
 
+_ZDFT_CACHE = {}
+
+
+def _zdft_mats(nz: int):
+    """Exact-phase half-spectrum DFT matrices for the z axis, cached per nz.
+
+    Phases come from (j*k) mod nz in int64 so no precision is lost at large
+    j*k; the inverse pair folds in the spectrum-doubling weights and 1/nz.
+    Kept in float64 on host; cast at use."""
+    if nz not in _ZDFT_CACHE:
+        j = np.arange(nz, dtype=np.int64)
+        ang = 2.0 * np.pi * ((j[:, None] * j[None, :]) % nz) / nz
+        nzh = nz // 2 + 1
+        C = np.cos(ang[:, :nzh])
+        S = np.sin(ang[:, :nzh])
+        w = np.full(nzh, 2.0)
+        w[0] = 1.0
+        if nz % 2 == 0:
+            w[-1] = 1.0
+        _ZDFT_CACHE[nz] = (C, S, (C * w / nz).T, (S * w / nz).T)
+    return _ZDFT_CACHE[nz]
+
+
+def rfft3(grid: PPPMGrid, rho):
+    """Half-spectrum 3-D transform of a real mesh (== jnp.fft.rfftn(rho)).
+
+    float32 (the TPU hot path): the z axis — the long one for slab cells —
+    goes through an exact-phase DFT matmul on the MXU and xy through the
+    complex FFT.  At the 100k production grid (108,108,648) this is 2.2x
+    faster than XLA's rfftn AND ~2.5x more accurate vs a float64 reference
+    (tools/exp_fft.py: 2.24 vs 5.00 ms per Poisson pair, rel err 3.2e-7 vs
+    8.3e-7).  float64 keeps jnp.fft.rfftn (the CPU/test path; TPU has no
+    complex128 FFT anyway)."""
+    if rho.dtype != jnp.float32:
+        return jnp.fft.rfftn(rho)
+    C, S, _, _ = _zdft_mats(grid.nz)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(rho, jnp.asarray(C, rho.dtype), precision=hi)
+    im = -jnp.matmul(rho, jnp.asarray(S, rho.dtype), precision=hi)
+    return jnp.fft.fftn(re + 1j * im, axes=(0, 1))
+
+
+def irfft3(grid: PPPMGrid, vk):
+    """Real inverse of rfft3 (== jnp.fft.irfftn(vk, s=grid.shape)).
+
+    The z inverse matmul uses only Re*cos - Im*sin per half-spectrum bin,
+    which is exactly irfft's Hermitian reconstruction (imaginary parts of
+    the DC and Nyquist bins drop out because sin(0) = sin(pi*j) = 0)."""
+    if vk.dtype != jnp.complex64:
+        return jnp.fft.irfftn(vk, s=grid.shape)
+    _, _, iCt, iSt = _zdft_mats(grid.nz)
+    hi = jax.lax.Precision.HIGHEST
+    v = jnp.fft.ifftn(vk, axes=(0, 1))
+    return (jnp.matmul(jnp.real(v), jnp.asarray(iCt, jnp.float32),
+                       precision=hi)
+            - jnp.matmul(jnp.imag(v), jnp.asarray(iSt, jnp.float32),
+                         precision=hi))
+
+
 def _half_weights(grid: PPPMGrid, dtype):
     """Spectrum-doubling weights for the rfft half-spectrum along z: every
     kz plane appears twice in the full spectrum except kz=0 and (nz even)
@@ -1273,7 +1332,7 @@ def poisson_u(grid: PPPMGrid, rho):
 
     rho is real, so the half-spectrum transform does ~half the FFT work of
     the complex path (the influence function is symmetric per axis)."""
-    return poisson_u_from_k(grid, jnp.fft.rfftn(rho))
+    return poisson_u_from_k(grid, rfft3(grid, rho))
 
 
 def _deriv_fk(grid: PPPMGrid, nzh: int):
@@ -1295,7 +1354,7 @@ def _deriv_fk(grid: PPPMGrid, nzh: int):
 def poisson_efield(grid: PPPMGrid, rho):
     """E = -grad(phi) meshes via ik differentiation; returns (ex, ey, ez)."""
     nzh = grid.nz // 2 + 1
-    rhok = jnp.fft.rfftn(rho)
+    rhok = rfft3(grid, rho)
     gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
     phik = rhok * gk
     scale = grid.nx * grid.ny * grid.nz / grid.volume
@@ -1305,14 +1364,14 @@ def poisson_efield(grid: PPPMGrid, rho):
         shape[ax] = -1
         ik = (1j * jnp.asarray(fk, rho.dtype)).reshape(shape).astype(phik.dtype)
         ek = -ik * phik
-        out.append(jnp.fft.irfftn(ek, s=grid.shape) * scale)
+        out.append(irfft3(grid, ek) * scale)
     return out
 
 
 def pppm_energy(grid: PPPMGrid, rho):
     """K-space energy (no qqr2e prefactor, no self/background terms)."""
     nzh = grid.nz // 2 + 1
-    rhok = jnp.fft.rfftn(rho)
+    rhok = rfft3(grid, rho)
     rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
     gk = jnp.asarray(grid.greens[..., :nzh], rdt)
     wz = _half_weights(grid, rdt)
@@ -1325,7 +1384,7 @@ def pppm_energy_efield(grid: PPPMGrid, rho):
     The reference's force compute reuses the charge-solve FFT within a step
     (pppm_conp.cpp:428-450); here the energy readout reuses the force path's
     forward transform — one rfftn + three irfftn per step."""
-    return pppm_energy_efield_from_k(grid, jnp.fft.rfftn(rho))
+    return pppm_energy_efield_from_k(grid, rfft3(grid, rho))
 
 
 def pppm_forces(grid: PPPMGrid, rho, x, q):

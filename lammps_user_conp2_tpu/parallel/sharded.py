@@ -300,12 +300,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                     rhok = rhok_elyte + pppm_ops.rhok_from_zplanes(
                         grid_p, rho_ep, conp.ele_zplanes)
                 else:
-                    rhok = rhok_elyte + jnp.fft.rfftn(
-                        pppm_ops.spread(grid_p, x[eix], q[eix]))
+                    rhok = rhok_elyte + pppm_ops.rfft3(
+                        grid_p, pppm_ops.spread(grid_p, x[eix], q[eix]))
             else:
                 if tiled and slots_l is None:
                     slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
-                rhok = jnp.fft.rfftn(jax.lax.psum(
+                rhok = pppm_ops.rfft3(grid_p, jax.lax.psum(
                     pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l),
                     axis))
             if md.pppm_diff == "ad" or (
@@ -518,7 +518,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
         rho_elyte = jax.lax.psum(
             pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
-        return (jnp.fft.rfftn(rho_elyte), slots_l)   # rhok replicated
+        return (pppm_ops.rfft3(grid_p, rho_elyte), slots_l)  # rhok replicated
 
     def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0,
                       nbr=None, scalar_prev=None):

@@ -383,3 +383,25 @@ def test_zspan_bottom_stencil_fails_loud(slab_setup):
     rho_d, _, _ = _dense_spread(grid, xok, q)
     np.testing.assert_allclose(np.asarray(rho_t), np.asarray(rho_d),
                                atol=5e-13)
+
+
+def test_rfft3_irfft3_match_fft_f32(slab_setup):
+    """The f32 z-DFT-matmul transform pair (the TPU MXU path) agrees with
+    jnp.fft.rfftn/irfftn to f32 roundoff, both directions, odd and even nz
+    Nyquist handling included (grid nz from setup_pppm is even; the second
+    grid below forces an odd nz)."""
+    import dataclasses
+    grid, x, q, n = slab_setup
+    for g in (grid, dataclasses.replace(
+            grid, nz=grid.nz + 1,
+            greens=np.pad(grid.greens, ((0, 0), (0, 0), (0, 1))))):
+        r = np.random.default_rng(3).standard_normal(g.shape)
+        vk_ref = np.fft.rfftn(r)
+        vk = np.asarray(P.rfft3(g, jnp.asarray(r, jnp.float32)))
+        assert np.abs(vk - vk_ref).max() / np.abs(vk_ref).max() < 2e-6
+        u_ref = np.fft.irfftn(vk_ref * g.greens[..., :g.nz // 2 + 1],
+                              axes=(0, 1, 2), s=g.shape)
+        u = np.asarray(P.irfft3(
+            g, jnp.asarray(vk_ref * g.greens[..., :g.nz // 2 + 1],
+                           jnp.complex64)))
+        assert np.abs(u - u_ref).max() / np.abs(u_ref).max() < 2e-6

@@ -25,10 +25,12 @@ def enable_compile_cache(path=None):
         import jax
 
         if path is None:
-            path = os.environ.get(
-                "CONP2_TPU_COMPILE_CACHE",
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             os.pardir, ".jax_cache"))
+            path = os.environ.get("CONP2_TPU_COMPILE_CACHE", "")
+            if path.lower() in ("", "1", "true", "yes", "on"):
+                # boolean-style opt-in: use the repo-local default dir
+                path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    os.pardir, ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — the cache is an optimization only

@@ -528,6 +528,7 @@ class TileSlots(NamedTuple):
     lzs: jnp.ndarray
     dxs: jnp.ndarray     # (T, cap, 3) per-axis B-spline fractional offsets
     table: jnp.ndarray   # (T, cap) int32 atom ids (n = empty slot)
+    slot: jnp.ndarray    # (N,) int32 slot index per atom (tile * cap + rank)
     overflow: jnp.ndarray  # () bool
 
 
@@ -691,7 +692,8 @@ def refresh_tile_slots(grid: PPPMGrid, asg: TileAssign, x, q) -> TileSlots:
     lys = ps[:, :, 2].astype(jnp.int32)
     lzs = ps[:, :, 3].astype(jnp.int32)
     dxs = ps[:, :, 4:7]
-    return TileSlots(qs, lxs, lys, lzs, dxs, asg.table, overflow)
+    return TileSlots(qs, lxs, lys, lzs, dxs, asg.table, asg.slot,
+                     overflow)
 
 
 def tile_slots(grid: PPPMGrid, x, q) -> TileSlots:
@@ -722,19 +724,6 @@ def _local_weight_mats(lxs, lys, lzs, dxs, cf, *, ex, ey, ez, dtype):
     cap = lxs.shape[0]
     wxy = (wxl[:, :, None] * wyl[:, None, :]).reshape(cap, ex * ey)
     return wxy, wzd
-
-
-def _local_weight_mats_T(lxs, lys, lzs, dxs, cf, *, ex, ey, ez, dtype):
-    """Transposed layout: (ex*ey, cap) xy and (ez, cap) z weight matrices —
-    the tile matmuls then put the long cap axis on the 128 MXU lanes
-    (tools/exp_gather3.py: ez ~ 38 on production meshes wastes ~70% of the
-    lanes in the untransposed layout)."""
-    wxl = _axis_onehot(lxs, _horner_w(dxs[:, 0], cf), e=ex)
-    wyl = _axis_onehot(lys, _horner_w(dxs[:, 1], cf), e=ey)
-    wzd = _axis_onehot(lzs, _horner_w(dxs[:, 2], cf), e=ez)
-    cap = lxs.shape[0]
-    wxyT = (wxl.T[:, None, :] * wyl.T[None, :, :]).reshape(ex * ey, cap)
-    return wxyT, wzd.T
 
 
 def _merge_axis(pt, bin_ax: int, ext_ax: int, til: int, hw: int,
@@ -862,17 +851,21 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
         txi = t // (nty * ntz)
         tyi = (t // ntz) % nty
         tzi = t % ntz
-        wxyT, wzdT = _local_weight_mats_T(lxl, lyl, lzl, dxl, cf,
-                                          ex=ex, ey=ey, ez=ez, dtype=dtype)
+        wxl = _axis_onehot(lxl, _horner_w(dxl[:, 0], cf), e=ex)
+        wyl = _axis_onehot(lyl, _horner_w(dxl[:, 1], cf), e=ey)
+        wzd = _axis_onehot(lzl, _horner_w(dxl[:, 2], cf), e=ez)
         zero = jnp.zeros((), t.dtype)
         patch = jax.lax.dynamic_slice(
             bp, (zero, txi * tlx, tyi * tly, tzi * tlz), (nb, ex, ey, ez))
-        # transposed: lanes carry cap, not nb*ez (~38 on production meshes)
-        pm = patch.transpose(3, 0, 1, 2).reshape(ez * nb, ex * ey)
-        t1 = jnp.matmul(pm, wxyT,
-                        precision=jax.lax.Precision.HIGHEST)  # (ez*nb, cap)
-        return jnp.sum(t1.reshape(ez, nb, cap) * wzdT[:, None, :],
-                       axis=0).transpose(1, 0)                 # (cap, nb)
+        # z-FIRST contraction: (cap, ez) @ (ez, nb*exy) puts BOTH matmul
+        # output dims >= 128 (cap ~ hundreds, nb*exy ~ 484+) — the
+        # ez-as-M layout capped sublane utilization at ez/128 ~ 30%.
+        # xy combine factored per axis (no (cap, exy) weight operand).
+        hi = jax.lax.Precision.HIGHEST
+        pm = patch.transpose(3, 0, 1, 2).reshape(ez, nb * ex * ey)
+        t1 = jnp.matmul(wzd, pm, precision=hi).reshape(cap, nb, ex, ey)
+        s1 = jnp.einsum("cbxy,cy->cbx", t1, wyl, precision=hi)
+        return jnp.einsum("cbx,cx->cb", s1, wxl, precision=hi)  # (cap, nb)
 
     # scan over x-tile rows, vmap across y/z-tiles (as in spread_tiled)
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
@@ -880,11 +873,11 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
                          lxs, lys, lzs, dxs))
     _, vals = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
-    # ONE packed scatter for all nb output fields (empty slots land on the
-    # dropped row n)
-    out = jnp.zeros((n + 1, nb), dtype).at[table.reshape(-1)].add(
-        vals.reshape(t_tiles * cap, nb))
-    return [jnp.where(overflow, jnp.nan, out[:n, bi]) for bi in range(nb)]
+    # inverse-slot GATHER instead of a (T*cap, nb) scatter: each atom owns
+    # exactly one slot, and an N-row gather costs ~4x less than the
+    # scatter-add on TPU (tools/exp_gather3b.py: 4.4 ms -> ~0.6 ms at 100k)
+    out = vals.reshape(t_tiles * cap, nb)[slots.slot]
+    return [jnp.where(overflow, jnp.nan, out[:, bi]) for bi in range(nb)]
 
 
 def _pad_brick(b, geom: TileGeom, nz: int):
@@ -940,30 +933,38 @@ def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
         dwxl = _axis_onehot(lxl, _horner_dw(dxl[:, 0], cf), e=ex)
         dwyl = _axis_onehot(lyl, _horner_dw(dxl[:, 1], cf), e=ey)
         dwzd = _axis_onehot(lzl, _horner_dw(dxl[:, 2], cf), e=ez)
-        # transposed layout (exy, 3cap): the long 3cap axis rides the 128
-        # MXU lanes instead of ez (~38 at production meshes -> ~30% lane
-        # utilization); measured 37.5 -> 16.0 ms at the 100k geometry
-        # together with the occupancy cap (tools/exp_gather3.py)
-        wxy3 = jnp.concatenate([
-            (dwxl.T[:, None, :] * wyl.T[None, :, :]).reshape(ex * ey, cap),
-            (wxl.T[:, None, :] * dwyl.T[None, :, :]).reshape(ex * ey, cap),
-            (wxl.T[:, None, :] * wyl.T[None, :, :]).reshape(ex * ey, cap),
-        ], axis=1)
         patch = jax.lax.dynamic_slice(
             up, (txi * tlx, tyi * tly, tzi * tlz), (ex, ey, ez))
-        t1 = jnp.matmul(patch.reshape(ex * ey, ez).T, wxy3,
-                        precision=jax.lax.Precision.HIGHEST)   # (ez, 3cap)
-        wz3 = jnp.concatenate([wzd.T, wzd.T, dwzd.T], axis=1)
-        return jnp.sum(t1 * wz3, axis=0).reshape(3, cap).T
+        # z-FIRST contraction: (2cap, ez) @ (ez, exy) puts BOTH matmul
+        # output dims >= 128 (2cap ~ 640, exy ~ 484 at the production
+        # geometry) where the previous exy-contraction had M = ez ~ 38
+        # (~30% sublane utilization) — and does 2/3 the flops (two z-weight
+        # sets instead of three xy-weight sets).  The xy combine is three
+        # fused multiply-reduces on the VPU.
+        wz2 = jnp.concatenate([wzd, dwzd], axis=0)             # (2cap, ez)
+        t1 = jnp.matmul(wz2, patch.reshape(ex * ey, ez).T,
+                        precision=jax.lax.Precision.HIGHEST)   # (2cap, exy)
+        tw = t1[:cap].reshape(cap, ex, ey)
+        tdw = t1[cap:].reshape(cap, ex, ey)
+        # factored xy combine: per-atom (ex, ey) @ (ey,) then (ex,) dots —
+        # never materializes a (cap, ex*ey) weight operand (that costs
+        # ~3 GB/step of HBM traffic at the production geometry)
+        hi = jax.lax.Precision.HIGHEST
+        s1 = jnp.einsum("cxy,cy->cx", tw, wyl, precision=hi)
+        s2 = jnp.einsum("cxy,cy->cx", tw, dwyl, precision=hi)
+        s3 = jnp.einsum("cxy,cy->cx", tdw, wyl, precision=hi)
+        gx = jnp.sum(dwxl * s1, axis=1)
+        gy = jnp.sum(wxl * s2, axis=1)
+        gz = jnp.sum(wxl * s3, axis=1)
+        return jnp.stack([gx, gy, gz], axis=1)
 
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
                for a in (jnp.arange(t_tiles, dtype=jnp.int32),
                          lxs, lys, lzs, dxs))
     _, vals = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
-    out = jnp.zeros((n + 1, 3), dtype).at[table.reshape(-1)].add(
-        vals.reshape(t_tiles * cap, 3))
-    e = out[:n] * jnp.asarray(_delinv(grid), dtype)[None, :]
+    out = vals.reshape(t_tiles * cap, 3)[slots.slot]   # inverse-slot gather
+    e = out * jnp.asarray(_delinv(grid), dtype)[None, :]
     return jnp.where(overflow, jnp.nan, e)
 
 

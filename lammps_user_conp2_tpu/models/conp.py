@@ -112,8 +112,7 @@ class ConpSolver:
             slots = pppm_ops.refresh_tile_slots(grid, tasg, x, q_elyte)
         elif not pppm_ops._use_dense(grid, x.shape[0]):
             slots = pppm_ops.tile_slots(grid, x, q_elyte)
-        rhok_elyte = pppm_ops.rfft3(
-            grid, pppm_ops.spread(grid, x, q_elyte, slots=slots))
+        rhok_elyte = pppm_ops.spread_rhok(grid, x, q_elyte, slots=slots)
         return (rhok_elyte, slots)
 
     def _ewald_cacheable(self) -> bool:

@@ -162,8 +162,8 @@ class Engine:
                                      grid, tasg, x, q_elyte)
                                  if tasg is not None
                                  else pppm_ops.tile_slots(grid, x, q_elyte))
-                    rhok_elyte = pppm_ops.rfft3(
-                        grid, pppm_ops.spread(grid, x, q_elyte, slots=slots))
+                    rhok_elyte = pppm_ops.spread_rhok(
+                        grid, x, q_elyte, slots=slots)
                 # re-spread only the Ne electrode rows (pppm_conp.cpp:385-426
                 # ele_make_rho) and add their density IN K-SPACE: with the
                 # z-plane fast path the electrode forward transform is P
@@ -184,7 +184,7 @@ class Engine:
                     slots = (pppm_ops.refresh_tile_slots(grid, tasg, x, q)
                              if tasg is not None
                              else pppm_ops.tile_slots(grid, x, q))
-                rhok = pppm_ops.rfft3(grid, pppm_ops.spread(grid, x, q, slots=slots))
+                rhok = pppm_ops.spread_rhok(grid, x, q, slots=slots)
             if self.md.pppm_diff == "ad" or (
                     self.md.pppm_diff == "auto" and tiled):
                 # ad differentiation: one inverse FFT + one-mesh gather

@@ -405,3 +405,37 @@ def test_rfft3_irfft3_match_fft_f32(slab_setup):
             g, jnp.asarray(vk_ref * g.greens[..., :g.nz // 2 + 1],
                            jnp.complex64)))
         assert np.abs(u - u_ref).max() / np.abs(u_ref).max() < 2e-6
+
+
+def test_spread_rhok_matches_fft_of_spread(slab_setup):
+    """spread_rhok (z overlap-add folded into the shifted z-DFT) equals
+    rfft3(spread(...)) to f32 roundoff on the span-mode slab grid."""
+    grid, x, q, n = slab_setup
+    x32, q32 = x.astype(jnp.float32), q.astype(jnp.float32)
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x32, q32)
+    rho = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(x32, q32)
+    ref = np.asarray(P.rfft3(grid, rho))
+    got = np.asarray(jax.jit(
+        lambda a: P._spread_rhok_tiled(grid, a, slots=slots))(x32))
+    sc = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 4e-6 * sc
+
+
+def test_spread_rhok_periodic_grid():
+    """Fully periodic z (roll-merge branch): the shifted-DFT row mapping
+    must agree with the rolled overlap-add."""
+    rng = np.random.default_rng(5)
+    box = (30.0, 30.0, 30.0)
+    n = 1500
+    x = jnp.asarray(rng.uniform(0, 30, size=(n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    grid = P.setup_pppm(box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-4,
+                        natoms=n, q2=float(np.sum(np.asarray(q) ** 2)),
+                        cutoff=8.0, slabflag=False)
+    assert not P._tile_geometry(grid, n).z_span
+    rho = jax.jit(lambda a, b: P.spread_tiled(grid, a, b))(x, q)
+    ref = np.asarray(P.rfft3(grid, rho))
+    got = np.asarray(jax.jit(
+        lambda a, b: P._spread_rhok_tiled(grid, a, b))(x, q))
+    sc = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 4e-6 * sc

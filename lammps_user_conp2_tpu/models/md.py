@@ -189,9 +189,17 @@ class Engine:
                     self.md.pppm_diff == "auto" and tiled):
                 # ad differentiation: one inverse FFT + one-mesh gather
                 # (MDConfig.pppm_diff; LAMMPS kspace_modify diff ad)
-                ek, umesh = pppm_ops.pppm_energy_u_from_k(grid, rhok)
-                fk = u.qqr2e * q[:, None] * pppm_ops.gather3_ad(
-                    grid, umesh, x, slots=slots)
+                if tiled and x.dtype == jnp.float32:
+                    # z-binned inverse: the z-IDFT lands directly on the
+                    # patch rows the tiled gather reads (no dense u mesh)
+                    ek, uz = pppm_ops.pppm_energy_u_zbin(
+                        grid, rhok, x.shape[0])
+                    fk = u.qqr2e * q[:, None] * pppm_ops.gather3_ad_zbin(
+                        grid, uz, x, slots=slots)
+                else:
+                    ek, umesh = pppm_ops.pppm_energy_u_from_k(grid, rhok)
+                    fk = u.qqr2e * q[:, None] * pppm_ops.gather3_ad(
+                        grid, umesh, x, slots=slots)
             else:
                 ek, efield = pppm_ops.pppm_energy_efield_from_k(grid, rhok)
                 fk = u.qqr2e * q[:, None] * pppm_ops.gather3(

@@ -1045,6 +1045,113 @@ def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
     return jnp.where(overflow, jnp.nan, e)
 
 
+_ZBIN_IDFT_CACHE = {}
+
+
+def _zbin_idft(grid: PPPMGrid, geom: TileGeom):
+    """(nzh, ntz*ez) inverse half-spectrum z-DFT matrices onto the z-BINNED
+    rows: column (zt, e) reconstructs u at the SAME unwrapped global node
+    the forward _zbin_dft row maps to (duplicate borders simply reproduce
+    the node value once per reading bin), with the Hermitian spectrum-
+    doubling weights and 1/nz folded in exactly as _zdft_mats does."""
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    ez = tlz + 2 * (hw + dm)
+    key = (grid.nz, ntz, tlz, ez, z_span)
+    if key not in _ZBIN_IDFT_CACHE:
+        C, S = _zbin_dft(grid, geom)
+        nz = grid.nz
+        nzh = nz // 2 + 1
+        w = np.full(nzh, 2.0)
+        w[0] = 1.0
+        if nz % 2 == 0:
+            w[-1] = 1.0
+        _ZBIN_IDFT_CACHE[key] = ((C * w / nz).T, (S * w / nz).T)
+    return _ZBIN_IDFT_CACHE[key]
+
+
+def pppm_energy_u_zbin(grid: PPPMGrid, rhok, natoms: int):
+    """(energy, z-binned u rows) from the half-spectrum density: the
+    inverse z transform lands DIRECTLY on the (ntz, ez) patch rows the
+    tiled gather reads (wraps included via the periodic phases), so the
+    dense (nx, ny, nz) potential mesh is never materialized and the
+    z-inverse contracts over ntz*ez occupied rows instead of nz (~half
+    the flops at the 100k slab geometry).  Returns u shaped
+    (nx, ny, ntz, ez) for gather3_ad_zbin."""
+    nzh = grid.nz // 2 + 1
+    rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
+    geom = _tile_geometry(grid, natoms)
+    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    wz = _half_weights(grid, rdt)
+    e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
+    phik = rhok * gk
+    v = jnp.fft.ifftn(phik, axes=(0, 1))
+    iC, iS = _zbin_idft(grid, geom)
+    hi = jax.lax.Precision.HIGHEST
+    u = (jnp.matmul(jnp.real(v), jnp.asarray(iC, rdt), precision=hi)
+         - jnp.matmul(jnp.imag(v), jnp.asarray(iS, rdt), precision=hi))
+    u = u * (grid.nx * grid.ny * grid.nz / grid.volume)
+    ntz = geom.ntz
+    return e, u.reshape(grid.nx, grid.ny, ntz, u.shape[-1] // ntz)
+
+
+def gather3_ad_zbin(grid: PPPMGrid, uz, x, slots: TileSlots = None):
+    """gather3_ad_tiled reading the z-binned potential rows produced by
+    pppm_energy_u_zbin: per tile the (ex, ey, ez) patch is an xy
+    dynamic_slice of the wrap-padded (nx+2bw, ny+2bw) mesh at the tile's
+    own z-bin — no full-mesh _pad_brick, no dense z rows."""
+    n = x.shape[0]
+    dtype = x.dtype
+    if slots is None:
+        slots = tile_slots(grid, x, jnp.zeros((n,), dtype))
+    lxs, lys, lzs, dxs = slots.lxs, slots.lys, slots.lzs, slots.dxs
+    overflow = slots.overflow
+    geom = _tile_geometry(grid, n)
+    p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
+    bw = hw + dm
+    ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
+    cf = jnp.asarray(grid.coeffs, dtype)
+    up = jnp.pad(uz.astype(dtype), ((bw, bw), (bw, bw), (0, 0), (0, 0)),
+                 mode="wrap")
+
+    def one(t, lxl, lyl, lzl, dxl):
+        txi = t // (nty * ntz)
+        tyi = (t // ntz) % nty
+        tzi = t % ntz
+        wxl = _axis_onehot(lxl, _horner_w(dxl[:, 0], cf), e=ex)
+        wyl = _axis_onehot(lyl, _horner_w(dxl[:, 1], cf), e=ey)
+        wzd = _axis_onehot(lzl, _horner_w(dxl[:, 2], cf), e=ez)
+        dwxl = _axis_onehot(lxl, _horner_dw(dxl[:, 0], cf), e=ex)
+        dwyl = _axis_onehot(lyl, _horner_dw(dxl[:, 1], cf), e=ey)
+        dwzd = _axis_onehot(lzl, _horner_dw(dxl[:, 2], cf), e=ez)
+        zero = jnp.zeros((), t.dtype)
+        patch = jax.lax.dynamic_slice(
+            up, (txi * tlx, tyi * tly, tzi, zero), (ex, ey, 1, ez)
+        ).reshape(ex, ey, ez)
+        # z-FIRST contraction as in gather3_ad_tiled
+        hi = jax.lax.Precision.HIGHEST
+        wz2 = jnp.concatenate([wzd, dwzd], axis=0)             # (2cap, ez)
+        t1 = jnp.matmul(wz2, patch.reshape(ex * ey, ez).T,
+                        precision=hi)                          # (2cap, exy)
+        tw = t1[:cap].reshape(cap, ex, ey)
+        tdw = t1[cap:].reshape(cap, ex, ey)
+        s1 = jnp.einsum("cxy,cy->cx", tw, wyl, precision=hi)
+        s2 = jnp.einsum("cxy,cy->cx", tw, dwyl, precision=hi)
+        s3 = jnp.einsum("cxy,cy->cx", tdw, wyl, precision=hi)
+        gx = jnp.sum(dwxl * s1, axis=1)
+        gy = jnp.sum(wxl * s2, axis=1)
+        gz = jnp.sum(wxl * s3, axis=1)
+        return jnp.stack([gx, gy, gz], axis=1)
+
+    xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
+               for a in (jnp.arange(t_tiles, dtype=jnp.int32),
+                         lxs, lys, lzs, dxs))
+    _, vals = jax.lax.scan(
+        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+    out = vals.reshape(t_tiles * cap, 3)[slots.slot]   # inverse-slot gather
+    e = out * jnp.asarray(_delinv(grid), dtype)[None, :]
+    return jnp.where(overflow, jnp.nan, e)
+
+
 def gather3_ad(grid: PPPMGrid, u, x, slots: TileSlots = None):
     """E = -grad(phi) at atom positions from ONE potential mesh (the ad
     differentiation scheme, LAMMPS `kspace_modify diff ad`).  Exactly

@@ -439,3 +439,51 @@ def test_spread_rhok_periodic_grid():
         lambda a, b: P._spread_rhok_tiled(grid, a, b))(x, q))
     sc = np.abs(ref).max()
     assert np.abs(got - ref).max() < 4e-6 * sc
+
+
+def test_gather3_ad_zbin_matches_dense_mesh(slab_setup):
+    """pppm_energy_u_zbin + gather3_ad_zbin == pppm_energy_u_from_k +
+    gather3_ad_tiled on the span-mode slab grid (f32 roundoff)."""
+    grid, x, q, n = slab_setup
+    x32, q32 = x.astype(jnp.float32), q.astype(jnp.float32)
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x32, q32)
+    rhok = jax.jit(
+        lambda a: P._spread_rhok_tiled(grid, a, slots=slots))(x32)
+    e_ref, u_ref = jax.jit(
+        lambda r: P.pppm_energy_u_from_k(grid, r))(rhok)
+    f_ref = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_tiled(grid, u, a, slots=slots))(
+            u_ref, x32))
+    e_got, uz = jax.jit(
+        lambda r: P.pppm_energy_u_zbin(grid, r, x32.shape[0]))(rhok)
+    f_got = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots))(uz, x32))
+    assert abs(float(e_got) - float(e_ref)) < 2e-5 * abs(float(e_ref))
+    sc = np.abs(f_ref).max()
+    assert np.abs(f_got - f_ref).max() < 4e-6 * sc
+
+
+def test_gather3_ad_zbin_periodic_grid():
+    """Periodic-z (roll-merge) geometry: the inverse z-bin row mapping must
+    agree with the wrap-padded dense mesh."""
+    rng = np.random.default_rng(11)
+    box = (30.0, 30.0, 30.0)
+    n = 1500
+    x = jnp.asarray(rng.uniform(0, 30, size=(n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    q = q - q.mean()
+    grid = P.setup_pppm(box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-4,
+                        natoms=n, q2=float(np.sum(np.asarray(q) ** 2)),
+                        cutoff=8.0, slabflag=False)
+    assert not P._tile_geometry(grid, n).z_span
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x, q)
+    rhok = jax.jit(lambda a, b: P._spread_rhok_tiled(grid, a, b))(x, q)
+    _, u_ref = jax.jit(lambda r: P.pppm_energy_u_from_k(grid, r))(rhok)
+    f_ref = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_tiled(grid, u, a, slots=slots))(u_ref, x))
+    _, uz = jax.jit(
+        lambda r: P.pppm_energy_u_zbin(grid, r, n))(rhok)
+    f_got = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots))(uz, x))
+    sc = np.abs(f_ref).max()
+    assert np.abs(f_got - f_ref).max() < 4e-6 * sc

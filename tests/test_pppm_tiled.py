@@ -487,3 +487,48 @@ def test_gather3_ad_zbin_periodic_grid():
         lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots))(uz, x))
     sc = np.abs(f_ref).max()
     assert np.abs(f_got - f_ref).max() < 4e-6 * sc
+
+
+def test_engine_ad_zbin_branch(monkeypatch):
+    """Engine-level wiring of the z-binned ad path: an f32 engine on the
+    production config (tiled PPPM + ad + nlist + INV) must route mesh
+    forces through pppm_energy_u_zbin/gather3_ad_zbin, and the forces must
+    match the f64 engine (dense-mesh ad path) to f32 roundoff."""
+    import dataclasses
+    from lammps_user_conp2_tpu import workloads
+    from lammps_user_conp2_tpu.models.conp import setup_conp
+    from lammps_user_conp2_tpu.models.md import build_engine
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+
+    monkeypatch.setattr(P, "_use_dense", lambda grid, n: False)
+    calls = {"n": 0}
+    real = P.pppm_energy_u_zbin
+
+    def spy(grid, rhok, natoms):
+        calls["n"] += 1
+        return real(grid, rhok, natoms)
+
+    monkeypatch.setattr(P, "pppm_energy_u_zbin", spy)
+    system, md, cfg = workloads.synthetic(n_elyte=512, nele_side=5,
+                                          lz=36.0, lxy=20.0)
+    md = dataclasses.replace(md, pair_path="nlist",
+                             kspace_style=KSpaceStyle.PPPM, pppm_diff="ad")
+    cfg = dataclasses.replace(cfg, solver=Solver.INV,
+                              kspace=KSpaceStyle.PPPM, target=0.0)
+
+    def forces(dtype):
+        solver = setup_conp(system, md, cfg, solve_dtype=dtype)
+        eng = build_engine(system, md, solver, dtype=dtype)
+        st = eng.init_state()
+        q, scal, kcache = solver.solve_full(
+            st.x, st.q, 0, st.nbr, eng.ncfg, tasg=st.tasg)
+        f, pe = eng.compute_forces(st.x, q, scal, kcache, st.nbr, st.tasg)
+        return np.asarray(f, np.float64)
+
+    f32 = forces(jnp.float32)
+    assert calls["n"] >= 1          # the zbin branch actually ran
+    n32 = calls["n"]
+    f64 = forces(jnp.float64)
+    assert calls["n"] == n32        # ...and the f64 engine did NOT take it
+    sc = np.abs(f64).max()
+    assert np.abs(f32 - f64).max() < 5e-5 * sc

@@ -223,32 +223,69 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
                     ecp, axis=1, keepdims=True)
 
 
-def _tile_mask(zkey, n, ni, tr, njp, cutoff, lz, zperiodic):
+def _tile_mask3(xw, valid, ni, tr, njp, cutoff, box, periodic):
     """(ni, njp) int32 mask: 1 where tile i and its round-robin partner
     (i+jp) mod ni can hold a pair within the cutoff, judged by exact
-    per-tile [zmin, zmax] bounds of the SORTED z keys (pads carry key
-    _PAD_KEY and are excluded from the bounds)."""
-    big = jnp.asarray(1e8, zkey.dtype)
-    zt = zkey.reshape(ni, tr)
-    valid = zt < big
-    zmin = jnp.min(jnp.where(valid, zt, big), axis=1)
-    zmax = jnp.max(jnp.where(valid, zt, -big), axis=1)
-    tvalid = jnp.any(valid, axis=1)
+    per-tile axis-aligned bounding boxes of the WRAPPED coordinates
+    (pads excluded via ``valid``).  For z-sorted atoms the xy bounds span
+    the box and this reduces to the z-gap test; for Morton-sorted atoms
+    (compact 3-D tile blobs) all three axes cull — the tile analogue of
+    LAMMPS's 3-D neighbor bins.  Per-axis gaps take the minimum of the
+    direct and the around-the-box distance on periodic axes; a tile whose
+    own AABB wraps the boundary just reads as axis-spanning (gap 0) —
+    conservative, never wrong."""
+    big = jnp.asarray(1e8, xw.dtype)
+    xt = xw.reshape(ni, tr, 3)
+    vt = valid.reshape(ni, tr, 1)
+    mins = jnp.min(jnp.where(vt, xt, big), axis=1)       # (ni, 3)
+    maxs = jnp.max(jnp.where(vt, xt, -big), axis=1)
+    tvalid = jnp.any(vt[:, :, 0], axis=1)
     from .zorder import Z_MARGIN
     cutoff = cutoff + Z_MARGIN   # float-noise insurance; see zorder.py
     ii = jnp.arange(ni)[:, None]
     jj = (ii + jnp.arange(njp)[None, :]) % ni
-    gd = jnp.maximum(zmin[jj] - zmax[ii], zmin[ii] - zmax[jj])
-    act = gd <= cutoff
-    if zperiodic:
-        span = jnp.maximum(zmax[ii], zmax[jj]) - jnp.minimum(zmin[ii], zmin[jj])
-        act = act | ((lz - span) <= cutoff)
+    gapsq = jnp.zeros((ni, njp), xw.dtype)
+    for ax in range(3):
+        direct = jnp.maximum(mins[jj, ax] - maxs[ii, ax],
+                             mins[ii, ax] - maxs[jj, ax])
+        gap = jnp.maximum(direct, 0.0)
+        if periodic[ax]:
+            span = (jnp.maximum(maxs[ii, ax], maxs[jj, ax])
+                    - jnp.minimum(mins[ii, ax], mins[jj, ax]))
+            gap = jnp.minimum(gap, jnp.maximum(box[ax] - span, 0.0))
+        gapsq = gapsq + gap * gap
+    act = gapsq <= cutoff * cutoff
     act = act & tvalid[ii] & tvalid[jj]
     act = act.at[:, 0].set(True)
     return act.astype(jnp.int32)
 
 
-_PAD_KEY = 1e9
+def pair_tile_count(x, *, box, periodic, cutoff, tr=256, order="z"):
+    """Live compacted tile-pair count at positions ``x`` — the build-time
+    sizing input for ``pair_cap`` (engines take count x headroom; the
+    NaN-poison + host regrow in Engine.run covers drift beyond it)."""
+    import jax
+
+    from .zorder import ORDERINGS, wrap_coords
+
+    @jax.jit
+    def count(x):
+        n = x.shape[0]
+        npr = n + (-n) % tr
+        ni = npr // tr
+        if ni % 2 == 0:
+            npr += tr
+            ni += 1
+        perm, _ = ORDERINGS[order](x, box, periodic)
+        xp = jnp.concatenate(
+            [x[perm], jnp.full((npr - n, 3), 1e6, x.dtype)], axis=0)
+        xw = wrap_coords(xp, box, periodic)
+        act = _tile_mask3(xw, jnp.arange(npr) < n, ni, tr, (ni + 1) // 2,
+                          float(cutoff), tuple(float(b) for b in box),
+                          periodic)
+        return jnp.sum(act)
+
+    return int(count(jnp.asarray(x)))
 
 
 def _compact_pairs(act, ni, njp, cap, corr=None):
@@ -280,7 +317,7 @@ def _compact_pairs(act, ni, njp, cap, corr=None):
 
 def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
                        cutoff, g_ewald, qqr2e, tr=256, tc=256, pair_cap=None,
-                       zsort=None, conp_fuse=None, interpret=False):
+                       zsort=None, order="z", conp_fuse=None, interpret=False):
     """Drop-in equivalent of ops.pairs.dense_pair_forces (same return values).
 
     ``pair_cap`` bounds the compacted active-tile-pair grid; None means the
@@ -288,8 +325,11 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     one from the build-time geometry) shrinks the grid; if the live count
     ever exceeds it the forces come back NaN-poisoned (host-side regrow).
 
-    ``zsort``: optional (perm, z_sorted) from ops.pallas.zorder.z_perm —
-    the per-step z-ordering shared with the electrode-row kernels.
+    ``zsort``: optional (perm, z_sorted) from ops.pallas.zorder.z_perm or
+    morton_perm — the per-step ordering shared with the electrode-row
+    kernels.  When None, one is computed here per ``order`` ("z" for slab
+    cells a few cutoffs wide, "morton" for boxes many cutoffs wide in every
+    axis — the tile AABB mask then culls in all three axes).
 
     ``conp_fuse``: optional (ele_flag, elyte_flag, eta_ij, fo_ij) — per-atom
     0/1 flags (n,) plus the (T, T) Gaussian width / overlap type tables.
@@ -310,20 +350,20 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
         ni += 1
     npad = npr - n
 
-    # z-order the atoms so the per-tile z bounds are tight (pads sort last);
-    # the sort key wraps z into [0, L) when z is periodic — the kernel's own
-    # minimum image is unaffected (it sees the raw coordinates)
-    from .zorder import z_perm
+    # order the atoms so the per-tile bounds are tight (pads sort last);
+    # the sort keys wrap coords into [0, L) on periodic axes — the kernel's
+    # own minimum image is unaffected (it sees the raw coordinates)
+    from .zorder import ORDERINGS, wrap_coords
     if zsort is None:
-        zsort = z_perm(x, box, periodic)
+        zsort = ORDERINGS[order](x, box, periodic)
     perm, zs_n = zsort
     # sentinel far outside every cutoff so pad pairs are out of range
     sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
     xp = jnp.concatenate([x[perm], jnp.tile(sentinel, (npad, 1))], axis=0)
     qp = jnp.pad(q[perm], (0, npad))
     tp = jnp.pad(type_idx[perm], (0, npad))
-    zkey = jnp.concatenate(
-        [zs_n.astype(dtype), jnp.full((npad,), _PAD_KEY, dtype)])
+    xw = wrap_coords(xp, box, periodic)
+    pvalid = jnp.arange(npr) < n
 
     # per-row coefficient table [lj1|lj2|lj3|lj4][type_i] : (N', 4T)
     cr = jnp.concatenate([tables.lj1[tp], tables.lj2[tp],
@@ -331,8 +371,8 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     ohc = (tp[:, None] == jnp.arange(nt1)[None, :]).astype(dtype)
 
     njp = (ni + 1) // 2
-    act = _tile_mask(zkey, n, ni, tr, njp, float(cutoff),
-                     float(box[2]), bool(periodic[2]))
+    act = _tile_mask3(xw, pvalid, ni, tr, njp, float(cutoff),
+                      tuple(float(b) for b in box), periodic)
     corr_tiles = None
     if conp_fuse is not None:
         ele_f, ely_f, eta_tab, fo_tab = conp_fuse

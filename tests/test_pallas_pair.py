@@ -29,6 +29,61 @@ def test_pallas_pair_matches_dense():
     np.testing.assert_allclose(float(ec2), float(ec1), rtol=1e-12)
 
 
+def test_pallas_pair_morton_matches_dense():
+    """Morton-ordered tiles with 3-D AABB culling reproduce the dense sweep
+    on a box many cutoffs wide in every axis (the large-N production
+    geometry), and the culled tile-pair count actually shrinks."""
+    from lammps_user_conp2_tpu.ops.pallas.pair_kernel import pair_tile_count
+
+    system, md, cfg = workloads.synthetic(n_elyte=1500, nele_side=8,
+                                          lz=40.0, lxy=30.0)
+    u = system.units()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(system.x0 + 0.05 * rng.standard_normal(system.x0.shape))
+    q = jnp.asarray(system.q0)
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type)
+    excl = tuple(jnp.asarray(a) for a in exclusion_lists(system))
+    kw = dict(box=system.box, periodic=system.periodic, cutoff=md.cutoff,
+              g_ewald=0.35, qqr2e=u.qqr2e)
+    f1, ev1, ec1 = dense_pair_forces(x, q, ti, tables, excl, **kw)
+    cnt = pair_tile_count(x, box=system.box, periodic=system.periodic,
+                          cutoff=md.cutoff, tr=128, order="morton")
+    f2, ev2, ec2 = pair_forces_pallas(
+        x, q, ti, tables, excl, tr=128, tc=128, order="morton",
+        pair_cap=cnt + 8, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(float(ev2), float(ev1), rtol=1e-12)
+    np.testing.assert_allclose(float(ec2), float(ec1), rtol=1e-12)
+    # a cap below the live count must NaN-poison, never silently truncate
+    f3, ev3, _ = pair_forces_pallas(
+        x, q, ti, tables, excl, tr=128, tc=128, order="morton",
+        pair_cap=max(cnt // 2, 1), interpret=True, **kw)
+    assert not np.isfinite(float(ev3))
+
+
+def test_morton_tile_count_culls_wide_boxes():
+    """In the many-cutoffs-wide regime Morton tiles are compact 3-D blobs:
+    the AABB mask must cull the vast majority of tile pairs (z-slab tiles
+    only cull in z there).  Count-only — no kernel execution needed."""
+    from lammps_user_conp2_tpu.ops.pallas.pair_kernel import pair_tile_count
+
+    rng = np.random.default_rng(3)
+    n, box, cutoff = 24576, (60.0, 60.0, 80.0), 5.0
+    x = rng.uniform(0, 1, (n, 3)) * np.asarray(box)
+    per = (True, True, False)
+    ni = (n + 255) // 256
+    ni += 1 - ni % 2
+    full = ni * ((ni + 1) // 2)
+    cm = pair_tile_count(x, box=box, periodic=per, cutoff=cutoff,
+                         tr=256, order="morton")
+    cz = pair_tile_count(x, box=box, periodic=per, cutoff=cutoff,
+                         tr=256, order="z")
+    assert cm < 0.25 * full, (cm, full)
+    assert cm < 0.8 * cz, (cm, cz)
+
+
 def test_ele_rows_kernels_match_xla_interpret():
     """Fused electrode-row kernels (b real block + Gaussian correction)
     reproduce the XLA paths exactly (interpret mode, f64)."""

@@ -63,25 +63,29 @@ def test_pallas_pair_morton_matches_dense():
     assert not np.isfinite(float(ev3))
 
 
-def test_morton_tile_count_culls_wide_boxes():
-    """In the many-cutoffs-wide regime Morton tiles are compact 3-D blobs:
-    the AABB mask must cull the vast majority of tile pairs (z-slab tiles
-    only cull in z there).  Count-only — no kernel execution needed."""
+def test_kd_tile_count_culls_production_geometry():
+    """At the 100k production geometry (box many cutoffs wide in every
+    axis) the k-d brick ordering must cull laterally: fewer pair SLOTS at
+    tr=128 than z-slab ordering at either tile size.  (In small or dense
+    boxes z-slabs legitimately win — the engine picks by geometry.)
+    Count-only — no kernel execution needed."""
     from lammps_user_conp2_tpu.ops.pallas.pair_kernel import pair_tile_count
 
+    system, md, _ = workloads.synthetic(n_elyte=98304, nele_side=23,
+                                        lz=240.0, lxy=120.0)
     rng = np.random.default_rng(3)
-    n, box, cutoff = 24576, (60.0, 60.0, 80.0), 5.0
-    x = rng.uniform(0, 1, (n, 3)) * np.asarray(box)
-    per = (True, True, False)
-    ni = (n + 255) // 256
+    x = system.x0 + 0.15 * rng.standard_normal(system.x0.shape)
+    kw = dict(box=system.box, periodic=system.periodic, cutoff=md.cutoff)
+    ckd = pair_tile_count(x, tr=128, order="kd128", **kw)
+    chil = pair_tile_count(x, tr=128, order="hilbert", **kw)
+    cz128 = pair_tile_count(x, tr=128, order="z", **kw)
+    cz256 = pair_tile_count(x, tr=256, order="z", **kw)
+    ni = (system.natoms + 127) // 128
     ni += 1 - ni % 2
     full = ni * ((ni + 1) // 2)
-    cm = pair_tile_count(x, box=box, periodic=per, cutoff=cutoff,
-                         tr=256, order="morton")
-    cz = pair_tile_count(x, box=box, periodic=per, cutoff=cutoff,
-                         tr=256, order="z")
-    assert cm < 0.25 * full, (cm, full)
-    assert cm < 0.8 * cz, (cm, cz)
+    assert ckd < 0.05 * full, (ckd, full)
+    assert ckd < chil < cz128, (ckd, chil, cz128)
+    assert ckd * 128 * 128 < 0.6 * cz256 * 256 * 256, (ckd, cz256)
 
 
 def test_ele_rows_kernels_match_xla_interpret():

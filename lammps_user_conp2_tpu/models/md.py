@@ -61,6 +61,14 @@ class Engine:
     elecheck: jnp.ndarray
     dtype: object
     use_pallas: bool
+    # tile pair path (pair_path="tile"): the Pallas tile-pair kernel IS the
+    # large-N pair sweep — no Verlet list at all.  Ordering "kd128" packs
+    # atoms into balanced k-d bricks so the 3-D AABB mask culls laterally;
+    # pair_cap bounds the compacted tile-pair grid (sized from x0, regrown
+    # by run() on overflow)
+    pair_order: str = "z"
+    pair_tr: int = 256
+    pair_cap: object = None      # int or None (= full tile-pair count)
     # persistent mesh-tile binning (ops/pppm.py TileAssign carried in
     # MDState.tasg, rebuilt on the Verlet skin trigger): True only when the
     # tiled PPPM path is active, a Verlet list provides the rebuild trigger,
@@ -128,8 +136,10 @@ class Engine:
             out = pair_forces_pallas(
                 x, q, self.type_idx, self.tables, self.exclusions,
                 box=box, periodic=sys.periodic, cutoff=self.md.cutoff,
-                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e, zsort=zsort,
-                conp_fuse=fuse)
+                g_ewald=self.ksp_force.g_ewald, qqr2e=u.qqr2e,
+                zsort=zsort if self.pair_order == "z" else None,
+                order=self.pair_order, tr=self.pair_tr, tc=self.pair_tr,
+                pair_cap=self.pair_cap, conp_fuse=fuse)
             if fuse is not None:
                 f, evdwl, ecoul, fused_ecorr = out
             else:
@@ -330,6 +340,15 @@ class Engine:
             # silently clear the flag — keep it set so the host-boundary
             # recovery in run() can identify overflow as the cause
             nbr = nbr._replace(overflow=nbr.overflow | state.nbr.overflow)
+        elif self.mesh_persist:
+            # tile pair path: no Verlet skin trigger exists, so the
+            # persistent mesh binning carries its own drift reference and
+            # rebuilds when any atom nears the dm-cell patch margin
+            from ..ops import pppm as pppm_ops
+            tasg = jax.lax.cond(
+                pppm_ops.tile_drift_exceeded(self.pppm_grid, tasg, x),
+                lambda xx: pppm_ops.tile_assign(self.pppm_grid, xx),
+                lambda xx: tasg, x)
 
         scalar = state.scalar_out
         kcache = None
@@ -511,6 +530,13 @@ class Engine:
                 and not pppm_ops._use_dense(self.pppm_grid,
                                             self.system.natoms))
 
+    def _grow_pair_cap(self) -> None:
+        """Double the tile-pair grid capacity after a live-count overflow
+        (the kernel NaN-poisons rather than truncating; the cap is clamped
+        to the full tile-pair count inside pair_forces_pallas)."""
+        object.__setattr__(self, "pair_cap", 2 * int(self.pair_cap))
+        self._run_cache.clear()
+
     def _grow_tile_capacity(self) -> None:
         """Grow the mesh tile slot capacity after an occupancy overflow.
         The tiled spread/gather NaN-poisons on overflow (TileSlots.overflow)
@@ -551,14 +577,18 @@ class Engine:
             if self.ncfg is not None and state.nbr is not None and \
                     bool(final.nbr.overflow):
                 self._grow_neighbor_capacity()
-            elif self._mesh_tiled() or self.cell_grid is not None:
+            elif (self._mesh_tiled() or self.cell_grid is not None
+                  or self.pair_cap is not None):
                 # no sticky flag distinguishes mesh-tile from cell-table
-                # overflow (or a genuine physics NaN) — grow whichever
-                # capacities are in play, bounded by the retry count
+                # from tile-pair-cap overflow (or a genuine physics NaN) —
+                # grow whichever capacities are in play, bounded by the
+                # retry count
                 if self._mesh_tiled():
                     self._grow_tile_capacity()
                 if self.cell_grid is not None:
                     self._grow_neighbor_capacity()
+                if self.pair_cap is not None:
+                    self._grow_pair_cap()
             else:
                 break
             state = self._heal_state(state)
@@ -664,8 +694,12 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     # auto selects exactly ONE path (the Verlet list — both the single-chip
     # and the sharded engine consume it); building both would carry a dead
     # (N, K) list through every step of a cell-path run (~200 MB at 100k)
+    import jax as _jax
+    want_tile = (md.pair_path == "tile"
+                 and _jax.default_backend() == "tpu" and dtype == jnp.float32)
     want_cell = md.pair_path == "cell"
-    want_nlist = md.pair_path == "nlist" or (md.pair_path == "auto" and big_n)
+    want_nlist = md.pair_path == "nlist" or (
+        md.pair_path in ("auto", "tile") and big_n and not want_tile)
     if want_cell:
         from ..ops.cells import build_cell_grid
         cell_grid = build_cell_grid(system.box, tuple(system.box_lo),
@@ -683,9 +717,20 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         # auto: the fused kernel wins ~11% at N >= a few thousand but its
         # fixed tile padding loses at small N (432-atom dilute: -17%);
         # Mosaic has no f64 dot lowering, so f64 runs stay on the XLA path
-        import jax as _jax
         use_pallas = (_jax.default_backend() == "tpu"
                       and system.natoms >= 2048 and dtype != jnp.float64)
+    pair_order, pair_tr, pair_cap = "z", 256, None
+    if want_tile:
+        # k-d brick ordering + 3-D AABB culling: the kernel IS the large-N
+        # pair path (no Verlet list, no rebuild events — the mask is exact
+        # per call).  Cap sized from x0; run() regrows on overflow.
+        from ..ops.pallas.pair_kernel import pair_tile_count
+        use_pallas = True
+        pair_order, pair_tr = "kd128", 128
+        cnt = pair_tile_count(system.x0.astype(np.float32), box=system.box,
+                              periodic=system.periodic, cutoff=md.cutoff,
+                              tr=pair_tr, order=pair_order)
+        pair_cap = int(math.ceil(cnt * 1.5)) + 8
 
     zmirror = None
     if md.zmirror is not None:
@@ -710,6 +755,11 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
             min_cell = min(g.box[0] / g.nx, g.box[1] / g.ny,
                            g.zprd_grid / g.nz)
             mesh_persist = 0.5 * ncfg.skin <= pppm_ops.TILE_DM * min_cell
+    elif pppm_grid is not None and want_tile:
+        # tile pair path: the assignment carries its own drift reference
+        # (tile_drift_exceeded), so persistence needs no skin gate
+        from ..ops import pppm as pppm_ops
+        mesh_persist = not pppm_ops._use_dense(pppm_grid, system.natoms)
 
     return Engine(
         system=system, md=md, conp=conp, integrator=integrator, cons=cons,
@@ -721,5 +771,6 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         elecheck=jnp.asarray(system.elecheck),
         dtype=dtype,
         use_pallas=use_pallas,
+        pair_order=pair_order, pair_tr=pair_tr, pair_cap=pair_cap,
         mesh_persist=mesh_persist,
     )

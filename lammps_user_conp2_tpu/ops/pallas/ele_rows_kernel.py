@@ -14,17 +14,27 @@ fo_ij overlap prefactors (ETA = uniform eta, fo = 0; fix_conp.cpp:1467-1573):
     force(rsq)     = e2 * fo * exp(-e2/2) - ferfcr(e2) * et
 
 The correction kernel accumulates row forces over column tiles (contiguous
-revisit) and emits per-row-tile partial column forces reduced outside in
-XLA; the b kernel emits row sums only.
+revisit) and emits per-entry partial column forces reduced outside in XLA;
+the b kernel emits row sums only.
 
-z-bounded tile skipping (the pair kernel's trick, adapted to rectangular
+Tile-pair compaction (the pair kernel's scheme, adapted to rectangular
 electrode x all-atom sweeps): electrodes sit on a handful of z planes and
 the cell is a z-extended slab, so most (row-tile, col-tile) pairs are
-provably out of range.  Columns are z-argsorted per call (electrolyte
-columns only set the bounds — the cmask zeroes electrode columns anyway);
-row-tile bounds come from the electrode coordinates as passed (electrode
-index order is already z-grouped by construction).  An SMEM mask gates the
-whole per-tile chain under ``pl.when`` — exact, no skin.
+provably out of range once columns are z-argsorted.  The surviving pairs
+are COMPACTED into a 1-D grid whose (row, col) tile indices are
+scalar-prefetched from SMEM — out-of-range pairs never get a grid step
+(at the 100k production config ~97% of the dense (9, 195) grid is dead,
+and a dense grid pays its block DMAs on every step whether or not the
+body runs).  Column tile 0 is forced active per row so every output block
+is visited (zeroed) at least once.  ``cap`` bounds the compacted grid
+(None = the full pair count, always sufficient); if the live count ever
+exceeds a tighter cap the outputs come back NaN-poisoned (fail loud, the
+same contract as the pair kernel / neighbor list).
+
+Operands are PACKED into one row array and one column array (the kernels
+are DMA-issue-bound: 2 block copies per grid step instead of 6-8):
+    rows: [eta T | fo T | x 3 | q 1]        (q column unused by the b kernel)
+    cols: [ohc T | x 3 | q 1 | cmask 1]
 """
 
 from __future__ import annotations
@@ -34,7 +44,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,27 +82,27 @@ def _erfcr(a2_r2, expm2=None):
     return jnp.where(a2_r2 < _ERFC_MAX_SQ, val, 0.0), expm2
 
 
-def _gauss_tables(etar_ref, for_ref, ohc_ref, dtype):
-    """(TR, T) eta/fo rows x (TC, T) one-hot -> (TR, TC) per-pair tables."""
+def _gauss_pair(pr, pc, rsq_s, t, dtype):
+    """Per-pair Gaussian kernel tables from the packed operands."""
     dg = lambda a, b: jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST)
-    et = dg(etar_ref[:], ohc_ref[:])
-    fo = dg(for_ref[:], ohc_ref[:])
+    ohc = pc[:, 0:t]
+    et = dg(pr[:, 0:t], ohc)
+    fo = dg(pr[:, t:2 * t], ohc)
     return et, fo
 
 
-def _corr_kernel(act_ref, xr_ref, qr_ref, etar_ref, for_ref, xc_ref, qc_ref,
-                 ohc_ref, cmask_ref, fr_ref, fcp_ref, er_ref, *,
-                 box, periodic, cutsq, qqr2e, tr, tc):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    active = act_ref[i, j] != 0
+def _corr_kernel(ri_ref, cj_ref, meta_ref, pr_ref, pc_ref, out_ref, fcp_ref,
+                 *, box, periodic, cutsq, qqr2e, tr, tc, t):
+    p = pl.program_id(0)
+    m = meta_ref[p]
+    active = (m & 1) != 0
+    first = (m & 4) != 0
 
-    @pl.when(j == 0)
+    @pl.when(first)
     def _():
-        fr_ref[:] = jnp.zeros_like(fr_ref)
-        er_ref[:] = jnp.zeros_like(er_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -102,13 +111,18 @@ def _corr_kernel(act_ref, xr_ref, qr_ref, etar_ref, for_ref, xc_ref, qc_ref,
 
     @pl.when(active)
     def _():
-        xr = xr_ref[:]
-        xc = xc_ref[:]
+        pr = pr_ref[:]
+        pc = pc_ref[:]
+        xr = pr[:, 2 * t:2 * t + 3]
+        xc = pc[:, t:t + 3]
+        qr = pr[:, 2 * t + 3:2 * t + 4]
+        qc = pc[:, t + 3:t + 4]
+        cmask = pc[:, t + 4:t + 5]
         d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
-        mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)  # elyte columns only
+        mask = (rsq < cutsq) & (cmask.T > 0.0)  # elyte columns only
         rsq_s = jnp.where(mask, rsq, 1.0)
 
-        et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
+        et, fo = _gauss_pair(pr, pc, rsq_s, t, xr.dtype)
         e2 = et * et * rsq_s
         ghalf = jnp.exp(-0.5 * e2)
         erfcr, expm2 = _erfcr(e2, expm2=ghalf * ghalf)
@@ -117,41 +131,47 @@ def _corr_kernel(act_ref, xr_ref, qr_ref, etar_ref, for_ref, xc_ref, qc_ref,
         ferfcr = jnp.where(e2 < _ERFC_MAX_SQ, erfcr + EWALD_F * expm2, 0.0)
         fk = e2 * gexp - ferfcr * et
 
-        pref = qqr2e * qr_ref[:] * qc_ref[:].T
+        pref = qqr2e * qr * qc.T
         epair = jnp.where(mask, pref * ek, 0.0)
         fpair = jnp.where(mask, pref * fk, 0.0) / rsq_s
 
-        fr = jnp.stack([jnp.sum(fpair * d[0], axis=1),
-                        jnp.sum(fpair * d[1], axis=1),
-                        jnp.sum(fpair * d[2], axis=1)], axis=1)   # (TR, 3)
-        fc = -jnp.stack([jnp.sum(fpair * d[0], axis=0),
-                         jnp.sum(fpair * d[1], axis=0),
-                         jnp.sum(fpair * d[2], axis=0)], axis=1)  # (TC, 3)
+        px = fpair * d[0]
+        py = fpair * d[1]
+        pz = fpair * d[2]
+        acc = jnp.concatenate(
+            [jnp.stack([jnp.sum(px, axis=1), jnp.sum(py, axis=1),
+                        jnp.sum(pz, axis=1)], axis=1),
+             jnp.sum(epair, axis=1, keepdims=True)], axis=1)   # (TR, 4)
+        out_ref[:] = out_ref[:] + acc
+        fcp_ref[0, :, :] = -jnp.stack(
+            [jnp.sum(px, axis=0), jnp.sum(py, axis=0), jnp.sum(pz, axis=0)],
+            axis=1)                                            # (TC, 3)
 
-        fr_ref[:] = fr_ref[:] + fr
-        er_ref[:] = er_ref[:] + jnp.sum(epair, axis=1, keepdims=True)
-        fcp_ref[0, :, :] = fc
 
+def _b_kernel(ri_ref, cj_ref, meta_ref, pr_ref, pc_ref, br_ref, *,
+              box, periodic, cutsq, g_ewald, tr, tc, t):
+    p = pl.program_id(0)
+    m = meta_ref[p]
+    active = (m & 1) != 0
+    first = (m & 4) != 0
 
-def _b_kernel(act_ref, xr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
-              cmask_ref, br_ref, *, box, periodic, cutsq, g_ewald, tr, tc):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    active = act_ref[i, j] != 0
-
-    @pl.when(j == 0)
+    @pl.when(first)
     def _():
         br_ref[:] = jnp.zeros_like(br_ref)
 
     @pl.when(active)
     def _():
-        xr = xr_ref[:]
-        xc = xc_ref[:]
+        pr = pr_ref[:]
+        pc = pc_ref[:]
+        xr = pr[:, 2 * t:2 * t + 3]
+        xc = pc[:, t:t + 3]
+        qc = pc[:, t + 3:t + 4]
+        cmask = pc[:, t + 4:t + 5]
         d, rsq = _geometry(xr, xc, box, periodic, tr, tc)
-        mask = (rsq < cutsq) & (cmask_ref[:].T > 0.0)
+        mask = (rsq < cutsq) & (cmask.T > 0.0)
         rsq_s = jnp.where(mask, rsq, 1.0)
 
-        et, fo = _gauss_tables(etar_ref, for_ref, ohc_ref, xr.dtype)
+        et, fo = _gauss_pair(pr, pc, rsq_s, t, xr.dtype)
         e2 = et * et * rsq_s
         ghalf = jnp.exp(-0.5 * e2)
         erfcr_e, _ = _erfcr(e2, expm2=ghalf * ghalf)
@@ -159,13 +179,8 @@ def _b_kernel(act_ref, xr_ref, etar_ref, for_ref, xc_ref, qc_ref, ohc_ref,
         erfcr_g, _ = _erfcr(g_ewald * g_ewald * rsq_s)
         dudq = erfcr_g * g_ewald + ek
 
-        contrib = jnp.where(mask, dudq, 0.0) * qc_ref[:].T        # (TR, TC)
+        contrib = jnp.where(mask, dudq, 0.0) * qc.T               # (TR, TC)
         br_ref[:] = br_ref[:] - jnp.sum(contrib, axis=1, keepdims=True)
-
-
-def _prep_cols(x, n, npadc, dtype):
-    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
-    return jnp.concatenate([x, jnp.tile(sentinel, (npadc, 1))], axis=0)
 
 
 def _rect_zmask(zr_key, rvalid, zc_key, cvalid, nri, tr_, ncj, tc_,
@@ -174,7 +189,8 @@ def _rect_zmask(zr_key, rvalid, zc_key, cvalid, nri, tr_, ncj, tc_,
     pair can hold an in-range pair, judged by exact per-tile z bounds.
     Row bounds use all real electrodes in the tile; column bounds only the
     entries flagged by ``cvalid`` (electrolyte — electrode columns are
-    masked in-kernel anyway, so they must not widen the bounds)."""
+    masked in-kernel anyway, so they must not widen the bounds).  Column
+    tile 0 is forced active so every row output block is visited."""
     big = jnp.asarray(1e8, zr_key.dtype)
     zrt = zr_key.reshape(nri, tr_)
     rv = rvalid.reshape(nri, tr_)
@@ -193,142 +209,148 @@ def _rect_zmask(zr_key, rvalid, zc_key, cvalid, nri, tr_, ncj, tc_,
                 - jnp.minimum(rmin[:, None], cmin[None, :]))
         act = act | ((lz - span) <= cutoff)
     act = act & jnp.any(rv, axis=1)[:, None] & jnp.any(cv, axis=1)[None, :]
+    act = act.at[:, 0].set(True)
     return act.astype(jnp.int32)
+
+
+def _compact_rect(act, nri, ncj, cap):
+    """Row-major compaction of the dense active mask into (ri, cj, meta)
+    lists of static length ``cap``.  meta bits: 1=active, 4=first visit of
+    this row tile.  Tail pads replay the last active entry with all bits
+    clear (windows stay resident, nothing is written)."""
+    flat = act.reshape(-1)
+    order = jnp.argsort(1 - flat, stable=True)
+    count = jnp.sum(flat)
+    idx = order[:cap]
+    valid = jnp.arange(cap) < count
+    last = order[jnp.maximum(count - 1, 0)]
+    idx = jnp.where(valid, idx, last)
+    ri = (idx // ncj).astype(jnp.int32)
+    cj = (idx % ncj).astype(jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), ri[1:] != ri[:-1]]) & valid
+    meta = valid.astype(jnp.int32) | (first.astype(jnp.int32) << 2)
+    return ri, cj, meta, count
+
+
+def _prep(x, q_col, ele_idx, elyte_mask_f, eta_rows, fo_rows, ohc, box,
+          periodic, cutoff, tr, tc, zsort, cap, dtype):
+    """Shared packing + masking for both kernels.  Returns the prefetch
+    lists, packed operands, grid geometry, and the live count."""
+    n = x.shape[0]
+    ne = ele_idx.shape[0]
+    padr = (-ne) % tr
+    padc = (-n) % tc
+    npr = ne + padr
+    npc = n + padc
+
+    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
+    xe = jnp.concatenate([x[ele_idx], jnp.tile(sentinel, (padr, 1))], axis=0)
+    qe = jnp.pad(q_col[ele_idx], (0, padr))[:, None]
+    etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
+    forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
+    rows = jnp.concatenate([etar, forr, xe, qe], axis=1)
+
+    lz = float(box[2])
+    zper = bool(periodic[2])
+    if zsort is None:
+        zsort = z_perm(x, box, periodic)
+    perm, zs_n = zsort
+    xc = jnp.concatenate([x[perm], jnp.tile(sentinel, (padc, 1))], axis=0)
+    qc = jnp.pad(q_col[perm], (0, padc))[:, None]
+    ohcp = jnp.pad(ohc[perm], ((0, padc), (0, 0))).astype(dtype)
+    cmask = jnp.pad(elyte_mask_f[perm], (0, padc)).astype(dtype)[:, None]
+    cols = jnp.concatenate([ohcp, xc, qc, cmask], axis=1)
+
+    nri, ncj = npr // tr, npc // tc
+    zr_key = jnp.pad(wrap_z(x[ele_idx, 2], lz, zper), (0, padr),
+                     constant_values=1e9)
+    act = _rect_zmask(zr_key, zr_key < 1e8,
+                      jnp.pad(zs_n.astype(dtype), (0, padc),
+                              constant_values=1e9),
+                      cmask[:, 0] > 0.0, nri, tr, ncj, tc,
+                      float(cutoff), lz, zper)
+    full = nri * ncj
+    cap = full if cap is None else min(int(cap), full)
+    ri, cj, meta, count = _compact_rect(act, nri, ncj, cap)
+    return (ri, cj, meta, rows, cols, perm, npr, npc, nri, ncj, cap, count,
+            ne, n)
 
 
 def conp_correction_pallas(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows,
                            ohc, *, box, periodic, cutoff, qqr2e,
-                           tr=128, tc=512, zsort=None, interpret=False):
+                           tr=128, tc=512, zsort=None, cap=None,
+                           interpret=False):
     """Fused Gaussian correction: returns (f (N,3), ecorr).
 
     eta_rows/fo_rows: (Ne, T) per-electrode kernel table rows;
     ohc: (N, T) one-hot column types; elyte_mask_f: (N,) float 1.0=elyte."""
-    n = x.shape[0]
-    ne = ele_idx.shape[0]
     dtype = x.dtype
-    padr = (-ne) % tr
-    padc = (-n) % tc
-    npr = ne + padr
-    npc = n + padc
-
-    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
-    xe = jnp.concatenate([x[ele_idx], jnp.tile(sentinel, (padr, 1))], axis=0)
-    qe = jnp.pad(q[ele_idx], (0, padr))[:, None]
-    etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
-    forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
-
-    lz = float(box[2])
-    zper = bool(periodic[2])
-    # z-sort columns so per-tile bounds are tight (see module docstring)
-    if zsort is None:
-        zsort = z_perm(x, box, periodic)
-    perm, zs_n = zsort
-    xc = _prep_cols(x[perm], n, padc, dtype)
-    qc = jnp.pad(q[perm], (0, padc))[:, None]
-    ohcp = jnp.pad(ohc[perm], ((0, padc), (0, 0))).astype(dtype)
-    cmask = jnp.pad(elyte_mask_f[perm], (0, padc)).astype(dtype)[:, None]
-
     t = ohc.shape[1]
-    grid = (npr // tr, npc // tc)
-    zr_key = jnp.pad(wrap_z(x[ele_idx, 2], lz, zper), (0, padr),
-                     constant_values=1e9)
-    act = _rect_zmask(zr_key, zr_key < 1e8,
-                      jnp.pad(zs_n.astype(dtype), (0, padc),
-                              constant_values=1e9),
-                      cmask[:, 0] > 0.0, grid[0], tr, grid[1], tc,
-                      float(cutoff), lz, zper)
+    (ri, cj, meta, rows, cols, perm, npr, npc, nri, ncj, cap, count,
+     ne, n) = _prep(x, q, ele_idx, elyte_mask_f, eta_rows, fo_rows, ohc,
+                    box, periodic, cutoff, tr, tc, zsort, cap, dtype)
     kern = functools.partial(
         _corr_kernel, box=tuple(float(b) for b in box), periodic=periodic,
-        cutsq=float(cutoff) ** 2, qqr2e=float(qqr2e), tr=tr, tc=tc)
-    fr, fcp, er = pl.pallas_call(
+        cutsq=float(cutoff) ** 2, qqr2e=float(qqr2e), tr=tr, tc=tc, t=t)
+    rmap = lambda p, ri_, cj_, mt_: (ri_[p], 0)
+    cmap = lambda p, ri_, cj_, mt_: (cj_[p], 0)
+    out, fcp = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
-            pl.BlockSpec((tc, 3), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, t), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, tc, 3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((tr, 1), lambda i, j: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((npr, 3), dtype),
-            jax.ShapeDtypeStruct((grid[0], npc, 3), dtype),
-            jax.ShapeDtypeStruct((npr, 1), dtype),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cap,),
+            in_specs=[pl.BlockSpec((tr, rows.shape[1]), rmap),
+                      pl.BlockSpec((tc, cols.shape[1]), cmap)],
+            out_specs=[pl.BlockSpec((tr, 4), rmap),
+                       pl.BlockSpec((1, tc, 3),
+                                    lambda p, ri_, cj_, mt_: (p, 0, 0))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((npr, 4), dtype),
+                   jax.ShapeDtypeStruct((cap, tc, 3), dtype)],
         interpret=interpret,
-    )(act, xe, qe, etar, forr, xc, qc, ohcp, cmask)
+    )(ri, cj, meta, rows, cols)
 
-    # undo the column z-sort, then add the electrode row forces
-    f = jnp.zeros((n, 3), dtype).at[perm].set(jnp.sum(fcp, axis=0)[:n])
-    f = f.at[ele_idx].add(fr[:ne])
-    return f, jnp.sum(er[:ne])
+    # segment-add the per-entry column mirrors onto their column tiles via
+    # a one-hot MXU matmul, then undo the column z-sort
+    onehot = (jnp.arange(ncj)[:, None] == cj[None, :]).astype(dtype)
+    fcs = jnp.matmul(onehot, fcp.reshape(cap, tc * 3),
+                     precision=jax.lax.Precision.HIGHEST).reshape(npc, 3)
+    f = jnp.zeros((n, 3), dtype).at[perm].set(fcs[:n])
+    f = f.at[ele_idx].add(out[:ne, :3])
+    bad = count > cap
+    f = jnp.where(bad, jnp.nan, f)
+    return f, jnp.where(bad, jnp.nan, jnp.sum(out[:ne, 3]))
 
 
 def b_realspace_pallas(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
                        ohc, *, box, periodic, cut_coulsq, g_ewald,
-                       tr=128, tc=512, zsort=None, interpret=False):
+                       tr=128, tc=512, zsort=None, cap=None,
+                       interpret=False):
     """Fused b-vector real-space block: returns b_real (Ne,).
 
     b_i = -sum_j q_j (erfc(g r)/r + potential(rsq)), elyte cols in range."""
-    n = x.shape[0]
-    ne = ele_idx.shape[0]
     dtype = x.dtype
-    padr = (-ne) % tr
-    padc = (-n) % tc
-    npr = ne + padr
-    npc = n + padc
-
-    sentinel = jnp.asarray([1e6, 1e6, 1e6], dtype)
-    xe = jnp.concatenate([x[ele_idx], jnp.tile(sentinel, (padr, 1))], axis=0)
-    etar = jnp.pad(eta_rows, ((0, padr), (0, 0))).astype(dtype)
-    forr = jnp.pad(fo_rows, ((0, padr), (0, 0))).astype(dtype)
-
-    lz = float(box[2])
-    zper = bool(periodic[2])
-    if zsort is None:
-        zsort = z_perm(x, box, periodic)
-    perm, zs_n = zsort
-    xc = _prep_cols(x[perm], n, padc, dtype)
-    qc = jnp.pad(q_elyte[perm], (0, padc))[:, None]
-    ohcp = jnp.pad(ohc[perm], ((0, padc), (0, 0))).astype(dtype)
-    cmask = jnp.pad(elyte_mask_f[perm], (0, padc)).astype(dtype)[:, None]
-
     t = ohc.shape[1]
-    grid = (npr // tr, npc // tc)
-    zr_key = jnp.pad(wrap_z(x[ele_idx, 2], lz, zper), (0, padr),
-                     constant_values=1e9)
-    act = _rect_zmask(zr_key, zr_key < 1e8,
-                      jnp.pad(zs_n.astype(dtype), (0, padc),
-                              constant_values=1e9),
-                      cmask[:, 0] > 0.0, grid[0], tr, grid[1], tc,
-                      math.sqrt(float(cut_coulsq)), lz, zper)
+    (ri, cj, meta, rows, cols, perm, npr, npc, nri, ncj, cap, count,
+     ne, n) = _prep(x, q_elyte, ele_idx, elyte_mask_f, eta_rows, fo_rows,
+                    ohc, box, periodic, math.sqrt(float(cut_coulsq)),
+                    tr, tc, zsort, cap, dtype)
     kern = functools.partial(
         _b_kernel, box=tuple(float(b) for b in box), periodic=periodic,
-        cutsq=float(cut_coulsq), g_ewald=float(g_ewald), tr=tr, tc=tc)
+        cutsq=float(cut_coulsq), g_ewald=float(g_ewald), tr=tr, tc=tc, t=t)
+    rmap = lambda p, ri_, cj_, mt_: (ri_[p], 0)
+    cmap = lambda p, ri_, cj_, mt_: (cj_[p], 0)
     br = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((tr, 3), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
-            pl.BlockSpec((tr, t), lambda i, j: (i, 0)),
-            pl.BlockSpec((tc, 3), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, t), lambda i, j: (j, 0)),
-            pl.BlockSpec((tc, 1), lambda i, j: (j, 0)),
-        ],
-        out_specs=[pl.BlockSpec((tr, 1), lambda i, j: (i, 0))],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(cap,),
+            in_specs=[pl.BlockSpec((tr, rows.shape[1]), rmap),
+                      pl.BlockSpec((tc, cols.shape[1]), cmap)],
+            out_specs=[pl.BlockSpec((tr, 1), rmap)],
+        ),
         out_shape=[jax.ShapeDtypeStruct((npr, 1), dtype)],
         interpret=interpret,
-    )(act, xe, etar, forr, xc, qc, ohcp, cmask)[0]
-    return br[:ne, 0]
+    )(ri, cj, meta, rows, cols)[0]
+    return jnp.where(count > cap, jnp.nan, br[:ne, 0])

@@ -64,16 +64,16 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
 _ERFC_MAX_SQ = ERFC_MAX * ERFC_MAX
 
 
-def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
-            qc_ref, ohc_ref, *rest, box, periodic, cutsq, g_ewald, qqr2e,
-            tr, tc, npts, fuse_corr):
-    if fuse_corr:
-        # extra inputs: gr (TR, 2T) [eta_ij|fo_ij] rows, flr/flc (·, 2)
-        # [is_ele, is_elyte] flags; extra output: per-row correction energy
-        (gr_ref, flr_ref, flc_ref,
-         f_ref, fcols_ref, ev_ref, ec_ref, ecr_ref) = rest
-    else:
-        f_ref, fcols_ref, ev_ref, ec_ref = rest
+def _kernel(il_ref, jc_ref, meta_ref, pr_ref, pc_ref, out_ref, fcols_ref,
+            *, box, periodic, cutsq, g_ewald, qqr2e, tr, tc, npts, nt1,
+            fuse_corr):
+    # Packed operands (ONE row DMA + ONE column DMA per grid step — the
+    # kernel is DMA-issue-bound, not compute-bound: unpacked operands cost
+    # ~4-6 us per step in 6-9 small lane-misaligned block copies):
+    #   p* layout: [cr 4T | ohc T | (gr 2T) | x 3 | q 1 | (fl 2)]
+    #   out layout: [fx fy fz | ev | ec | (ecorr) | pad] (8 lanes)
+    t = nt1
+    xoff = 7 * t if fuse_corr else 5 * t
     p = pl.program_id(0)
     m = meta_ref[p]
     active = (m & 1) != 0
@@ -82,11 +82,7 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
 
     @pl.when(first)
     def _():
-        f_ref[:] = jnp.zeros_like(f_ref)
-        ev_ref[:] = jnp.zeros_like(ev_ref)
-        ec_ref[:] = jnp.zeros_like(ec_ref)
-        if fuse_corr:
-            ecr_ref[:] = jnp.zeros_like(ecr_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
 
     @pl.when(jnp.logical_not(active))
     def _():
@@ -96,10 +92,12 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
 
     @pl.when(active)
     def _():
-        xr = xr_ref[:]                      # (TR, 3)
-        xc = xc_ref[:]                      # (TC, 3)
-        qr = qr_ref[:]                      # (TR, 1)
-        qc = qc_ref[:]                      # (TC, 1)
+        pr = pr_ref[:]                      # (TR, W)
+        pc = pc_ref[:]                      # (TC, W)
+        xr = pr[:, xoff:xoff + 3]           # (TR, 3)
+        xc = pc[:, xoff:xoff + 3]           # (TC, 3)
+        qr = pr[:, xoff + 3:xoff + 4]       # (TR, 1)
+        qc = pc[:, xoff + 3:xoff + 4]       # (TC, 1)
 
         # pairwise displacement planes with minimum image
         rsq = jnp.zeros((tr, tc), xr.dtype)
@@ -128,20 +126,18 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
         r2inv = rinv * rinv
         r6inv = r2inv * r2inv * r2inv
         # one-hot MXU matmuls for the per-pair LJ coefficients:
-        # cr (TR, 4*T) holds [lj1|lj2|lj3|lj4] rows; ohc (TC, T) one-hot types
-        cr = cr_ref[:]
-        ohc = ohc_ref[:]
-        t = ohc.shape[1]
-        # cr is (TR, 4T): split the contraction into the 4 tables.
+        # pr[:, :4T] holds [lj1|lj2|lj3|lj4] rows; pc[:, 4T:5T] one-hot types
+        ohc = pc[:, 4 * t:5 * t]
+        # split the contraction into the 4 tables.
         # precision HIGHEST: Mosaic's default f32 matmul rounds operands to
         # bf16, corrupting the large LJ coefficients by ~0.4%
         dg = lambda a, b: jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())), preferred_element_type=xr.dtype,
             precision=jax.lax.Precision.HIGHEST)
-        l1 = dg(cr[:, 0 * t:1 * t], ohc)
-        l2 = dg(cr[:, 1 * t:2 * t], ohc)
-        l3 = dg(cr[:, 2 * t:3 * t], ohc)
-        l4 = dg(cr[:, 3 * t:4 * t], ohc)
+        l1 = dg(pr[:, 0 * t:1 * t], ohc)
+        l2 = dg(pr[:, 1 * t:2 * t], ohc)
+        l3 = dg(pr[:, 2 * t:3 * t], ohc)
+        l4 = dg(pr[:, 3 * t:4 * t], ohc)
 
         flj = jnp.where(inrange, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
         elj = jnp.where(inrange, r6inv * (l3 * r6inv - l4), 0.0)
@@ -171,25 +167,25 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
         # energies live on the row side; the diagonal tile double-counts its
         # unordered pairs, off-diagonal round-robin tiles count each pair once
         esc = jnp.where(diag, 0.5, 1.0).astype(xr.dtype)
-
-        f_ref[:] = f_ref[:] + fblk
-        ev_ref[:] = ev_ref[:] + esc * jnp.sum(elj, axis=1, keepdims=True)
-        ec_ref[:] = ec_ref[:] + esc * jnp.sum(ecoul, axis=1, keepdims=True)
+        acc = jnp.concatenate(
+            [fblk, esc * jnp.sum(elj, axis=1, keepdims=True),
+             esc * jnp.sum(ecoul, axis=1, keepdims=True),
+             jnp.zeros((tr, 3), xr.dtype)], axis=1)          # (TR, 8)
+        out_ref[:] = out_ref[:] + acc
 
         if fuse_corr:
-            # fused CONP Gaussian correction (the electrode-row sweep the
-            # reference runs as a second neighbor pass, fix_conp.cpp
-            # coul_cal) — only tiles that can hold an (electrode, elyte)
-            # pair carry meta bit 8, so pure-electrolyte tiles skip the
-            # whole chain.  eta_ij/fo_ij are type-pair tables: same one-hot
-            # MXU contraction as the LJ coefficients.
+            # fused CONP Gaussian correction (the reference's second
+            # coul_cal neighbor pass, fix_conp.cpp:1467-1573) — only tiles
+            # that can hold an (electrode, elyte) pair carry meta bit 8;
+            # the kernel is compute-bound, so pl.when-gating the chain on
+            # those tiles is a real saving (most tiles are pure
+            # electrolyte under any spatial ordering).
             @pl.when((m & 8) != 0)
             def _():
-                gr = gr_ref[:]
-                etap = dg(gr[:, 0 * t:1 * t], ohc)
-                fop = dg(gr[:, 1 * t:2 * t], ohc)
-                flr = flr_ref[:]
-                flc = flc_ref[:]
+                etap = dg(pr[:, 5 * t:6 * t], ohc)
+                fop = dg(pr[:, 6 * t:7 * t], ohc)
+                flr = pr[:, xoff + 4:xoff + 6]               # (TR, 2)
+                flc = pc[:, xoff + 4:xoff + 6]               # (TC, 2)
                 cm = inrange & ((flr[:, 0:1] * flc[:, 1:2].T
                                  + flr[:, 1:2] * flc[:, 0:1].T) > 0.0)
                 e2 = etap * etap * rsq_safe
@@ -213,14 +209,16 @@ def _kernel(il_ref, jc_ref, meta_ref, xr_ref, qr_ref, cr_ref, xc_ref,
                 cx = fcp * d[0]
                 cy = fcp * d[1]
                 cz = fcp * d[2]
-                f_ref[:] = f_ref[:] + jnp.stack(
-                    [jnp.sum(cx, axis=1), jnp.sum(cy, axis=1),
-                     jnp.sum(cz, axis=1)], axis=1)
+                cacc = jnp.concatenate(
+                    [jnp.stack([jnp.sum(cx, axis=1), jnp.sum(cy, axis=1),
+                                jnp.sum(cz, axis=1)], axis=1),
+                     jnp.zeros((tr, 2), xr.dtype),
+                     esc * jnp.sum(ecp, axis=1, keepdims=True),
+                     jnp.zeros((tr, 2), xr.dtype)], axis=1)  # (TR, 8)
+                out_ref[:] = out_ref[:] + cacc
                 fcols_ref[0, :, :] = fcols_ref[0, :, :] - csc * jnp.stack(
                     [jnp.sum(cx, axis=0), jnp.sum(cy, axis=0),
                      jnp.sum(cz, axis=0)], axis=1)
-                ecr_ref[:] = ecr_ref[:] + esc * jnp.sum(
-                    ecp, axis=1, keepdims=True)
 
 
 def _tile_mask3(xw, valid, ni, tr, njp, cutoff, box, periodic):
@@ -394,70 +392,51 @@ def pair_forces_pallas(x, q, type_idx, tables, exclusions, *, box, periodic,
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald), qqr2e=float(qqr2e),
-        tr=tr, tc=tc, npts=n, fuse_corr=conp_fuse is not None)
+        tr=tr, tc=tc, npts=n, nt1=nt1, fuse_corr=conp_fuse is not None)
     rmap = lambda p, il_, jc_, mt_: (il_[p], 0)
     cmap = lambda p, il_, jc_, mt_: (jc_[p], 0)
-    in_specs = [
-        pl.BlockSpec((tr, 3), rmap),
-        pl.BlockSpec((tr, 1), rmap),
-        pl.BlockSpec((tr, 4 * nt1), rmap),
-        pl.BlockSpec((tc, 3), cmap),
-        pl.BlockSpec((tc, 1), cmap),
-        pl.BlockSpec((tc, nt1), cmap),
-    ]
-    out_specs = [
-        pl.BlockSpec((tr, 3), rmap),
-        pl.BlockSpec((1, tc, 3), lambda p, il_, jc_, mt_: (p, 0, 0)),
-        pl.BlockSpec((tr, 1), rmap),
-        pl.BlockSpec((tr, 1), rmap),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((npr, 3), dtype),
-        jax.ShapeDtypeStruct((cap, tc, 3), dtype),
-        jax.ShapeDtypeStruct((npr, 1), dtype),
-        jax.ShapeDtypeStruct((npr, 1), dtype),
-    ]
-    inputs = [il, jc, meta, xp, qp[:, None], cr, xp, qp[:, None], ohc]
+    # ONE packed per-atom operand serves both the row and the column block
+    # (layout documented in _kernel); the kernel is DMA-issue-bound, so
+    # collapsing 6-9 small block copies per grid step into 2 is the win
+    parts = [cr, ohc]
     if conp_fuse is not None:
-        in_specs += [pl.BlockSpec((tr, 2 * nt1), rmap),
-                     pl.BlockSpec((tr, 2), rmap),
-                     pl.BlockSpec((tc, 2), cmap)]
-        out_specs.append(pl.BlockSpec((tr, 1), rmap))
-        out_shape.append(jax.ShapeDtypeStruct((npr, 1), dtype))
-        inputs += [gr, flp, flp]
+        parts.append(gr)
+    parts += [xp, qp[:, None]]
+    if conp_fuse is not None:
+        parts.append(flp)
+    packed = jnp.concatenate(parts, axis=1)
+    w = packed.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cap,),
-        in_specs=in_specs,
-        out_specs=out_specs,
+        in_specs=[pl.BlockSpec((tr, w), rmap), pl.BlockSpec((tc, w), cmap)],
+        out_specs=[pl.BlockSpec((tr, 8), rmap),
+                   pl.BlockSpec((1, tc, 3), lambda p, il_, jc_, mt_: (p, 0, 0))],
     )
-    outs = pl.pallas_call(
+    rowout, fcols = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=[jax.ShapeDtypeStruct((npr, 8), dtype),
+                   jax.ShapeDtypeStruct((cap, tc, 3), dtype)],
         interpret=interpret,
-    )(*inputs)
-    if conp_fuse is not None:
-        f, fcols, ev_rows, ec_rows, ecr_rows = outs
-    else:
-        f, fcols, ev_rows, ec_rows = outs
+    )(il, jc, meta, packed, packed)
 
     # segment-add the per-entry column mirrors onto their column tiles via
     # a one-hot MXU matmul (cap is O(100): cheaper than a scatter)
     onehot = (jnp.arange(ni)[:, None] == jc[None, :]).astype(dtype)
     fcs = jnp.matmul(onehot, fcols.reshape(cap, tc * 3),
                      precision=jax.lax.Precision.HIGHEST)
-    fs = f + fcs.reshape(npr, 3)
+    fs = rowout[:, :3] + fcs.reshape(npr, 3)
     # fail-loud on capacity overflow: dropped tile pairs would silently
     # corrupt the physics, so poison the forces instead (run() regrows)
     fs = jnp.where(count > cap, jnp.nan, fs)
     # undo the z-sort (pad rows are provably zero: masked in-kernel)
     f = jnp.zeros((n, 3), dtype).at[perm].set(fs[:n])
-    ev = jnp.where(count > cap, jnp.nan, jnp.sum(ev_rows[:n]))
-    ec = jnp.where(count > cap, jnp.nan, jnp.sum(ec_rows[:n]))
+    ev = jnp.where(count > cap, jnp.nan, jnp.sum(rowout[:n, 3]))
+    ec = jnp.where(count > cap, jnp.nan, jnp.sum(rowout[:n, 4]))
     ecorr = None
     if conp_fuse is not None:
-        ecorr = jnp.where(count > cap, jnp.nan, jnp.sum(ecr_rows[:n]))
+        ecorr = jnp.where(count > cap, jnp.nan, jnp.sum(rowout[:n, 5]))
 
     # exclusion corrections: exact algebraic difference between si=s and
     # si=1, computed in (n, m) layout — the "row" side is every atom in

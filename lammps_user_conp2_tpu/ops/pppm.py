@@ -538,13 +538,16 @@ class TileAssign(NamedTuple):
     payload in TileSlots is cheap to refresh each step; the packed-key sort
     is not).  Stays EXACT while every atom remains within TileGeom.dm mesh
     cells per axis of its binning position: drifted atoms land in the patch
-    margin.  The engine rebuilds it on the Verlet skin trigger, which
-    bounds drift by skin/2 (build_engine gates persistence on
-    skin/2 <= dm * min cell size); drift beyond the margin NaN-poisons via
-    the overflow flag (fail loud)."""
+    margin.  The engine rebuilds it either on the Verlet skin trigger
+    (which bounds drift by skin/2; build_engine gates that coupling on
+    skin/2 <= dm * min cell size) or, when no Verlet list exists (the
+    tile pair path), on the tile_drift_exceeded check against ``x_ref``;
+    drift beyond the margin NaN-poisons via the overflow flag (fail
+    loud)."""
     slot: jnp.ndarray      # (N,) int32 slot index = tile * cap + rank
     table: jnp.ndarray     # (T, cap) int32 atom ids (n = empty slot)
     overflow: jnp.ndarray  # () bool — capacity overflow at build time
+    x_ref: jnp.ndarray     # (N, 3) positions the assignment was built at
 
 
 def _tile_ids(grid: PPPMGrid, geom: TileGeom, x):
@@ -629,7 +632,21 @@ def tile_assign(grid: PPPMGrid, x) -> TileAssign:
     table = jnp.full((t_tiles * cap,), n, jnp.int32).at[slot_sorted].set(
         order.astype(jnp.int32))
     slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
-    return TileAssign(slot, table.reshape(t_tiles, cap), overflow)
+    return TileAssign(slot, table.reshape(t_tiles, cap), overflow, x)
+
+
+def tile_drift_exceeded(grid: PPPMGrid, asg: TileAssign, x) -> jnp.ndarray:
+    """True when any atom drifted more than 90% of the TileGeom.dm-cell
+    patch margin (per axis) since ``asg`` was built — the rebuild trigger
+    for the persistent assignment when no Verlet skin bound exists (the
+    tile pair path has no neighbor list).  The 10% guard absorbs one step's
+    motion between the check and the rebuild; actual margin violation
+    still NaN-poisons via the binning overflow flag (fail loud)."""
+    geom = _tile_geometry(grid, x.shape[0])
+    d = jnp.abs(x - asg.x_ref)
+    cells = jnp.asarray([grid.box[0] / grid.nx, grid.box[1] / grid.ny,
+                         grid.zprd_grid / grid.nz], x.dtype)
+    return jnp.any(d > 0.9 * geom.dm * cells[None, :])
 
 
 def refresh_tile_slots(grid: PPPMGrid, asg: TileAssign, x, q) -> TileSlots:

@@ -131,7 +131,9 @@ class MDConfig:
     # real-space pair path: "auto" (compacted Verlet neighbor list when N is
     # large and the box is much bigger than the cutoff, else dense),
     # "dense", "cell" (padded cell-block sweep, also the sharded engine's
-    # path), or "nlist"
+    # path), "nlist", or "tile" (the Pallas tile-pair kernel with k-d brick
+    # ordering IS the large-N sweep — no Verlet list; TPU f32 only, falls
+    # back to nlist elsewhere)
     pair_path: str = "auto"
     # Verlet-list skin (Angstrom): list radius = cutoff + skin, rebuilt when
     # any atom moves more than skin/2 (LAMMPS neigh_modify check yes)

@@ -61,6 +61,14 @@ def test_pallas_pair_morton_matches_dense():
         x, q, ti, tables, excl, tr=128, tc=128, order="morton",
         pair_cap=max(cnt // 2, 1), interpret=True, **kw)
     assert not np.isfinite(float(ev3))
+    # k-d brick ordering (the production large-N ordering) — same physics
+    f4, ev4, ec4 = pair_forces_pallas(
+        x, q, ti, tables, excl, tr=128, tc=128, order="kd128",
+        interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(f4), np.asarray(f1),
+                               rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(float(ev4), float(ev1), rtol=1e-12)
+    np.testing.assert_allclose(float(ec4), float(ec1), rtol=1e-12)
 
 
 def test_kd_tile_count_culls_production_geometry():

@@ -137,6 +137,11 @@ _TYPE_BITS = 5
 _TYPE_MASK = (1 << _TYPE_BITS) - 1
 
 
+# atom rows per scan block of the rebuild sweep: bounds the (chunk, m, 3)
+# displacement transient to ~90 MB at the production m
+_ROW_CHUNK = 8192
+
+
 def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
                         type_idx) -> NeighborList:
     """Compact candidates into (N, K) with ONE int32 sort per row.
@@ -148,17 +153,65 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
     previous top_k + take_along_axis + (N, K) table gathers, which were
     ~10x the cost of the distance sweep itself on TPU (gathers with (N, K)
     index arrays are the slow path — CLAUDE.md); the LJ coefficient pairs
-    are then accumulated per type with dense masked FMAs, no gathers."""
+    are then accumulated per type with dense masked FMAs, no gathers.
+
+    ATOM-MAJOR: the candidate sweep and the compaction sort run on
+    (N, 27*cap) rows — one row per REAL atom — not on the (C*cap, 27*cap)
+    cell-slot layout, which is padded cap/mean-occupancy ~ 2.5-5x at
+    production densities and made the rebuild HBM-traffic-bound (100k:
+    227 ms, ~75 ms rsq sweep + ~143 ms sort, both on mostly-pad rows).
+    Cell-major candidate tables are built once with slab gathers (27
+    descriptors per cell); each atom then row-gathers its cell's candidate
+    row (N descriptors total).  Chunked over row blocks (lax.scan) to
+    bound the transients.  The sharded engine keeps the cell-block variant
+    (_cell_block_keys) — its device split is over cells."""
     grid = ncfg.grid
     n = x.shape[0]
     k = ncfg.k_max
-    from .cells import bin_atoms
-    table, _cell, overflow = bin_atoms(grid, x)          # (C, cap)
-    prep = _nlist_prep(ncfg, x, table, type_idx)
-    c = table.shape[0]
-    skey, ovf_blk = _cell_block_keys(ncfg, x, prep, 0, c)
-    sk = _scatter_rows(prep, skey, 0, c, n=n, k=k)
-    return _decode_list(ncfg, x, sk, overflow | ovf_blk, type_idx, tables)
+    dtype = x.dtype
+    from .cells import _neighbor_cells, bin_atoms
+    table, cell, overflow = bin_atoms(grid, x)           # (C, cap), (N,)
+    nb, uniq = _neighbor_cells(grid)
+    tp = jnp.pad(type_idx, (0, 1)).astype(jnp.int32)     # tp[n] = 0
+    ptab = (table << _TYPE_BITS) | tp[table]             # packed (id, type)
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6]], dtype)
+    xp = jnp.concatenate([x, sentinel], axis=0)
+    xi = xp[table]                                       # (C, cap, 3)
+    cap = table.shape[1]
+    m = 27 * cap
+    pcols = jnp.where(jnp.asarray(uniq)[:, :, None],
+                      ptab[jnp.asarray(nb)],
+                      jnp.int32(n << _TYPE_BITS)).reshape(-1, m)   # (C, m)
+    xj = xi[jnp.asarray(nb)].reshape(-1, m, 3)           # (C, m, 3)
+    miss = jnp.int32((n + 1) << _TYPE_BITS)
+    rlistsq = grid.cutoff ** 2
+    boxj = jnp.asarray(grid.box, dtype)
+
+    chunk = min(_ROW_CHUNK, n)
+    npad = (-n) % chunk
+    xr = jnp.concatenate([x, jnp.tile(sentinel, (npad, 1))], axis=0)
+    cellr = jnp.pad(cell, (0, npad))
+    rowid = jnp.arange(n + npad, dtype=jnp.int32)
+
+    def body(_, blk):
+        xb, cb, rb = blk
+        pc = pcols[cb]                                   # (chunk, m)
+        d = min_image(xb[:, None, :] - xj[cb], boxj, grid.periodic)
+        rsq = jnp.sum(d * d, axis=-1)
+        colsb = pc >> _TYPE_BITS
+        valid = (colsb != rb[:, None]) & (colsb < n) & (rb[:, None] < n)
+        inr = valid & (rsq < rlistsq)
+        key = jnp.where(inr, pc, miss)
+        sk = jax.lax.sort(key, dimension=1)[:, :k]
+        return None, (sk, jnp.max(jnp.sum(inr, axis=1)) > k)
+
+    _, (sks, ovfs) = jax.lax.scan(
+        body, None,
+        (xr.reshape(-1, chunk, 3), cellr.reshape(-1, chunk),
+         rowid.reshape(-1, chunk)))
+    sk = sks.reshape(-1, k)[:n]
+    return _decode_list(ncfg, x, sk, overflow | jnp.any(ovfs),
+                        type_idx, tables)
 
 
 def _nlist_prep(ncfg: NeighborConfig, x, table, type_idx):

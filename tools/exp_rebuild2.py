@@ -117,8 +117,34 @@ def bench_il_tiles():
               f"{chain_ms(f, x, iters=200):8.3f} ms", flush=True)
 
 
+
+
+def bench_full_only():
+    system, md, cfg = workloads.synthetic(
+        n_elyte=98304, nele_side=23, lz=240.0, lxy=120.0)
+    ncfg = NB.make_neighbor_config(system.box, tuple(system.box_lo),
+                                   md.cutoff, system.natoms,
+                                   periodic=system.periodic, x0=system.x0)
+    n = system.natoms
+    dtype = jnp.float32
+    x = jnp.asarray(system.x0, dtype)
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type,
+                              dtype)
+    eps = jnp.asarray(1e-30, dtype)
+
+    def s_full(xx):
+        nb = NB.build_neighbor_list(ncfg, xx, tables, ti)
+        return jnp.sum(nb.idx.astype(dtype))
+    print(f"full build (atom-major): "
+          f"{chain_ms(lambda xx: xx + eps * s_full(xx), x):8.2f} ms",
+          flush=True)
+
+
 if __name__ == "__main__":
     if "il" in sys.argv:
         bench_il_tiles()
+    elif "full" in sys.argv:
+        bench_full_only()
     else:
         bench_rebuild()

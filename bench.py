@@ -132,8 +132,10 @@ def main():
     if os.environ.get("BENCH_SKIP_IL") != "1":
         try:
             eng2 = _build("il_twolayer", 0)
+            # nsteps=2000: at ~1.6 ms/step the ~35 ms fixed tunnel overhead
+            # per call is ~1% of the chain (2% at 1000)
             result["il_twolayer_steps_per_sec"] = round(
-                bench_steps_per_sec(eng2, nsteps=1000, repeats=4), 3)
+                bench_steps_per_sec(eng2, nsteps=2000, repeats=4), 3)
             result["il_twolayer_charge_solve_ms"] = round(
                 bench_charge_solve_ms(eng2, iters=1000), 3)
         except Exception as e:  # noqa: BLE001 — report partial results

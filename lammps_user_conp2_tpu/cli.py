@@ -202,7 +202,9 @@ def main(argv=None):
                        default=None,
                        help="charge solver override (default: deck choice; "
                             "the reference's is inv, fix_conp.cpp:90)")
-        p.add_argument("--pair-path", choices=("auto", "dense", "cell", "nlist"),
+        p.add_argument("--pair-path",
+                       choices=("auto", "dense", "cell", "nlist", "block",
+                                "tile"),
                        default=None, help="real-space pair path override")
         p.add_argument("--kmax", type=int, default=None,
                        help="Verlet-list per-atom capacity override (default: "

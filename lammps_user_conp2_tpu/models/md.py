@@ -105,8 +105,9 @@ class Engine:
         fused_ecorr = None   # set when the Pallas pair kernel fused the
         #                      CONP Gaussian correction into its sweep
         if self.ncfg is not None and nbr is not None:
-            from ..ops.neighbors import nlist_pair_forces
-            f, evdwl, ecoul, overflow = nlist_pair_forces(
+            from ..ops.neighbors import block_pair_forces, nlist_pair_forces
+            sweep = block_pair_forces if self.ncfg.block else nlist_pair_forces
+            f, evdwl, ecoul, overflow = sweep(
                 self.ncfg, nbr, x, q, self.type_idx, self.tables,
                 self.exclusions, g_ewald=self.ksp_force.g_ewald,
                 qqr2e=u.qqr2e)
@@ -517,7 +518,8 @@ class Engine:
             g = self.ncfg.grid
             grid = dataclasses.replace(g, cap=2 * g.cap)
             object.__setattr__(self, "ncfg", dataclasses.replace(
-                self.ncfg, grid=grid, k_max=2 * self.ncfg.k_max))
+                self.ncfg, grid=grid, k_max=2 * self.ncfg.k_max,
+                u_max=2 * self.ncfg.u_max))
         elif self.cell_grid is not None:
             g = self.cell_grid
             object.__setattr__(self, "cell_grid",
@@ -691,15 +693,16 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     ncfg = None
     big_n = (system.natoms > 8192 and
              all(b >= 4.0 * md.cutoff for b in system.box))
-    # auto selects exactly ONE path (the Verlet list — both the single-chip
-    # and the sharded engine consume it); building both would carry a dead
-    # (N, K) list through every step of a cell-path run (~200 MB at 100k)
+    # auto selects exactly ONE path (the Verlet list in its block form —
+    # both the single-chip and the sharded engine consume it); building
+    # several would carry dead lists through every step (~200 MB at 100k)
     import jax as _jax
     want_tile = (md.pair_path == "tile"
                  and _jax.default_backend() == "tpu" and dtype == jnp.float32)
     want_cell = md.pair_path == "cell"
-    want_nlist = md.pair_path == "nlist" or (
+    want_block = md.pair_path == "block" or (
         md.pair_path in ("auto", "tile") and big_n and not want_tile)
+    want_nlist = want_block or md.pair_path == "nlist"
     if want_cell:
         from ..ops.cells import build_cell_grid
         cell_grid = build_cell_grid(system.box, tuple(system.box_lo),
@@ -710,7 +713,23 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
         ncfg = make_neighbor_config(
             system.box, tuple(system.box_lo), md.cutoff, system.natoms,
             periodic=system.periodic, skin=md.neighbor_skin,
-            k_max=md.neighbor_kmax, x0=system.x0)
+            k_max=md.neighbor_kmax, x0=system.x0,
+            block=8 if want_block else 0)
+        if ncfg.block:
+            # size U from the EXACT max block-union width at x0 (1.3x
+            # headroom, lane-rounded) — same policy as the k_max sizing in
+            # make_neighbor_config; the heuristic there only covers the
+            # no-positions case.  One extra jitted list build at setup.
+            from ..ops.neighbors import build_neighbor_list, max_union_count
+            base = dataclasses.replace(ncfg, block=0, u_max=0)
+            tbl0 = make_pair_tables(system.lj_eps, system.lj_sigma,
+                                    system.type, dtype)
+            nl0 = jax.jit(build_neighbor_list, static_argnums=(0,))(
+                base, jnp.asarray(system.x0, dtype), tbl0,
+                jnp.asarray(system.type))
+            ucnt = max_union_count(ncfg, jnp.asarray(system.x0, dtype), nl0)
+            ncfg = dataclasses.replace(
+                ncfg, u_max=int(np.ceil(ucnt * 1.3 / 8.0) * 8) + 8)
 
     use_pallas = md.use_pallas_pair
     if use_pallas is None:

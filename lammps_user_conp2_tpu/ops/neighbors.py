@@ -36,11 +36,23 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
 
 
 class NeighborList(NamedTuple):
-    """Pytree carried through the scan (all shapes static)."""
+    """Pytree carried through the scan (all shapes static).
+
+    The optional block fields (None unless NeighborConfig.block > 0) hold
+    the BLOCK (cluster) form of the same list: i-blocks of B cell-sorted
+    atoms share one j-union row of width U.  TPU gather cost is
+    descriptor-count-bound at ~2.2 ns/descriptor (tools/exp_gather_chunk.py),
+    so the per-step sweep gather drops from N*K to (N/B)*U descriptors
+    (5.56M -> 1.6M at the 100k config, B=8) for ~1.8x more masked pair
+    slots — measured 1.8x faster end-to-end (tools/exp_block_sweep.py)."""
     idx: jnp.ndarray        # (N, K) neighbor atom ids, padded with N
     x_ref: jnp.ndarray      # (N, 3) positions at build time
     lj: jnp.ndarray         # (4, N, K) pre-gathered lj1/lj2/lj3/lj4 pairs
-    overflow: jnp.ndarray   # () bool — K or cell capacity exceeded
+    overflow: jnp.ndarray   # () bool — K/U or cell capacity exceeded
+    bun: jnp.ndarray = None    # (NB, U) union neighbor ids, padded with N
+    brows: jnp.ndarray = None  # (NB, B) block atom ids, padded with N
+    binv: jnp.ndarray = None   # (N,) original atom -> flat (block, slot)
+    blj: jnp.ndarray = None    # (4, NB, B, U) lj pair planes
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,11 +62,14 @@ class NeighborConfig:
     k_max: int
     cutoff: float           # force cutoff (list radius = grid.cutoff)
     skin: float
+    block: int = 0          # i-block size B (0 = no block list)
+    u_max: int = 0          # j-union width U per block
 
 
 def make_neighbor_config(box, box_lo, cutoff, natoms, *, periodic,
                          skin=1.0, k_max=None,
-                         density_safety=3.0, x0=None) -> NeighborConfig:
+                         density_safety=3.0, x0=None, block=0,
+                         u_max=None) -> NeighborConfig:
     from .cells import build_cell_grid
     grid = build_cell_grid(box, box_lo, cutoff + skin, natoms,
                            periodic=periodic, density_safety=density_safety)
@@ -82,8 +97,16 @@ def make_neighbor_config(box, box_lo, cutoff, natoms, *, periodic,
             rho = natoms / (box[0] * box[1] * box[2])
             nexp = rho * 4.0 / 3.0 * np.pi * (cutoff + skin) ** 3
             k_max = int(np.ceil(nexp * 1.6 / 8.0) * 8) + 8
+    if block and u_max is None:
+        # fallback heuristic when no positions are given (build_engine
+        # replaces this with 1.3x the EXACT union count at x0, via
+        # max_union_count); measured at the 100k config the B=8 union maxes
+        # at ~1.8x k_max (tools/exp_block_union.py) — 2.4x covers drift.
+        # Engine.run's overflow recovery regrows U like it regrows K.
+        u_max = int(np.ceil(2.4 * k_max * (block / 8.0) ** 0.585 / 8.0) * 8)
     return NeighborConfig(grid=grid, k_max=int(k_max), cutoff=float(cutoff),
-                          skin=float(skin))
+                          skin=float(skin), block=int(block),
+                          u_max=int(u_max or 0))
 
 
 def _max_cell_occupancy(grid: CellGrid, x: np.ndarray) -> int:
@@ -210,8 +233,82 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
         (xr.reshape(-1, chunk, 3), cellr.reshape(-1, chunk),
          rowid.reshape(-1, chunk)))
     sk = sks.reshape(-1, k)[:n]
-    return _decode_list(ncfg, x, sk, overflow | jnp.any(ovfs),
-                        type_idx, tables)
+    nlist = _decode_list(ncfg, x, sk, overflow | jnp.any(ovfs),
+                         type_idx, tables)
+    if ncfg.block:
+        nlist = _attach_block_list(ncfg, x, nlist, cell, type_idx, tables)
+    return nlist
+
+
+def _block_union_sorted(ncfg: NeighborConfig, x, idx, cell):
+    """Shared core of the union build: cell-sorted block rows, the
+    ascending-id sort of the blocks' concatenated (B*K) neighbor rows, the
+    first-occurrence mask, and per-block unique counts."""
+    n = x.shape[0]
+    B, k = ncfg.block, ncfg.k_max
+    perm = jnp.argsort(cell).astype(jnp.int32)            # cell-sorted atoms
+    nb_ = -(-n // B)
+    rows = jnp.concatenate(
+        [perm, jnp.full((nb_ * B - n,), n, jnp.int32)]).reshape(nb_, B)
+    idxp = jnp.concatenate([idx, jnp.full((1, k), n, idx.dtype)])
+    cand = idxp[rows].reshape(nb_, B * k)                 # row gather (NB*B)
+    su = jax.lax.sort(cand, dimension=1)
+    first = jnp.concatenate(
+        [jnp.ones((nb_, 1), bool), su[:, 1:] != su[:, :-1]], axis=1) & (su < n)
+    return perm, rows, su, first, jnp.sum(first, axis=1)
+
+
+def max_union_count(ncfg: NeighborConfig, x, nlist: NeighborList) -> int:
+    """Exact max block-union width at positions x — build_engine uses this
+    to size u_max (1.3x headroom) the same way k_max is sized from the
+    exact neighbor count at x0."""
+    from .cells import bin_atoms
+    _, cell, _ = bin_atoms(ncfg.grid, x)
+    _, _, _, _, cnt = _block_union_sorted(ncfg, x, nlist.idx, cell)
+    return int(jnp.max(cnt))
+
+
+def _attach_block_list(ncfg: NeighborConfig, x, nlist: NeighborList, cell,
+                       type_idx, tables: PairTables) -> NeighborList:
+    """Derive the block (cluster) form of the list: i-blocks of B
+    consecutive CELL-SORTED atoms share the sorted-unique union of their
+    (N, K) rows.  Runs at rebuild cadence; the per-step win is the
+    descriptor count of the sweep gather (see NeighborList docstring).
+
+    Union construction is two row sorts on (NB, B*K): ascending id sort
+    brings duplicates together; a second key sort by first-occurrence
+    position compacts the unique ids to the row front.  Union width
+    overflow (> U real uniques) NaN-poisons via the shared overflow flag —
+    Engine.run regrows u_max exactly like k_max."""
+    n = x.shape[0]
+    B, U = ncfg.block, ncfg.u_max
+    k = ncfg.k_max
+    perm, rows, su, first, cnt = _block_union_sorted(ncfg, x, nlist.idx, cell)
+    nb_ = rows.shape[0]
+    ovf = jnp.max(cnt) > U
+    big = jnp.int32(B * k)
+    pos = jnp.where(first, jnp.arange(B * k, dtype=jnp.int32)[None, :], big)
+    _, uvals = jax.lax.sort((pos, su), dimension=1, num_keys=1)
+    un = jnp.where(jnp.arange(U)[None, :] < cnt[:, None], uvals[:, :U], n)
+    # inverse map back to original atom order (flat rows[:n] == perm)
+    binv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    # LJ pair planes, same masked per-type FMA as _decode_list
+    dtype = x.dtype
+    ti = jnp.asarray(type_idx)
+    c_at = jnp.stack([tables.lj1[ti], tables.lj2[ti],
+                      tables.lj3[ti], tables.lj4[ti]]).astype(dtype)
+    nt1 = c_at.shape[2]
+    c_rows = jnp.concatenate(
+        [c_at, jnp.zeros((4, 1, nt1), dtype)], axis=1)[:, rows]  # (4,NB,B,nt)
+    tp = jnp.pad(ti, (0, 1)).astype(jnp.int32)
+    tu = tp[un]                                           # (NB, U)
+    blj = jnp.zeros((4, nb_, B, U), dtype)
+    for t in range(nt1):
+        mask_t = (tu == t).astype(dtype)[None, :, None, :]
+        blj = blj + mask_t * c_rows[:, :, :, t][:, :, :, None]
+    return nlist._replace(bun=un, brows=rows, binv=binv, blj=blj,
+                          overflow=nlist.overflow | ovf)
 
 
 def _nlist_prep(ncfg: NeighborConfig, x, table, type_idx):
@@ -408,6 +505,64 @@ def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     ov = nlist.overflow
     f = jnp.where(ov, jnp.nan, f + df)
     return f, ev + dev, ec + dec, ov
+
+
+def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
+                      type_idx, tables: PairTables, exclusions, *,
+                      g_ewald, qqr2e):
+    """LJ + real-space Coulomb from the BLOCK form of the list — same
+    returns (and the same pair set, hence roundoff-level identical physics)
+    as nlist_pair_forces.  The hot gather is (NB, U) union rows instead of
+    (N, K) per-atom rows: ~3.5x fewer descriptors at B=8, which is the
+    whole cost on TPU (descriptor-bound at ~2.2 ns each,
+    tools/exp_gather_chunk.py); the masked pair chain runs on
+    (NB, B, U) = N*U slots.  Each pair still appears in both atoms' blocks,
+    so energies carry the full-list 0.5.  Reference analogue: the same
+    half/full neighbor-list sweeps (fix_conp.cpp:1242-1276) — blocking is
+    the TPU-native replacement for LAMMPS's per-atom jlist walk."""
+    n = x.shape[0]
+    dtype = x.dtype
+    un, rows, binv, blj = nlist.bun, nlist.brows, nlist.binv, nlist.blj
+    sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
+    xqp = jnp.concatenate(
+        [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
+        axis=0)
+    xqu = xqp[un]                                        # (NB, U, 4) THE gather
+    xqi = xqp[rows]                                      # (NB, B, 4)
+    boxj = jnp.asarray(ncfg.grid.box, dtype)
+    d = min_image(xqi[:, :, None, :3] - xqu[:, None, :, :3], boxj,
+                  ncfg.grid.periodic)
+    rsq = jnp.sum(d * d, axis=-1)                        # (NB, B, U)
+    mask = ((un[:, None, :] != rows[:, :, None])
+            & (un[:, None, :] < n) & (rows[:, :, None] < n)
+            & (rsq < ncfg.cutoff ** 2))
+    rsq_safe = jnp.where(mask, rsq, 1.0)
+    r2inv = 1.0 / rsq_safe
+    r6inv = r2inv * r2inv * r2inv
+    l1, l2, l3, l4 = blj
+    flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
+    elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)
+    r = jnp.sqrt(rsq_safe)
+    grij = g_ewald * r
+    expm2 = jnp.exp(-grij * grij)
+    tt = 1.0 / (1.0 + EWALD_P * grij)
+    erfc = tt * (A1 + tt * (A2 + tt * (A3 + tt * (A4 + tt * A5)))) * expm2
+    pref = qqr2e * xqi[:, :, None, 3] * xqu[:, None, :, 3] / r
+    fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
+    ecoul = jnp.where(mask, pref * erfc, 0.0)
+    fpair = flj + fcoul * r2inv
+    f = jnp.sum(fpair[..., None] * d, axis=2).reshape(-1, 3)[binv]
+    ev = 0.5 * jnp.sum(elj)
+    ec = 0.5 * jnp.sum(ecoul)
+
+    df, dev, dec = exclusion_correction(
+        x, q, type_idx, tables, exclusions, box=ncfg.grid.box,
+        periodic=ncfg.grid.periodic, cutsq=ncfg.cutoff ** 2, qqr2e=qqr2e)
+    ov = nlist.overflow
+    f = jnp.where(ov, jnp.nan, f + df)
+    ev = jnp.where(ov, jnp.nan, ev + dev)
+    ec = jnp.where(ov, jnp.nan, ec + dec)
+    return f, ev, ec, ov
 
 
 def ele_rows_from_list(nlist: NeighborList, ele_idx):

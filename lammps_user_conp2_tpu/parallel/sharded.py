@@ -60,14 +60,28 @@ class ShardedEngine:
     step_fn: object          # jitted (state, shards) -> state
     shards: tuple            # device-sharded constant pytree
 
+    def _strip_block(self, state: MDState) -> MDState:
+        """Drop the optional block-list fields from the neighbor state: the
+        sharded rebuild path (_cell_block_keys -> _decode_list) produces a
+        plain per-atom list, so a block-carrying state from
+        Engine.init_state would mismatch the lax.cond branch structure.
+        The sharded pair path sweeps per-atom row shards (nlist_pair_rows);
+        block compaction is a single-chip gather optimization."""
+        nbr = state.nbr
+        if nbr is not None and getattr(nbr, "bun", None) is not None:
+            state = state._replace(nbr=nbr._replace(
+                bun=None, brows=None, binv=None, blj=None))
+        return state
+
     def step(self, state: MDState) -> MDState:
-        return self.step_fn(state, *self.shards)
+        return self.step_fn(self._strip_block(state), *self.shards)
 
     def run(self, state: MDState, nsteps: int, *, thermo_every: int = 0):
         """Scan nsteps; with thermo_every > 0 also returns the thermo rows
         (same schema as Engine.thermo) subsampled every thermo_every steps."""
         shards = self.shards
         eng = self.engine
+        state = self._strip_block(state)
 
         @jax.jit
         def go(st):

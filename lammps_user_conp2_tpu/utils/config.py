@@ -128,12 +128,14 @@ class MDConfig:
     # use the Pallas pair kernel instead of the XLA dense path; None = auto
     # (on for TPU backends — ~11%% faster steps — off elsewhere)
     use_pallas_pair: Optional[bool] = None
-    # real-space pair path: "auto" (compacted Verlet neighbor list when N is
-    # large and the box is much bigger than the cutoff, else dense),
-    # "dense", "cell" (padded cell-block sweep, also the sharded engine's
-    # path), "nlist", or "tile" (the Pallas tile-pair kernel with k-d brick
-    # ordering IS the large-N sweep — no Verlet list; TPU f32 only, falls
-    # back to nlist elsewhere)
+    # real-space pair path: "auto" (block-compacted Verlet neighbor list
+    # when N is large and the box is much bigger than the cutoff, else
+    # dense), "dense", "cell" (padded cell-block sweep, also the sharded
+    # engine's path), "nlist" (per-atom (N, K) rows), "block" (i-blocks of
+    # 8 cell-sorted atoms share one j-union row — ~3.5x fewer gather
+    # descriptors, the TPU sweep's whole cost), or "tile" (the Pallas
+    # tile-pair kernel with k-d brick ordering — no Verlet list; TPU f32
+    # only, falls back elsewhere)
     pair_path: str = "auto"
     # Verlet-list skin (Angstrom): list radius = cutoff + skin, rebuilt when
     # any atom moves more than skin/2 (LAMMPS neigh_modify check yes)

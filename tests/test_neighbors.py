@@ -103,3 +103,74 @@ def test_nlist_rebuild_fires_on_motion():
     x2 = x.at[5, 0].add(0.51)
     assert bool(needs_rebuild(ncfg, nl, x2))
     assert not bool(needs_rebuild(ncfg, nl, x.at[5, 0].add(0.49)))
+
+
+def test_block_forces_match_nlist():
+    """The block (cluster) sweep covers exactly the same pair set as the
+    per-atom (N, K) sweep — forces/energies agree to roundoff."""
+    from lammps_user_conp2_tpu.ops.neighbors import block_pair_forces
+
+    system, md, cfg = workloads.dilute(0)
+    u = system.units()
+    x = jnp.asarray(system.x0)
+    q = jnp.asarray(system.q0) + 0.01
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type)
+    excl = tuple(jnp.asarray(a) for a in exclusion_lists(system))
+    ncfg = make_neighbor_config(system.box, tuple(system.box_lo), md.cutoff,
+                                system.natoms, periodic=system.periodic,
+                                block=8)
+    assert ncfg.u_max > 0
+    nl = build_neighbor_list(ncfg, x, tables, ti)
+    assert not bool(nl.overflow)
+    assert nl.bun is not None
+    f1, ev1, ec1, _ = nlist_pair_forces(ncfg, nl, x, q, ti, tables, excl,
+                                        g_ewald=G, qqr2e=u.qqr2e)
+    f2, ev2, ec2, _ = block_pair_forces(ncfg, nl, x, q, ti, tables, excl,
+                                        g_ewald=G, qqr2e=u.qqr2e)
+    scale = float(jnp.abs(f1).max())
+    np.testing.assert_allclose(np.asarray(f2) / scale, np.asarray(f1) / scale,
+                               atol=1e-12)
+    np.testing.assert_allclose(float(ev2), float(ev1), rtol=1e-10)
+    np.testing.assert_allclose(float(ec2), float(ec1), rtol=1e-10)
+
+
+def test_block_engine_trajectory_matches_nlist():
+    """20 steps through the jitted scan (incl. reneighbor conds) on the
+    block path track the nlist engine to roundoff."""
+    system, md, cfg = workloads.dilute(0)
+    conp = setup_conp(system, md, cfg)
+    md1 = dataclasses.replace(md, pair_path="nlist", neighbor_skin=1.0)
+    md2 = dataclasses.replace(md, pair_path="block", neighbor_skin=1.0)
+    e1 = build_engine(system, md1, conp)
+    e2 = build_engine(system, md2, conp)
+    assert e2.ncfg.block == 8 and e2.ncfg.u_max % 8 == 0
+    s1f, th1 = e1.run(e1.init_state(), 20)
+    s2f, th2 = e2.run(e2.init_state(), 20)
+    assert abs(float(th1["temp"][-1] - th2["temp"][-1])) < 1e-7
+    assert abs(float(th1["qleft"][-1] - th2["qleft"][-1])) < 1e-10
+    assert float(jnp.abs(s1f.x - s2f.x).max()) < 1e-9
+
+
+def test_block_union_overflow_recovers():
+    """An undersized union width U NaN-poisons (fail-loud) and Engine.run's
+    grow-and-retry heals it, like the K overflow path."""
+    system, md, cfg = workloads.synthetic(n_elyte=512, nele_side=8, lz=60.0,
+                                          lxy=24.0)
+    md_ok = dataclasses.replace(md, pair_path="block", use_pallas_pair=False)
+    conp = setup_conp(system, md_ok, cfg)
+    eng_ok = build_engine(system, md_ok, conp)
+    eng_bad = build_engine(system, md_ok, conp)
+    # shrink ONLY u_max on the bad engine (post-build, so k_max stays valid)
+    object.__setattr__(eng_bad, "ncfg",
+                       dataclasses.replace(eng_bad.ncfg, u_max=8))
+    st_bad = eng_bad.init_state()
+    assert bool(st_bad.nbr.overflow)
+    assert not np.isfinite(float(st_bad.energy))
+    f_bad, th_bad = eng_bad.run(st_bad, 3)
+    f_ok, th_ok = eng_ok.run(eng_ok.init_state(), 3)
+    assert eng_bad.ncfg.u_max > 8
+    assert np.isfinite(float(f_bad.energy))
+    np.testing.assert_allclose(np.asarray(f_bad.x), np.asarray(f_ok.x),
+                               atol=1e-10)
+    assert abs(float(th_bad["temp"][-1] - th_ok["temp"][-1])) < 1e-8

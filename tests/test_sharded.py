@@ -199,7 +199,10 @@ def test_sharded_matfree_synthetic_largeish():
                                           lxy=24.0)
     cfgx = dataclasses.replace(cfg, solver=Solver.CG_MATFREE)
     mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
-    for pair_path in ("cell", "nlist"):
+    for pair_path in ("cell", "nlist", "block"):
+        # "block": single-chip sweeps the block-compacted list, the sharded
+        # engine strips the block fields and sweeps per-atom rows — this
+        # also pins block-vs-nlist physics agreement through a full step
         mdx = dataclasses.replace(md, pair_path=pair_path,
                                   use_pallas_pair=False)
         conp = setup_conp(system, mdx, cfgx)

@@ -8,7 +8,8 @@ CG path), Verlet neighbor lists with skin.  First run compiles for
 ~10 min at this size; the persistent compile cache (.jax_cache) makes
 reruns fast.
 
-Usage: python tools/bench_large.py [natoms_elyte] [nele_side] [solver]
+Usage: python tools/bench_large.py [natoms_elyte] [nele_side] [solver] [pair]
+(pair: block | nlist | tile — default block, the compacted-gather sweep)
 """
 import os
 import sys
@@ -31,11 +32,12 @@ def main():
     n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
     nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     solver = Solver[(sys.argv[3] if len(sys.argv) > 3 else "inv").upper()]
+    pair = sys.argv[4] if len(sys.argv) > 4 else "block"
     t0 = time.time()
     system, md, cfg = workloads.synthetic(
         n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)
     cfg = dataclasses.replace(cfg, solver=solver, kspace=KSpaceStyle.PPPM)
-    md = dataclasses.replace(md, pair_path="nlist",
+    md = dataclasses.replace(md, pair_path=pair,
                              kspace_style=KSpaceStyle.PPPM)
     conp = setup_conp(system, md, cfg, solve_dtype=jnp.float32)
     eng = build_engine(system, md, conp, dtype=jnp.float32)

@@ -185,7 +185,7 @@ def main():
         fb = jax.jit(f_block_o)(x)
         # nlist forces include exclusion corrections; prototype doesn't —
         # compare against the raw sweep by adding them back
-        from lammps_user_conp2_tpu.ops.pairs import exclusion_correction
+        from lammps_user_conp2_tpu.ops.cells import exclusion_correction
         df_, dev_, dec_ = jax.jit(lambda xx: exclusion_correction(
             xx, q, ti, tables, excl, box=grd.box, periodic=grd.periodic,
             cutsq=cutsq, qqr2e=qqr2e))(x)

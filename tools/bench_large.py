@@ -9,7 +9,7 @@ CG path), Verlet neighbor lists with skin.  First run compiles for
 reruns fast.
 
 Usage: python tools/bench_large.py [natoms_elyte] [nele_side] [solver] [pair]
-(pair: block | nlist | tile — default block, the compacted-gather sweep)
+(pair: nlist | block | tile — default nlist; block measured parity at 100k)
 """
 import os
 import sys
@@ -32,7 +32,7 @@ def main():
     n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
     nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     solver = Solver[(sys.argv[3] if len(sys.argv) > 3 else "inv").upper()]
-    pair = sys.argv[4] if len(sys.argv) > 4 else "block"
+    pair = sys.argv[4] if len(sys.argv) > 4 else "nlist"
     t0 = time.time()
     system, md, cfg = workloads.synthetic(
         n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)

@@ -43,13 +43,22 @@ def chain_ms(fn, x0, iters=50, trials=3):
 
 
 def main():
+    # flag-style operands first (pair path / solver), positionals after
+    pair = "block"
+    for a in ("nlist", "block"):
+        if a in sys.argv:
+            pair = a
+            sys.argv.remove(a)
+    solver = Solver.CG_MATFREE
+    if "inv" in sys.argv:
+        solver = Solver.INV
+        sys.argv.remove("inv")
     n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
     nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     system, md, cfg = workloads.synthetic(
         n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)
-    cfg = dataclasses.replace(cfg, solver=Solver.CG_MATFREE,
-                              kspace=KSpaceStyle.PPPM)
-    md = dataclasses.replace(md, pair_path="nlist",
+    cfg = dataclasses.replace(cfg, solver=solver, kspace=KSpaceStyle.PPPM)
+    md = dataclasses.replace(md, pair_path=pair,
                              kspace_style=KSpaceStyle.PPPM)
     conp = setup_conp(system, md, cfg, solve_dtype=jnp.float32)
     eng = build_engine(system, md, conp, dtype=jnp.float32)
@@ -65,12 +74,15 @@ def main():
     full = chain_ms(lambda s: eng.step(s), st)
     print(f"full step              : {full:7.2f} ms", flush=True)
 
+    from lammps_user_conp2_tpu.ops.neighbors import block_pair_forces
+    sweep = block_pair_forces if eng.ncfg.block else nlist_pair_forces
+
     def f_pair(xx):
-        f, ev, ec, ov = nlist_pair_forces(
+        f, ev, ec, ov = sweep(
             eng.ncfg, nbr, xx, q, eng.type_idx, eng.tables,
             eng.exclusions, g_ewald=eng.ksp_force.g_ewald, qqr2e=u.qqr2e)
         return xx + eps * f
-    print(f"pair sweep (nlist)     : {chain_ms(f_pair, x):7.2f} ms",
+    print(f"pair sweep ({pair:5s})    : {chain_ms(f_pair, x):7.2f} ms",
           flush=True)
 
     def f_rebuild(xx):

@@ -40,12 +40,17 @@ def main():
     md = dataclasses.replace(md, pair_path=pair,
                              kspace_style=KSpaceStyle.PPPM)
     conp = setup_conp(system, md, cfg, solve_dtype=jnp.float32)
+    print(f"setup_conp done {time.time() - t0:.0f}s", file=sys.stderr,
+          flush=True)
     eng = build_engine(system, md, conp, dtype=jnp.float32)
     st = eng.init_state()
     jax.block_until_ready(st.x)
     setup_s = time.time() - t0
+    print(f"init_state done {setup_s:.0f}s", file=sys.stderr, flush=True)
     st, _ = eng.run(st, 5, thermo_every=0)
     jax.block_until_ready(st.x)
+    print(f"warmup run done {time.time() - t0:.0f}s", file=sys.stderr,
+          flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

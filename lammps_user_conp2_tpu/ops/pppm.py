@@ -941,16 +941,10 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
     cf = jnp.asarray(grid.coeffs, dtype)
     bp = jnp.stack([_pad_brick(b, geom, grid.nz) for b in bricks])
 
-    def one(t, lxl, lyl, lzl, dxl):
-        txi = t // (nty * ntz)
-        tyi = (t // ntz) % nty
-        tzi = t % ntz
+    def one(patch, lxl, lyl, lzl, dxl):
         wxl = _axis_onehot(lxl, _horner_w(dxl[:, 0], cf), e=ex)
         wyl = _axis_onehot(lyl, _horner_w(dxl[:, 1], cf), e=ey)
         wzd = _axis_onehot(lzl, _horner_w(dxl[:, 2], cf), e=ez)
-        zero = jnp.zeros((), t.dtype)
-        patch = jax.lax.dynamic_slice(
-            bp, (zero, txi * tlx, tyi * tly, tzi * tlz), (nb, ex, ey, ez))
         # z-FIRST contraction: (cap, ez) @ (ez, nb*exy) puts BOTH matmul
         # output dims >= 128 (cap ~ hundreds, nb*exy ~ 484+) — the
         # ez-as-M layout capped sublane utilization at ez/128 ~ 30%.
@@ -961,12 +955,29 @@ def gather_tiled(grid: PPPMGrid, bricks, x, slots: TileSlots = None):
         s1 = jnp.einsum("cbxy,cy->cbx", t1, wyl, precision=hi)
         return jnp.einsum("cbx,cx->cb", s1, wxl, precision=hi)  # (cap, nb)
 
-    # scan over x-tile rows, vmap across y/z-tiles (as in spread_tiled)
+    # scan over x-tile rows, vmap across y/z-tiles (as in spread_tiled);
+    # per-row patches come from ONE dynamic_slice + static y/z window
+    # slices (im2col) — the vmapped per-tile dynamic_slice this replaces
+    # lowered to a descriptor-rate gather (tools/exp_patch_gather.py)
+    def xrow(txi, lxl, lyl, lzl, dxl):
+        zero = jnp.zeros((), txi.dtype)
+        blk = jax.lax.dynamic_slice(
+            bp, (zero, txi * tlx, zero, zero),
+            (nb, ex, bp.shape[2], bp.shape[3]))
+        yw = jnp.stack([
+            jax.lax.slice_in_dim(blk, k * tly, k * tly + ey, axis=2)
+            for k in range(nty)])                  # (nty, nb, ex, ey, Z)
+        zw = jnp.stack([
+            jax.lax.slice_in_dim(yw, m * tlz, m * tlz + ez, axis=4)
+            for m in range(ntz)], axis=1)          # (nty, ntz, nb, ex, ey, ez)
+        patches = zw.reshape(nty * ntz, nb, ex, ey, ez)
+        return jax.vmap(one)(patches, lxl, lyl, lzl, dxl)
+
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
-               for a in (jnp.arange(t_tiles, dtype=jnp.int32),
-                         lxs, lys, lzs, dxs))
+               for a in (lxs, lys, lzs, dxs))
     _, vals = jax.lax.scan(
-        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+        lambda _, args: (None, xrow(args[0], *args[1:])), None,
+        (jnp.arange(ntx, dtype=jnp.int32),) + xs)
     # inverse-slot GATHER instead of a (T*cap, nb) scatter: each atom owns
     # exactly one slot, and an N-row gather costs ~4x less than the
     # scatter-add on TPU (tools/exp_gather3b.py: 4.4 ms -> ~0.6 ms at 100k)
@@ -1017,18 +1028,13 @@ def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
     cf = jnp.asarray(grid.coeffs, dtype)
     up = _pad_brick(u, geom, grid.nz)
 
-    def one(t, lxl, lyl, lzl, dxl):
-        txi = t // (nty * ntz)
-        tyi = (t // ntz) % nty
-        tzi = t % ntz
+    def one(patch, lxl, lyl, lzl, dxl):
         wxl = _axis_onehot(lxl, _horner_w(dxl[:, 0], cf), e=ex)
         wyl = _axis_onehot(lyl, _horner_w(dxl[:, 1], cf), e=ey)
         wzd = _axis_onehot(lzl, _horner_w(dxl[:, 2], cf), e=ez)
         dwxl = _axis_onehot(lxl, _horner_dw(dxl[:, 0], cf), e=ex)
         dwyl = _axis_onehot(lyl, _horner_dw(dxl[:, 1], cf), e=ey)
         dwzd = _axis_onehot(lzl, _horner_dw(dxl[:, 2], cf), e=ez)
-        patch = jax.lax.dynamic_slice(
-            up, (txi * tlx, tyi * tly, tzi * tlz), (ex, ey, ez))
         # z-FIRST contraction: (2cap, ez) @ (ez, exy) puts BOTH matmul
         # output dims >= 128 (2cap ~ 640, exy ~ 484 at the production
         # geometry) where the previous exy-contraction had M = ez ~ 38
@@ -1052,11 +1058,27 @@ def gather3_ad_tiled(grid: PPPMGrid, u, x, slots: TileSlots = None):
         gz = jnp.sum(wxl * s3, axis=1)
         return jnp.stack([gx, gy, gz], axis=1)
 
+    # dense per-row patch extraction (see gather_tiled): one dynamic_slice
+    # per x-row + static y/z window slices, zero gather HLOs
+    def xrow(txi, lxl, lyl, lzl, dxl):
+        zero = jnp.zeros((), txi.dtype)
+        blk = jax.lax.dynamic_slice(
+            up, (txi * tlx, zero, zero),
+            (ex, up.shape[1], up.shape[2]))
+        yw = jnp.stack([
+            jax.lax.slice_in_dim(blk, k * tly, k * tly + ey, axis=1)
+            for k in range(nty)])                  # (nty, ex, ey, Z)
+        zw = jnp.stack([
+            jax.lax.slice_in_dim(yw, m * tlz, m * tlz + ez, axis=3)
+            for m in range(ntz)], axis=1)          # (nty, ntz, ex, ey, ez)
+        patches = zw.reshape(nty * ntz, ex, ey, ez)
+        return jax.vmap(one)(patches, lxl, lyl, lzl, dxl)
+
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
-               for a in (jnp.arange(t_tiles, dtype=jnp.int32),
-                         lxs, lys, lzs, dxs))
+               for a in (lxs, lys, lzs, dxs))
     _, vals = jax.lax.scan(
-        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+        lambda _, args: (None, xrow(args[0], *args[1:])), None,
+        (jnp.arange(ntx, dtype=jnp.int32),) + xs)
     out = vals.reshape(t_tiles * cap, 3)[slots.slot]   # inverse-slot gather
     e = out * jnp.asarray(_delinv(grid), dtype)[None, :]
     return jnp.where(overflow, jnp.nan, e)
@@ -1130,20 +1152,13 @@ def gather3_ad_zbin(grid: PPPMGrid, uz, x, slots: TileSlots = None):
     up = jnp.pad(uz.astype(dtype), ((bw, bw), (bw, bw), (0, 0), (0, 0)),
                  mode="wrap")
 
-    def one(t, lxl, lyl, lzl, dxl):
-        txi = t // (nty * ntz)
-        tyi = (t // ntz) % nty
-        tzi = t % ntz
+    def one(patch, lxl, lyl, lzl, dxl):
         wxl = _axis_onehot(lxl, _horner_w(dxl[:, 0], cf), e=ex)
         wyl = _axis_onehot(lyl, _horner_w(dxl[:, 1], cf), e=ey)
         wzd = _axis_onehot(lzl, _horner_w(dxl[:, 2], cf), e=ez)
         dwxl = _axis_onehot(lxl, _horner_dw(dxl[:, 0], cf), e=ex)
         dwyl = _axis_onehot(lyl, _horner_dw(dxl[:, 1], cf), e=ey)
         dwzd = _axis_onehot(lzl, _horner_dw(dxl[:, 2], cf), e=ez)
-        zero = jnp.zeros((), t.dtype)
-        patch = jax.lax.dynamic_slice(
-            up, (txi * tlx, tyi * tly, tzi, zero), (ex, ey, 1, ez)
-        ).reshape(ex, ey, ez)
         # z-FIRST contraction as in gather3_ad_tiled
         hi = jax.lax.Precision.HIGHEST
         wz2 = jnp.concatenate([wzd, dwzd], axis=0)             # (2cap, ez)
@@ -1159,11 +1174,29 @@ def gather3_ad_zbin(grid: PPPMGrid, uz, x, slots: TileSlots = None):
         gz = jnp.sum(wxl * s3, axis=1)
         return jnp.stack([gx, gy, gz], axis=1)
 
+    # dense per-row patch extraction: the scan index IS the x-tile row, so
+    # one dynamic_slice covers the whole row and the per-tile patches fall
+    # out of nty STATIC overlapping y-window slices (im2col) — no gather
+    # HLO at all.  The vmapped per-tile dynamic_slice this replaces lowered
+    # to a descriptor-rate gather: 13.2 -> 9.7 ms at the 100k geometry
+    # (tools/exp_patch_gather.py, bit-exact).
+    def xrow(txi, lxl, lyl, lzl, dxl):
+        zero = jnp.zeros((), txi.dtype)
+        blk = jax.lax.dynamic_slice(
+            up, (txi * tlx, zero, zero, zero),
+            (ex, up.shape[1], ntz, ez))
+        wins = jnp.stack([
+            jax.lax.slice_in_dim(blk, k * tly, k * tly + ey, axis=1)
+            for k in range(nty)])                  # (nty, ex, ey, ntz, ez)
+        patches = wins.transpose(0, 3, 1, 2, 4).reshape(
+            nty * ntz, ex, ey, ez)
+        return jax.vmap(one)(patches, lxl, lyl, lzl, dxl)
+
     xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
-               for a in (jnp.arange(t_tiles, dtype=jnp.int32),
-                         lxs, lys, lzs, dxs))
+               for a in (lxs, lys, lzs, dxs))
     _, vals = jax.lax.scan(
-        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+        lambda _, args: (None, xrow(args[0], *args[1:])), None,
+        (jnp.arange(ntx, dtype=jnp.int32),) + xs)
     out = vals.reshape(t_tiles * cap, 3)[slots.slot]   # inverse-slot gather
     e = out * jnp.asarray(_delinv(grid), dtype)[None, :]
     return jnp.where(overflow, jnp.nan, e)

@@ -26,18 +26,13 @@ from lammps_user_conp2_tpu.ops.pairs import make_pair_tables
 from lammps_user_conp2_tpu.ops.pallas.pair_kernel import (pair_forces_pallas,
                                                           pair_tile_count)
 
+from timing import chain_ms as _chain_ms
+
 ITERS = int(os.environ.get("ITERS", "50"))
 
 
 def chain_ms(fn, x0, trials=3):
-    run = jax.jit(lambda s: jax.lax.fori_loop(0, ITERS, lambda i, t: fn(t), s))
-    s = jax.block_until_ready(run(x0))
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        s = jax.block_until_ready(run(s))
-        best = min(best, (time.perf_counter() - t0) / ITERS * 1e3)
-    return best
+    return _chain_ms(fn, x0, iters=ITERS, trials=trials)
 
 
 def main():

@@ -20,19 +20,14 @@ from lammps_user_conp2_tpu.models.conp import setup_conp
 from lammps_user_conp2_tpu.models.md import build_engine
 
 
+from timing import chain_ms as _chain_ms
+
 CHAIN_ITERS = int(os.environ.get('PROFILE_ITERS', '1000'))
 
 
 def chain_ms(fn, x0, iters=None, trials=3):
     iters = CHAIN_ITERS if iters is None else iters
-    run = jax.jit(lambda s: jax.lax.fori_loop(0, iters, lambda i, t: fn(t), s))
-    s = jax.block_until_ready(run(x0))
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        s = jax.block_until_ready(run(s))
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+    return _chain_ms(fn, x0, iters=iters, trials=trials)
 
 
 def main():

@@ -31,15 +31,7 @@ from lammps_user_conp2_tpu.ops.neighbors import (build_neighbor_list,
 from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
 
 
-def chain_ms(fn, x0, iters=50, trials=3):
-    run = jax.jit(lambda s: jax.lax.fori_loop(0, iters, lambda i, t: fn(t), s))
-    s = jax.block_until_ready(run(x0))
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        s = jax.block_until_ready(run(s))
-        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
-    return best
+from timing import chain_ms
 
 
 def main():

@@ -532,3 +532,49 @@ def test_engine_ad_zbin_branch(monkeypatch):
     assert calls["n"] == n32        # ...and the f64 engine did NOT take it
     sc = np.abs(f64).max()
     assert np.abs(f32 - f64).max() < 5e-5 * sc
+
+
+def test_gather3_ad_zbin_pallas_matches_xla(slab_setup):
+    """The Mosaic fused gather kernel (interpret mode on CPU) must agree
+    with the XLA tile scan to f32 roundoff on the span-mode slab grid."""
+    grid, x, q, n = slab_setup
+    x32, q32 = x.astype(jnp.float32), q.astype(jnp.float32)
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x32, q32)
+    rhok = jax.jit(
+        lambda a: P._spread_rhok_tiled(grid, a, slots=slots))(x32)
+    _, uz = jax.jit(
+        lambda r: P.pppm_energy_u_zbin(grid, r, x32.shape[0]))(rhok)
+    f_ref = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots,
+                                       use_pallas=False))(uz, x32))
+    f_got = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots,
+                                       use_pallas=True,
+                                       interpret=True))(uz, x32))
+    sc = np.abs(f_ref).max()
+    assert np.abs(f_got - f_ref).max() < 2e-6 * sc
+
+
+def test_gather3_ad_zbin_pallas_periodic(slab_setup):
+    """Same equivalence on a fully periodic (roll-merge) geometry."""
+    rng = np.random.default_rng(13)
+    box = (30.0, 30.0, 30.0)
+    n = 1200
+    x = jnp.asarray(rng.uniform(0, 30, size=(n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    grid = P.setup_pppm(box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-4,
+                        natoms=n, q2=float(np.sum(np.asarray(q) ** 2)),
+                        cutoff=8.0, slabflag=False)
+    assert not P._tile_geometry(grid, n).z_span
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x, q)
+    rhok = jax.jit(lambda a: P._spread_rhok_tiled(grid, a, slots=slots))(x)
+    _, uz = jax.jit(lambda r: P.pppm_energy_u_zbin(grid, r, n))(rhok)
+    f_ref = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots,
+                                       use_pallas=False))(uz, x))
+    f_got = np.asarray(jax.jit(
+        lambda u, a: P.gather3_ad_zbin(grid, u, a, slots=slots,
+                                       use_pallas=True,
+                                       interpret=True))(uz, x))
+    sc = np.abs(f_ref).max()
+    assert np.abs(f_got - f_ref).max() < 2e-6 * sc

@@ -169,11 +169,15 @@ def main():
         return ms
 
     bench("G0 zbin baseline",
-          lambda xx: P.gather3_ad_zbin(grid, uz, xx, slots=slots), ref)
+          lambda xx: P.gather3_ad_zbin(grid, uz, xx, slots=slots,
+                                       use_pallas=False), ref)
     bench("G1 row-sliced patches",
           lambda xx: gather3_zbin_rows(grid, uz, xx, slots, geom), ref)
     bench("G2 weights only",
           lambda xx: gather3_zbin_wonly(grid, uz, xx, slots, geom))
+    bench("G3 pallas fused kernel",
+          lambda xx: P.gather3_ad_zbin(grid, uz, xx, slots=slots,
+                                       use_pallas=True), ref)
 
     # ---- spread decomposition -------------------------------------------
     bench("S0 spread_rhok baseline",

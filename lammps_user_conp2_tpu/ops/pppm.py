@@ -915,7 +915,7 @@ def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     C, S = _zbin_dft(grid, geom)
     re = jnp.matmul(m, jnp.asarray(C, dtype), precision=hi)
     im = -jnp.matmul(m, jnp.asarray(S, dtype), precision=hi)
-    rhok = jnp.fft.fftn(re + 1j * im, axes=(0, 1))
+    rhok = _xy_fft2(re, im)
     return jnp.where(overflow, jnp.nan * (1.0 + 1.0j), rhok)
 
 
@@ -1123,11 +1123,11 @@ def pppm_energy_u_zbin(grid: PPPMGrid, rhok, natoms: int):
     wz = _half_weights(grid, rdt)
     e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
     phik = rhok * gk
-    v = jnp.fft.ifftn(phik, axes=(0, 1))
+    vre, vim = _xy_ifft2(phik)
     iC, iS = _zbin_idft(grid, geom)
     hi = jax.lax.Precision.HIGHEST
-    u = (jnp.matmul(jnp.real(v), jnp.asarray(iC, rdt), precision=hi)
-         - jnp.matmul(jnp.imag(v), jnp.asarray(iS, rdt), precision=hi))
+    u = (jnp.matmul(vre, jnp.asarray(iC, rdt), precision=hi)
+         - jnp.matmul(vim, jnp.asarray(iS, rdt), precision=hi))
     u = u * (grid.nx * grid.ny * grid.nz / grid.volume)
     ntz = geom.ntz
     return e, u.reshape(grid.nx, grid.ny, ntz, u.shape[-1] // ntz)
@@ -1551,23 +1551,87 @@ def _zdft_mats(nz: int):
     return _ZDFT_CACHE[nz]
 
 
+_XYDFT_CACHE = {}
+
+
+def _xydft_mats(n: int):
+    """Exact-phase full DFT matrices for an xy axis, cached per n: the
+    (symmetric) cos/sin of exp(-2 pi i j k / n) with int64-exact phases."""
+    if n not in _XYDFT_CACHE:
+        j = np.arange(n, dtype=np.int64)
+        ang = -2.0 * np.pi * ((j[:, None] * j[None, :]) % n) / n
+        _XYDFT_CACHE[n] = (np.cos(ang), np.sin(ang))
+    return _XYDFT_CACHE[n]
+
+
+def _xy_fft2(re, im):
+    """fftn(re + 1j*im, axes=(0, 1)) as exact-phase DFT matmuls.
+
+    XLA's TPU FFT underuses the MXU: at the (144, 144, 365) production
+    spectrum the complex fft2 measures 2.23 ms where these four f32
+    HIGHEST matmuls per axis measure 1.47 ms at 4e-7 relative error
+    (tools/exp_spread2.py).  Inputs are the real/imag planes; returns
+    complex."""
+    nx, ny = re.shape[0], re.shape[1]
+    CX, SX = _xydft_mats(nx)
+    CY, SY = _xydft_mats(ny)
+    dt = re.dtype
+    hi = jax.lax.Precision.HIGHEST
+    CXj, SXj = jnp.asarray(CX, dt), jnp.asarray(SX, dt)
+    CYj, SYj = jnp.asarray(CY, dt), jnp.asarray(SY, dt)
+    tail = re.shape[2:]
+    a, b = re.reshape(nx, -1), im.reshape(nx, -1)
+    re1 = jnp.matmul(CXj, a, precision=hi) - jnp.matmul(SXj, b, precision=hi)
+    im1 = jnp.matmul(CXj, b, precision=hi) + jnp.matmul(SXj, a, precision=hi)
+    a = re1.reshape((nx, ny, -1)).transpose(1, 0, 2).reshape(ny, -1)
+    b = im1.reshape((nx, ny, -1)).transpose(1, 0, 2).reshape(ny, -1)
+    re2 = jnp.matmul(CYj, a, precision=hi) - jnp.matmul(SYj, b, precision=hi)
+    im2 = jnp.matmul(CYj, b, precision=hi) + jnp.matmul(SYj, a, precision=hi)
+    out = (re2 + 1j * im2).reshape((ny, nx) + tail)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _xy_ifft2(vk):
+    """ifftn(vk, axes=(0, 1)) as exact-phase DFT matmuls (conjugate
+    matrices / n); returns the (real, imag) planes separately — every
+    caller consumes them separately anyway."""
+    nx, ny = vk.shape[0], vk.shape[1]
+    CX, SX = _xydft_mats(nx)
+    CY, SY = _xydft_mats(ny)
+    dt = jnp.float32 if vk.dtype == jnp.complex64 else jnp.float64
+    hi = jax.lax.Precision.HIGHEST
+    CXj, SXj = jnp.asarray(CX / nx, dt), jnp.asarray(SX / nx, dt)
+    CYj, SYj = jnp.asarray(CY / ny, dt), jnp.asarray(SY / ny, dt)
+    tail = vk.shape[2:]
+    a = jnp.real(vk).reshape(nx, -1)
+    b = jnp.imag(vk).reshape(nx, -1)
+    re1 = jnp.matmul(CXj, a, precision=hi) + jnp.matmul(SXj, b, precision=hi)
+    im1 = jnp.matmul(CXj, b, precision=hi) - jnp.matmul(SXj, a, precision=hi)
+    a = re1.reshape((nx, ny, -1)).transpose(1, 0, 2).reshape(ny, -1)
+    b = im1.reshape((nx, ny, -1)).transpose(1, 0, 2).reshape(ny, -1)
+    re2 = jnp.matmul(CYj, a, precision=hi) + jnp.matmul(SYj, b, precision=hi)
+    im2 = jnp.matmul(CYj, b, precision=hi) - jnp.matmul(SYj, a, precision=hi)
+    re2 = jnp.swapaxes(re2.reshape((ny, nx) + tail), 0, 1)
+    im2 = jnp.swapaxes(im2.reshape((ny, nx) + tail), 0, 1)
+    return re2, im2
+
+
 def rfft3(grid: PPPMGrid, rho):
     """Half-spectrum 3-D transform of a real mesh (== jnp.fft.rfftn(rho)).
 
     float32 (the TPU hot path): the z axis — the long one for slab cells —
-    goes through an exact-phase DFT matmul on the MXU and xy through the
-    complex FFT.  At the 100k production grid (108,108,648) this is 2.2x
-    faster than XLA's rfftn AND ~2.5x more accurate vs a float64 reference
-    (tools/exp_fft.py: 2.24 vs 5.00 ms per Poisson pair, rel err 3.2e-7 vs
-    8.3e-7).  float64 keeps jnp.fft.rfftn (the CPU/test path; TPU has no
-    complex128 FFT anyway)."""
+    goes through an exact-phase DFT matmul on the MXU and xy through
+    exact-phase DFT matmuls too (_xy_fft2).  At the 100k production grid
+    this is >2x faster than XLA's rfftn AND more accurate vs a float64
+    reference (tools/exp_fft.py, tools/exp_spread2.py).  float64 keeps
+    jnp.fft.rfftn (the CPU/test path; TPU has no complex128 FFT anyway)."""
     if rho.dtype != jnp.float32:
         return jnp.fft.rfftn(rho)
     C, S, _, _ = _zdft_mats(grid.nz)
     hi = jax.lax.Precision.HIGHEST
     re = jnp.matmul(rho, jnp.asarray(C, rho.dtype), precision=hi)
     im = -jnp.matmul(rho, jnp.asarray(S, rho.dtype), precision=hi)
-    return jnp.fft.fftn(re + 1j * im, axes=(0, 1))
+    return _xy_fft2(re, im)
 
 
 def irfft3(grid: PPPMGrid, vk):
@@ -1580,11 +1644,9 @@ def irfft3(grid: PPPMGrid, vk):
         return jnp.fft.irfftn(vk, s=grid.shape)
     _, _, iCt, iSt = _zdft_mats(grid.nz)
     hi = jax.lax.Precision.HIGHEST
-    v = jnp.fft.ifftn(vk, axes=(0, 1))
-    return (jnp.matmul(jnp.real(v), jnp.asarray(iCt, jnp.float32),
-                       precision=hi)
-            - jnp.matmul(jnp.imag(v), jnp.asarray(iSt, jnp.float32),
-                         precision=hi))
+    vre, vim = _xy_ifft2(vk)
+    return (jnp.matmul(vre, jnp.asarray(iCt, jnp.float32), precision=hi)
+            - jnp.matmul(vim, jnp.asarray(iSt, jnp.float32), precision=hi))
 
 
 def _half_weights(grid: PPPMGrid, dtype):

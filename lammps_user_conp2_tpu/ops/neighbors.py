@@ -509,7 +509,7 @@ def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
 
 def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
                       type_idx, tables: PairTables, exclusions, *,
-                      g_ewald, qqr2e):
+                      g_ewald, qqr2e, use_pallas=None, interpret=False):
     """LJ + real-space Coulomb from the BLOCK form of the list — same
     returns (and the same pair set, hence roundoff-level identical physics)
     as nlist_pair_forces.  The hot gather is (NB, U) union rows instead of
@@ -519,7 +519,11 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     (NB, B, U) = N*U slots.  Each pair still appears in both atoms' blocks,
     so energies carry the full-list 0.5.  Reference analogue: the same
     half/full neighbor-list sweeps (fix_conp.cpp:1242-1276) — blocking is
-    the TPU-native replacement for LAMMPS's per-atom jlist walk."""
+    the TPU-native replacement for LAMMPS's per-atom jlist walk.
+
+    ``use_pallas`` (auto: float32 on TPU): run the masked (NB, B, U) chain
+    in a VMEM-resident Mosaic kernel (ops/pallas/block_pair.py) — in XLA
+    the chain's HBM intermediates eat the whole descriptor saving."""
     n = x.shape[0]
     dtype = x.dtype
     un, rows, binv, blj = nlist.bun, nlist.brows, nlist.binv, nlist.blj
@@ -529,6 +533,27 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
         axis=0)
     xqu = xqp[un]                                        # (NB, U, 4) THE gather
     xqi = xqp[rows]                                      # (NB, B, 4)
+    if use_pallas is None:
+        use_pallas = (dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas:
+        from .pallas.block_pair import block_pair_pallas
+        f_s, selj, secoul = block_pair_pallas(
+            xqu, xqi, un, rows, blj, box=ncfg.grid.box,
+            periodic=ncfg.grid.periodic, cutoff=ncfg.cutoff,
+            g_ewald=g_ewald, qqr2e=qqr2e, npts=n, interpret=interpret)
+        f = f_s[binv]
+        ev = 0.5 * selj
+        ec = 0.5 * secoul
+        df, dev, dec = exclusion_correction(
+            x, q, type_idx, tables, exclusions, box=ncfg.grid.box,
+            periodic=ncfg.grid.periodic, cutsq=ncfg.cutoff ** 2,
+            qqr2e=qqr2e)
+        ov = nlist.overflow
+        f = jnp.where(ov, jnp.nan, f + df)
+        ev = jnp.where(ov, jnp.nan, ev + dev)
+        ec = jnp.where(ov, jnp.nan, ec + dec)
+        return f, ev, ec, ov
     boxj = jnp.asarray(ncfg.grid.box, dtype)
     d = min_image(xqi[:, :, None, :3] - xqu[:, None, :, :3], boxj,
                   ncfg.grid.periodic)

@@ -1,0 +1,152 @@
+"""Mosaic kernel for the block-union Verlet pair sweep.
+
+The block form of the neighbor list (ops/neighbors.py _attach_block_list:
+i-blocks of B = 8 cell-sorted atoms share the sorted-unique union of their
+(N, K) rows) cuts the hot gather to ~3.5x fewer descriptors than the
+per-atom list — but in XLA the (NB, B, U) masked pair chain materializes
+its intermediates in HBM and returns the whole saving (measured parity,
+14.13 vs 13.94 ms at 100k; VALIDATION.md round-3a).  This kernel runs the
+chain in VMEM: per grid step it loads G blocks' union rows (already
+gathered OUTSIDE — the only descriptor-rate cost left), the block atoms,
+the pre-typed LJ planes and the id rows for masking, and emits per-atom
+forces + per-atom energy partials.  Every array in the chain is (G, B, U)
+with B x U = one native (8, 128) f32 vreg per block.
+
+Pair physics is identical to ops/neighbors.py nlist_pair_rows /
+block_pair_forces (LAMMPS pair_lj_cut_coul_long compute(), the A&S 7.1.26
+erfc; reference fix_conp.cpp:1242-1276 sweeps the same list).  Energies
+carry the full-list 0.5.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..erfc import EWALD_F
+
+EWALD_P = 0.3275911
+A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
+                      -1.453152027, 1.061405429)
+
+
+def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
+            box, periodic, cutsq, g_ewald, qqr2e, npts, gb, bsz, usz):
+    f32 = jnp.float32
+    xu = xu_ref[0]                      # (G, 4, U)
+    xi = xi_ref[0]                      # (G, 4, B)
+    un = un_ref[0]                      # (G, U) int32
+    rows = rows_ref[0]                  # (G, B) int32
+    blj = blj_ref[0]                    # (G, 4, B, U)
+
+    rsq = jnp.zeros((gb, bsz, usz), f32)
+    d = []
+    for c in range(3):
+        dc = xi[:, c, :, None] - xu[:, c, None, :]       # (G, B, U)
+        if periodic[c]:
+            L = f32(box[c])
+            dc = dc - L * jnp.round(dc * f32(1.0 / box[c]))
+        d.append(dc)
+        rsq = rsq + dc * dc
+    mask = ((un[:, None, :] != rows[:, :, None])
+            & (un[:, None, :] < npts) & (rows[:, :, None] < npts)
+            & (rsq < f32(cutsq)))
+    rsq_safe = jnp.where(mask, rsq, f32(1.0))
+    r2inv = f32(1.0) / rsq_safe
+    r6inv = r2inv * r2inv * r2inv
+    zero = jnp.zeros((), f32)
+    l1 = blj[:, 0]
+    l2 = blj[:, 1]
+    l3 = blj[:, 2]
+    l4 = blj[:, 3]
+    flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, zero)
+    elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), zero)
+    r = jnp.sqrt(rsq_safe)
+    grij = f32(g_ewald) * r
+    expm2 = jnp.exp(-grij * grij)
+    tt = f32(1.0) / (f32(1.0) + f32(EWALD_P) * grij)
+    erfc = tt * (f32(A1) + tt * (f32(A2) + tt * (
+        f32(A3) + tt * (f32(A4) + tt * f32(A5))))) * expm2
+    pref = f32(qqr2e) * xi[:, 3, :, None] * xu[:, 3, None, :] / r
+    fcoul = jnp.where(mask, pref * (erfc + f32(EWALD_F) * grij * expm2),
+                      zero)
+    ecoul = jnp.where(mask, pref * erfc, zero)
+    fpair = flj + fcoul * r2inv
+    outs = [jnp.sum(fpair * dc, axis=2).reshape(1, gb * bsz) for dc in d]
+    outs.append(jnp.sum(elj, axis=2).reshape(1, gb * bsz))
+    outs.append(jnp.sum(ecoul, axis=2).reshape(1, gb * bsz))
+    outs.append(jnp.zeros((3, gb * bsz), f32))
+    out_ref[0] = jnp.concatenate(outs, axis=0)          # (8, G*B)
+
+
+def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
+                      g_ewald, qqr2e, npts, gblocks=16, interpret=False):
+    """Per-atom (cell-sorted order) forces and energy partials from the
+    block-union list.
+
+    xqu: (NB, U, 4) gathered union rows [x, y, z, q]
+    xqi: (NB, B, 4) block atom rows
+    un/rows: (NB, U)/(NB, B) int32 atom ids (n = pad sentinel)
+    blj: (4, NB, B, U) pre-typed LJ planes
+    Returns (f (NB*B, 3), elj_sum, ecoul_sum) in block-row order; caller
+    applies binv, the 0.5 energy factors and exclusion corrections.
+    """
+    nb, usz, _ = xqu.shape
+    bsz = xqi.shape[1]
+    gb = gblocks
+    nbp = -(-nb // gb) * gb
+    pad = nbp - nb
+    if pad:
+        n_i32 = jnp.full((pad, usz), npts, un.dtype)
+        un = jnp.concatenate([un, n_i32], axis=0)
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad, bsz), npts, rows.dtype)], axis=0)
+        xqu = jnp.concatenate(
+            [xqu, jnp.full((pad, usz, 4), 1e6, xqu.dtype)], axis=0)
+        xqi = jnp.concatenate(
+            [xqi, jnp.full((pad, bsz, 4), 1e6, xqi.dtype)], axis=0)
+        blj = jnp.concatenate(
+            [blj, jnp.zeros((4, pad, bsz, usz), blj.dtype)], axis=1)
+    nsteps = nbp // gb
+    xu_t = xqu.transpose(0, 2, 1).reshape(nsteps, gb, 4, usz)
+    xi_t = xqi.transpose(0, 2, 1).reshape(nsteps, gb, 4, bsz)
+    un_r = un.reshape(nsteps, gb, usz)
+    rows_r = rows.reshape(nsteps, gb, bsz)
+    blj_r = blj.transpose(1, 0, 2, 3).reshape(nsteps, gb, 4, bsz, usz)
+
+    kern = functools.partial(
+        _kernel, box=tuple(float(b) for b in box), periodic=periodic,
+        cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald),
+        qqr2e=float(qqr2e), npts=npts, gb=gb, bsz=bsz, usz=usz)
+    out = pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, gb, 4, usz), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, 4, bsz), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, usz), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, bsz), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, 4, bsz, usz), lambda t: (t, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, gb * bsz), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nsteps, 8, gb * bsz), xqu.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=nbp * bsz * usz * 40,
+            bytes_accessed=xqu.size * 4 + blj.size * 4,
+            transcendentals=nbp * bsz * usz),
+        interpret=interpret,
+    )(xu_t, xi_t, un_r, rows_r, blj_r)
+    f = out[:, :3, :].transpose(0, 2, 1).reshape(nbp * bsz, 3)[:nb * bsz]
+    elj = jnp.sum(out[:, 3, :])
+    ecoul = jnp.sum(out[:, 4, :])
+    return f, elj, ecoul

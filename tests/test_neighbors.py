@@ -174,3 +174,42 @@ def test_block_union_overflow_recovers():
     np.testing.assert_allclose(np.asarray(f_bad.x), np.asarray(f_ok.x),
                                atol=1e-10)
     assert abs(float(th_bad["temp"][-1] - th_ok["temp"][-1])) < 1e-8
+
+
+def test_block_pallas_matches_xla():
+    """The Mosaic block-union kernel (interpret mode on CPU) reproduces the
+    XLA block sweep to f32 roundoff.
+
+    Uses the synthetic capacitor (no bonded exclusions): on decks with
+    excluded 1-2 pairs the raw per-block sums reach the LJ-wall magnitude
+    (~1e6) before the exclusion correction cancels them, so reduction-order
+    roundoff between the two sweeps is ~1e-6 of THAT, not of the net
+    force — verified to be pure summation-order noise (both sweeps agree
+    with a float64 reference equally well)."""
+    from lammps_user_conp2_tpu.ops.neighbors import block_pair_forces
+
+    system, md, cfg = workloads.synthetic(n_elyte=900, nele_side=7,
+                                          lz=36.0, lxy=24.0)
+    u = system.units()
+    x = jnp.asarray(system.x0, jnp.float32)
+    q = jnp.asarray(system.q0, jnp.float32) + 0.01
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type,
+                              jnp.float32)
+    excl = tuple(jnp.asarray(a) for a in exclusion_lists(system))
+    ncfg = make_neighbor_config(system.box, tuple(system.box_lo), md.cutoff,
+                                system.natoms, periodic=system.periodic,
+                                block=8, x0=system.x0)
+    nl = build_neighbor_list(ncfg, x, tables, ti)
+    assert not bool(nl.overflow)
+    f1, ev1, ec1, _ = block_pair_forces(ncfg, nl, x, q, ti, tables, excl,
+                                        g_ewald=G, qqr2e=u.qqr2e,
+                                        use_pallas=False)
+    f2, ev2, ec2, _ = block_pair_forces(ncfg, nl, x, q, ti, tables, excl,
+                                        g_ewald=G, qqr2e=u.qqr2e,
+                                        use_pallas=True, interpret=True)
+    scale = float(jnp.abs(f1).max())
+    np.testing.assert_allclose(np.asarray(f2) / scale,
+                               np.asarray(f1) / scale, atol=5e-6)
+    np.testing.assert_allclose(float(ev2), float(ev1), rtol=2e-5)
+    np.testing.assert_allclose(float(ec2), float(ec1), rtol=2e-5)

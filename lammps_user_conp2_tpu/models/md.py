@@ -700,11 +700,18 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     want_tile = (md.pair_path == "tile"
                  and _jax.default_backend() == "tpu" and dtype == jnp.float32)
     want_cell = md.pair_path == "cell"
-    # measured at the 100k production config: the block-compacted sweep is
-    # descriptor-parity with the per-atom list once the force scatter-back
-    # and masked slots are included (14.13 vs 13.94 ms — the 1.8x of the
-    # isolated prototype does not survive), so auto keeps the plain list
-    want_block = md.pair_path == "block"
+    # measured at the 100k production config: in pure XLA the
+    # block-compacted sweep is descriptor-parity with the per-atom list
+    # (14.13 vs 13.94 ms — the scatter-back returns the 3.5x descriptor
+    # saving), but the Mosaic kernel that runs the masked (NB, B, U) chain
+    # in VMEM keeps it: 10.0 vs 13.9 ms (tools/exp_block_pallas.py).  auto
+    # therefore takes the block form exactly where that kernel runs (TPU,
+    # f32, big N); the sharded engine strips the block fields and keeps
+    # consuming the underlying per-atom rows (sharded.py _strip_block).
+    want_block = (md.pair_path == "block" or
+                  (md.pair_path == "auto" and big_n
+                   and _jax.default_backend() == "tpu"
+                   and dtype == jnp.float32))
     want_nlist = (want_block or md.pair_path == "nlist" or
                   (md.pair_path in ("auto", "tile") and big_n
                    and not want_tile))

@@ -36,17 +36,17 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
 
 def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
             box, periodic, cutsq, g_ewald, qqr2e, npts, gb, bsz, usz):
+    # Component/plane axes sit BEFORE the tiled (sublane, lane) pair and are
+    # indexed statically on the ref: a middle-axis index on a loaded value
+    # lowers to an unsupported >2-D gather in Mosaic.
     f32 = jnp.float32
-    xu = xu_ref[0]                      # (G, 4, U)
-    xi = xi_ref[0]                      # (G, 4, B)
     un = un_ref[0]                      # (G, U) int32
     rows = rows_ref[0]                  # (G, B) int32
-    blj = blj_ref[0]                    # (G, 4, B, U)
 
     rsq = jnp.zeros((gb, bsz, usz), f32)
     d = []
     for c in range(3):
-        dc = xi[:, c, :, None] - xu[:, c, None, :]       # (G, B, U)
+        dc = xi_ref[0, c][:, :, None] - xu_ref[0, c][:, None, :]  # (G, B, U)
         if periodic[c]:
             L = f32(box[c])
             dc = dc - L * jnp.round(dc * f32(1.0 / box[c]))
@@ -59,10 +59,10 @@ def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
     r2inv = f32(1.0) / rsq_safe
     r6inv = r2inv * r2inv * r2inv
     zero = jnp.zeros((), f32)
-    l1 = blj[:, 0]
-    l2 = blj[:, 1]
-    l3 = blj[:, 2]
-    l4 = blj[:, 3]
+    l1 = blj_ref[0, 0]
+    l2 = blj_ref[0, 1]
+    l3 = blj_ref[0, 2]
+    l4 = blj_ref[0, 3]
     flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, zero)
     elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), zero)
     r = jnp.sqrt(rsq_safe)
@@ -71,7 +71,8 @@ def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
     tt = f32(1.0) / (f32(1.0) + f32(EWALD_P) * grij)
     erfc = tt * (f32(A1) + tt * (f32(A2) + tt * (
         f32(A3) + tt * (f32(A4) + tt * f32(A5))))) * expm2
-    pref = f32(qqr2e) * xi[:, 3, :, None] * xu[:, 3, None, :] / r
+    pref = (f32(qqr2e) * xi_ref[0, 3][:, :, None]
+            * xu_ref[0, 3][:, None, :] / r)
     fcoul = jnp.where(mask, pref * (erfc + f32(EWALD_F) * grij * expm2),
                       zero)
     ecoul = jnp.where(mask, pref * erfc, zero)
@@ -112,11 +113,13 @@ def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
         blj = jnp.concatenate(
             [blj, jnp.zeros((4, pad, bsz, usz), blj.dtype)], axis=1)
     nsteps = nbp // gb
-    xu_t = xqu.transpose(0, 2, 1).reshape(nsteps, gb, 4, usz)
-    xi_t = xqi.transpose(0, 2, 1).reshape(nsteps, gb, 4, bsz)
+    xu_t = (xqu.transpose(0, 2, 1).reshape(nsteps, gb, 4, usz)
+            .transpose(0, 2, 1, 3))                      # (T, 4, G, U)
+    xi_t = (xqi.transpose(0, 2, 1).reshape(nsteps, gb, 4, bsz)
+            .transpose(0, 2, 1, 3))                      # (T, 4, G, B)
     un_r = un.reshape(nsteps, gb, usz)
     rows_r = rows.reshape(nsteps, gb, bsz)
-    blj_r = blj.transpose(1, 0, 2, 3).reshape(nsteps, gb, 4, bsz, usz)
+    blj_r = blj.reshape(4, nsteps, gb, bsz, usz).transpose(1, 0, 2, 3, 4)
 
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
@@ -126,15 +129,15 @@ def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, gb, 4, usz), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, 4, gb, usz), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gb, 4, bsz), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, 4, gb, bsz), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gb, usz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gb, bsz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gb, 4, bsz, usz), lambda t: (t, 0, 0, 0, 0),
+            pl.BlockSpec((1, 4, gb, bsz, usz), lambda t: (t, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, gb * bsz), lambda t: (t, 0, 0),

@@ -52,7 +52,8 @@ class NeighborList(NamedTuple):
     bun: jnp.ndarray = None    # (NB, U) union neighbor ids, padded with N
     brows: jnp.ndarray = None  # (NB, B) block atom ids, padded with N
     binv: jnp.ndarray = None   # (N,) original atom -> flat (block, slot)
-    blj: jnp.ndarray = None    # (4, NB, B, U) lj pair planes
+    bcr: jnp.ndarray = None    # (4, NB, B, nt+1) lj coeff rows per block atom
+    btu: jnp.ndarray = None    # (NB, U) union neighbor types (nt = pad)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -293,7 +294,11 @@ def _attach_block_list(ncfg: NeighborConfig, x, nlist: NeighborList, cell,
     # inverse map back to original atom order (flat rows[:n] == perm)
     binv = jnp.zeros((n,), jnp.int32).at[perm].set(
         jnp.arange(n, dtype=jnp.int32))
-    # LJ pair planes, same masked per-type FMA as _decode_list
+    # LJ coefficient rows + union types; the (4, NB, B, U) pre-typed planes
+    # are NOT materialized — at 100k they are ~240 MB of resident state and
+    # per-step HBM stream where the per-type masked FMA the sweep needs is
+    # 4*nt cheap VPU passes.  Both the Mosaic kernel and the XLA fallback
+    # expand them on the fly.
     dtype = x.dtype
     ti = jnp.asarray(type_idx)
     c_at = jnp.stack([tables.lj1[ti], tables.lj2[ti],
@@ -303,11 +308,7 @@ def _attach_block_list(ncfg: NeighborConfig, x, nlist: NeighborList, cell,
         [c_at, jnp.zeros((4, 1, nt1), dtype)], axis=1)[:, rows]  # (4,NB,B,nt)
     tp = jnp.pad(ti, (0, 1)).astype(jnp.int32)
     tu = tp[un]                                           # (NB, U)
-    blj = jnp.zeros((4, nb_, B, U), dtype)
-    for t in range(nt1):
-        mask_t = (tu == t).astype(dtype)[None, :, None, :]
-        blj = blj + mask_t * c_rows[:, :, :, t][:, :, :, None]
-    return nlist._replace(bun=un, brows=rows, binv=binv, blj=blj,
+    return nlist._replace(bun=un, brows=rows, binv=binv, bcr=c_rows, btu=tu,
                           overflow=nlist.overflow | ovf)
 
 
@@ -526,7 +527,8 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     the chain's HBM intermediates eat the whole descriptor saving."""
     n = x.shape[0]
     dtype = x.dtype
-    un, rows, binv, blj = nlist.bun, nlist.brows, nlist.binv, nlist.blj
+    un, rows, binv = nlist.bun, nlist.brows, nlist.binv
+    bcr, btu = nlist.bcr, nlist.btu
     sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
     xqp = jnp.concatenate(
         [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
@@ -539,7 +541,7 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     if use_pallas:
         from .pallas.block_pair import block_pair_pallas
         f_s, selj, secoul = block_pair_pallas(
-            xqu, xqi, un, rows, blj, box=ncfg.grid.box,
+            xqu, xqi, un, rows, bcr, btu, box=ncfg.grid.box,
             periodic=ncfg.grid.periodic, cutoff=ncfg.cutoff,
             g_ewald=g_ewald, qqr2e=qqr2e, npts=n, interpret=interpret)
         f = f_s[binv]
@@ -564,6 +566,12 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     rsq_safe = jnp.where(mask, rsq, 1.0)
     r2inv = 1.0 / rsq_safe
     r6inv = r2inv * r2inv * r2inv
+    # expand the pre-typed LJ planes on the fly: 4*nt masked FMAs
+    nt1 = bcr.shape[-1]
+    blj = jnp.zeros((4,) + rsq.shape, dtype)
+    for t in range(nt1):
+        mask_t = (btu == t).astype(dtype)[None, :, None, :]
+        blj = blj + mask_t * bcr[:, :, :, t][:, :, :, None]
     l1, l2, l3, l4 = blj
     flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
     elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)

@@ -8,9 +8,12 @@ its intermediates in HBM and returns the whole saving (measured parity,
 14.13 vs 13.94 ms at 100k; VALIDATION.md round-3a).  This kernel runs the
 chain in VMEM: per grid step it loads G blocks' union rows (already
 gathered OUTSIDE — the only descriptor-rate cost left), the block atoms,
-the pre-typed LJ planes and the id rows for masking, and emits per-atom
-forces + per-atom energy partials.  Every array in the chain is (G, B, U)
-with B x U = one native (8, 128) f32 vreg per block.
+the per-atom LJ coefficient rows + union types (the (4, NB, B, U)
+pre-typed planes are ~240 MB of HBM stream at 100k; expanding them from
+types in VMEM costs 4*nt masked FMAs and cut the kernel 10.0 -> 6.2 ms)
+and the id rows for masking, and emits per-atom forces + per-atom energy
+partials.  Every array in the chain is (G, B, U) with B x U = one native
+(8, 128) f32 vreg per block.
 
 Pair physics is identical to ops/neighbors.py nlist_pair_rows /
 block_pair_forces (LAMMPS pair_lj_cut_coul_long compute(), the A&S 7.1.26
@@ -34,14 +37,15 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
                       -1.453152027, 1.061405429)
 
 
-def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
-            box, periodic, cutsq, g_ewald, qqr2e, npts, gb, bsz, usz):
+def _kernel(xu_ref, xi_ref, un_ref, rows_ref, cr_ref, tu_ref, out_ref, *,
+            box, periodic, cutsq, g_ewald, qqr2e, npts, gb, bsz, usz, nt1):
     # Component/plane axes sit BEFORE the tiled (sublane, lane) pair and are
     # indexed statically on the ref: a middle-axis index on a loaded value
     # lowers to an unsupported >2-D gather in Mosaic.
     f32 = jnp.float32
     un = un_ref[0]                      # (G, U) int32
     rows = rows_ref[0]                  # (G, B) int32
+    tu = tu_ref[0]                      # (G, U) int32 union types
 
     rsq = jnp.zeros((gb, bsz, usz), f32)
     d = []
@@ -59,10 +63,18 @@ def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
     r2inv = f32(1.0) / rsq_safe
     r6inv = r2inv * r2inv * r2inv
     zero = jnp.zeros((), f32)
-    l1 = blj_ref[0, 0]
-    l2 = blj_ref[0, 1]
-    l3 = blj_ref[0, 2]
-    l4 = blj_ref[0, 3]
+    # expand the pre-typed LJ planes in VMEM: 4*nt masked FMAs replace a
+    # (4, NB, B, U) HBM plane stream (~240 MB/step at 100k)
+    l1 = jnp.zeros((gb, bsz, usz), f32)
+    l2 = jnp.zeros((gb, bsz, usz), f32)
+    l3 = jnp.zeros((gb, bsz, usz), f32)
+    l4 = jnp.zeros((gb, bsz, usz), f32)
+    for t in range(nt1):
+        mt = (tu[:, None, :] == t).astype(f32)           # (G, 1->B, U)
+        l1 = l1 + cr_ref[0, 0, t][:, :, None] * mt
+        l2 = l2 + cr_ref[0, 1, t][:, :, None] * mt
+        l3 = l3 + cr_ref[0, 2, t][:, :, None] * mt
+        l4 = l4 + cr_ref[0, 3, t][:, :, None] * mt
     flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, zero)
     elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), zero)
     r = jnp.sqrt(rsq_safe)
@@ -84,20 +96,23 @@ def _kernel(xu_ref, xi_ref, un_ref, rows_ref, blj_ref, out_ref, *,
     out_ref[0] = jnp.concatenate(outs, axis=0)          # (8, G*B)
 
 
-def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
-                      g_ewald, qqr2e, npts, gblocks=16, interpret=False):
+def block_pair_pallas(xqu, xqi, un, rows, bcr, btu, *, box, periodic,
+                      cutoff, g_ewald, qqr2e, npts, gblocks=16,
+                      interpret=False):
     """Per-atom (cell-sorted order) forces and energy partials from the
     block-union list.
 
     xqu: (NB, U, 4) gathered union rows [x, y, z, q]
     xqi: (NB, B, 4) block atom rows
     un/rows: (NB, U)/(NB, B) int32 atom ids (n = pad sentinel)
-    blj: (4, NB, B, U) pre-typed LJ planes
+    bcr: (4, NB, B, nt+1) LJ coefficient rows per block atom and type
+    btu: (NB, U) int32 union neighbor types
     Returns (f (NB*B, 3), elj_sum, ecoul_sum) in block-row order; caller
     applies binv, the 0.5 energy factors and exclusion corrections.
     """
     nb, usz, _ = xqu.shape
     bsz = xqi.shape[1]
+    nt1 = bcr.shape[-1]
     gb = gblocks
     nbp = -(-nb // gb) * gb
     pad = nbp - nb
@@ -110,8 +125,10 @@ def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
             [xqu, jnp.full((pad, usz, 4), 1e6, xqu.dtype)], axis=0)
         xqi = jnp.concatenate(
             [xqi, jnp.full((pad, bsz, 4), 1e6, xqi.dtype)], axis=0)
-        blj = jnp.concatenate(
-            [blj, jnp.zeros((4, pad, bsz, usz), blj.dtype)], axis=1)
+        bcr = jnp.concatenate(
+            [bcr, jnp.zeros((4, pad, bsz, nt1), bcr.dtype)], axis=1)
+        btu = jnp.concatenate(
+            [btu, jnp.zeros((pad, usz), btu.dtype)], axis=0)
     nsteps = nbp // gb
     xu_t = (xqu.transpose(0, 2, 1).reshape(nsteps, gb, 4, usz)
             .transpose(0, 2, 1, 3))                      # (T, 4, G, U)
@@ -119,12 +136,14 @@ def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
             .transpose(0, 2, 1, 3))                      # (T, 4, G, B)
     un_r = un.reshape(nsteps, gb, usz)
     rows_r = rows.reshape(nsteps, gb, bsz)
-    blj_r = blj.reshape(4, nsteps, gb, bsz, usz).transpose(1, 0, 2, 3, 4)
+    cr_r = (bcr.transpose(0, 3, 1, 2)                    # (4, nt, NB, B)
+            .reshape(4, nt1, nsteps, gb, bsz).transpose(2, 0, 1, 3, 4))
+    tu_r = btu.reshape(nsteps, gb, usz)
 
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald),
-        qqr2e=float(qqr2e), npts=npts, gb=gb, bsz=bsz, usz=usz)
+        qqr2e=float(qqr2e), npts=npts, gb=gb, bsz=bsz, usz=usz, nt1=nt1)
     out = pl.pallas_call(
         kern,
         grid=(nsteps,),
@@ -137,18 +156,20 @@ def block_pair_pallas(xqu, xqi, un, rows, blj, *, box, periodic, cutoff,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gb, bsz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, gb, bsz, usz), lambda t: (t, 0, 0, 0, 0),
+            pl.BlockSpec((1, 4, nt1, gb, bsz), lambda t: (t, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gb, usz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, gb * bsz), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nsteps, 8, gb * bsz), xqu.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=nbp * bsz * usz * 40,
-            bytes_accessed=xqu.size * 4 + blj.size * 4,
+            flops=nbp * bsz * usz * (40 + 8 * nt1),
+            bytes_accessed=xqu.size * 4 + bcr.size * 4 + btu.size * 4,
             transcendentals=nbp * bsz * usz),
         interpret=interpret,
-    )(xu_t, xi_t, un_r, rows_r, blj_r)
+    )(xu_t, xi_t, un_r, rows_r, cr_r, tu_r)
     f = out[:, :3, :].transpose(0, 2, 1).reshape(nbp * bsz, 3)[:nb * bsz]
     elj = jnp.sum(out[:, 3, :])
     ecoul = jnp.sum(out[:, 4, :])

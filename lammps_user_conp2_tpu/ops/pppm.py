@@ -804,27 +804,32 @@ def _overlap_add(patches, geom: TileGeom, nz: int):
     return main + low
 
 
-def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
-    """Scatter-free spread for large meshes: bin atoms into 3-D mesh tiles
-    (pre-sorted slot arrays, one scatter each), per-tile MXU matmul
-    (ex*ey, cap) x (cap, ez) builds the local patch, patches overlap-add
-    axis-by-axis.  O(T * ex*ey * cap * ez) MXU flops — the z tiling keeps
-    ez ~ O(order), ~20x fewer flops than dense-z xy columns — and no
-    per-pair HBM scatter.  Tile-capacity overflow poisons the mesh with NaN
-    (fail loud, like ops/cells.py).
+def _tile_patches(grid: PPPMGrid, slots: TileSlots, geom: TileGeom,
+                  dtype, use_pallas=None, interpret=False):
+    """(T, ex*ey, ez) charge patches from slotted atom data — the shared
+    patch-build of spread_tiled and _spread_rhok_tiled.
 
-    Pass ``slots`` (built by tile_slots / refresh_tile_slots with the SAME
-    x and q) to skip the binning — the spread uses slots.qs."""
-    dtype = x.dtype
-    if slots is None:
-        slots = tile_slots(grid, x, q)
-    qs, lxs, lys, lzs, dxs = (slots.qs, slots.lxs, slots.lys, slots.lzs,
-                              slots.dxs)
-    overflow = slots.overflow
-    geom = _tile_geometry(grid, x.shape[0])
+    ``use_pallas`` (auto: float32 on TPU): run the weight build + patch
+    matmul per tile in one VMEM-resident Mosaic kernel
+    (ops/pallas/pppm_spread.py); the XLA scan round-trips HBM between the
+    one-hot weight builds and the matmul."""
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
     bw = hw + dm
     ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
+    qs, lxs, lys, lzs, dxs = (slots.qs, slots.lxs, slots.lys, slots.lzs,
+                              slots.dxs)
+    if use_pallas is None:
+        use_pallas = (dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas:
+        from .pallas.pppm_spread import spread_tiles_pallas
+        slf = jnp.stack([lxs.astype(dtype), lys.astype(dtype),
+                         lzs.astype(dtype), dxs[..., 0], dxs[..., 1],
+                         dxs[..., 2], qs.astype(dtype)], axis=1)
+        sl = jnp.concatenate(
+            [slf, jnp.zeros((t_tiles, 1, cap), dtype)], axis=1)
+        return spread_tiles_pallas(sl, grid.coeffs, ex=ex, ey=ey, ez=ez,
+                                   cap=cap, interpret=interpret)
     cf = jnp.asarray(grid.coeffs, dtype)
 
     def one(ql, lxl, lyl, lzl, dxl):
@@ -838,7 +843,29 @@ def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
                for a in (qs, lxs, lys, lzs, dxs))
     _, patches = jax.lax.scan(
         lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
-    rho = _overlap_add(patches.reshape(t_tiles, ex * ey, ez), geom, grid.nz)
+    return patches.reshape(t_tiles, ex * ey, ez)
+
+
+def spread_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
+                 use_pallas=None, interpret=False):
+    """Scatter-free spread for large meshes: bin atoms into 3-D mesh tiles
+    (pre-sorted slot arrays, one scatter each), per-tile MXU matmul
+    (ex*ey, cap) x (cap, ez) builds the local patch, patches overlap-add
+    axis-by-axis.  O(T * ex*ey * cap * ez) MXU flops — the z tiling keeps
+    ez ~ O(order), ~20x fewer flops than dense-z xy columns — and no
+    per-pair HBM scatter.  Tile-capacity overflow poisons the mesh with NaN
+    (fail loud, like ops/cells.py).
+
+    Pass ``slots`` (built by tile_slots / refresh_tile_slots with the SAME
+    x and q) to skip the binning — the spread uses slots.qs."""
+    dtype = x.dtype
+    if slots is None:
+        slots = tile_slots(grid, x, q)
+    overflow = slots.overflow
+    geom = _tile_geometry(grid, x.shape[0])
+    patches = _tile_patches(grid, slots, geom, dtype,
+                            use_pallas=use_pallas, interpret=interpret)
+    rho = _overlap_add(patches, geom, grid.nz)
     return jnp.where(overflow, jnp.nan, rho)
 
 
@@ -884,29 +911,19 @@ def spread_rhok(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     return _spread_rhok_tiled(grid, x, q, slots)
 
 
-def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
+def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
+                       use_pallas=None, interpret=False):
     dtype = x.dtype
     if slots is None:
         slots = tile_slots(grid, x, q)
-    qs, lxs, lys, lzs, dxs = (slots.qs, slots.lxs, slots.lys, slots.lzs,
-                              slots.dxs)
     overflow = slots.overflow
     geom = _tile_geometry(grid, x.shape[0])
     p, hw, tlx, tly, tlz, ntx, nty, ntz, t_tiles, cap, z_span, dm = geom
     bw = hw + dm
     ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
-    cf = jnp.asarray(grid.coeffs, dtype)
     hi = jax.lax.Precision.HIGHEST
-
-    def one(ql, lxl, lyl, lzl, dxl):
-        wxy, wzd = _local_weight_mats(lxl, lyl, lzl, dxl, cf,
-                                      ex=ex, ey=ey, ez=ez, dtype=dtype)
-        return jnp.matmul(wxy.T, ql[:, None] * wzd, precision=hi)
-
-    xs = tuple(a.reshape((ntx, nty * ntz) + a.shape[1:])
-               for a in (qs, lxs, lys, lzs, dxs))
-    _, patches = jax.lax.scan(
-        lambda _, args: (None, jax.vmap(one)(*args)), None, xs)
+    patches = _tile_patches(grid, slots, geom, dtype,
+                            use_pallas=use_pallas, interpret=interpret)
     pt = patches.reshape(ntx, nty, ntz, ex, ey, ez)
     pt = _merge_axis(pt, 1, 4, tly, bw, periodic=True)
     pt = _merge_axis(pt, 0, 3, tlx, bw, periodic=True)

@@ -70,7 +70,7 @@ class ShardedEngine:
         nbr = state.nbr
         if nbr is not None and getattr(nbr, "bun", None) is not None:
             state = state._replace(nbr=nbr._replace(
-                bun=None, brows=None, binv=None, blj=None))
+                bun=None, brows=None, binv=None, bcr=None, btu=None))
         return state
 
     def step(self, state: MDState) -> MDState:

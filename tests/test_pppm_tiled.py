@@ -578,3 +578,50 @@ def test_gather3_ad_zbin_pallas_periodic(slab_setup):
                                        interpret=True))(uz, x))
     sc = np.abs(f_ref).max()
     assert np.abs(f_got - f_ref).max() < 2e-6 * sc
+
+
+def test_spread_pallas_matches_xla(slab_setup):
+    """The Mosaic fused spread kernel (interpret mode on CPU) must agree
+    with the XLA tile scan to f32 roundoff on the span-mode slab grid —
+    both through the real-mesh spread and the fused rhok path."""
+    grid, x, q, n = slab_setup
+    x32, q32 = x.astype(jnp.float32), q.astype(jnp.float32)
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x32, q32)
+    rho_ref = np.asarray(jax.jit(
+        lambda a: P.spread_tiled(grid, a, slots=slots,
+                                 use_pallas=False))(x32))
+    rho_got = np.asarray(jax.jit(
+        lambda a: P.spread_tiled(grid, a, slots=slots, use_pallas=True,
+                                 interpret=True))(x32))
+    sc = np.abs(rho_ref).max()
+    assert np.abs(rho_got - rho_ref).max() < 2e-6 * sc
+    rk_ref = np.asarray(jax.jit(
+        lambda a: P._spread_rhok_tiled(grid, a, slots=slots,
+                                       use_pallas=False))(x32))
+    rk_got = np.asarray(jax.jit(
+        lambda a: P._spread_rhok_tiled(grid, a, slots=slots,
+                                       use_pallas=True,
+                                       interpret=True))(x32))
+    sck = np.abs(rk_ref).max()
+    assert np.abs(rk_got - rk_ref).max() < 2e-6 * sck
+
+
+def test_spread_pallas_periodic():
+    """Same equivalence on a fully periodic (roll-merge) geometry."""
+    rng = np.random.default_rng(29)
+    box = (30.0, 30.0, 30.0)
+    n = 1200
+    x = jnp.asarray(rng.uniform(0, 30, size=(n, 3)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=n), jnp.float32)
+    grid = P.setup_pppm(box=box, box_lo=(0.0, 0.0, 0.0), accuracy_abs=1e-4,
+                        natoms=n, q2=float(np.sum(np.asarray(q) ** 2)),
+                        cutoff=8.0, slabflag=False)
+    slots = jax.jit(lambda a, b: P.tile_slots(grid, a, b))(x, q)
+    rho_ref = np.asarray(jax.jit(
+        lambda a: P.spread_tiled(grid, a, slots=slots,
+                                 use_pallas=False))(x))
+    rho_got = np.asarray(jax.jit(
+        lambda a: P.spread_tiled(grid, a, slots=slots, use_pallas=True,
+                                 interpret=True))(x))
+    sc = np.abs(rho_ref).max()
+    assert np.abs(rho_got - rho_ref).max() < 2e-6 * sc

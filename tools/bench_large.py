@@ -32,7 +32,7 @@ def main():
     n_elyte = int(sys.argv[1]) if len(sys.argv) > 1 else 98304
     nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     solver = Solver[(sys.argv[3] if len(sys.argv) > 3 else "inv").upper()]
-    pair = sys.argv[4] if len(sys.argv) > 4 else "nlist"
+    pair = sys.argv[4] if len(sys.argv) > 4 else "auto"
     t0 = time.time()
     system, md, cfg = workloads.synthetic(
         n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)

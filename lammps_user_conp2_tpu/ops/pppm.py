@@ -898,7 +898,9 @@ def _zbin_dft(grid: PPPMGrid, geom: TileGeom):
 
 def spread_rhok(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     """Half-spectrum density rhok = rfft3(spread(...)) with the z
-    overlap-add folded into a shifted z-DFT matmul.
+    overlap-add folded into a shifted z-DFT matmul (and, on TPU f32, the
+    patch build + xy overlap-add fused into one Mosaic mesh kernel —
+    ops/pallas/pppm_spread.py spread_mesh_pallas).
 
     The per-tile patches are xy-merged only; their z-binned rows (ntz*ez,
     the OCCUPIED z extent + stencil borders) contract directly with the
@@ -909,6 +911,17 @@ def spread_rhok(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     if x.dtype != jnp.float32 or _use_dense(grid, x.shape[0]):
         return rfft3(grid, spread(grid, x, q, slots=slots))
     return _spread_rhok_tiled(grid, x, q, slots)
+
+
+def _pack_slot_rows(slots: TileSlots, dtype, t_tiles: int, cap: int):
+    """(T, 8, cap) slot rows [lx, ly, lz, dxx, dxy, dxz, q, 0] — the shared
+    operand layout of the Mosaic spread/gather kernels (one DMA per tile)."""
+    slf = jnp.stack([slots.lxs.astype(dtype), slots.lys.astype(dtype),
+                     slots.lzs.astype(dtype), slots.dxs[..., 0],
+                     slots.dxs[..., 1], slots.dxs[..., 2],
+                     slots.qs.astype(dtype)], axis=1)
+    return jnp.concatenate(
+        [slf, jnp.zeros((t_tiles, 1, cap), dtype)], axis=1)
 
 
 def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
@@ -922,13 +935,28 @@ def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
     bw = hw + dm
     ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
     hi = jax.lax.Precision.HIGHEST
-    patches = _tile_patches(grid, slots, geom, dtype,
-                            use_pallas=use_pallas, interpret=interpret)
-    pt = patches.reshape(ntx, nty, ntz, ex, ey, ez)
-    pt = _merge_axis(pt, 1, 4, tly, bw, periodic=True)
-    pt = _merge_axis(pt, 0, 3, tlx, bw, periodic=True)
-    m = pt.transpose(0, 3, 1, 4, 2, 5).reshape(
-        ntx * tlx, nty * tly, ntz * ez)
+    if use_pallas is None:
+        use_pallas = (dtype == jnp.float32
+                      and jax.default_backend() == "tpu")
+    if use_pallas:
+        # one fused kernel: slot rows -> z-binned mesh (no per-tile patch
+        # materialization, no XLA overlap-add merges, no 6-D transpose)
+        from .pallas.pppm_spread import spread_mesh_pallas
+        sl = _pack_slot_rows(slots, dtype, t_tiles, cap)
+        mz = spread_mesh_pallas(
+            sl.reshape(ntx, nty, ntz, 8, cap), grid.coeffs, tlx=tlx,
+            tly=tly, ez=ez, bw=bw, ntx=ntx, nty=nty, ntz=ntz, cap=cap,
+            interpret=interpret)
+        m = mz.transpose(1, 2, 0, 3).reshape(ntx * tlx, nty * tly,
+                                             ntz * ez)
+    else:
+        patches = _tile_patches(grid, slots, geom, dtype,
+                                use_pallas=False)
+        pt = patches.reshape(ntx, nty, ntz, ex, ey, ez)
+        pt = _merge_axis(pt, 1, 4, tly, bw, periodic=True)
+        pt = _merge_axis(pt, 0, 3, tlx, bw, periodic=True)
+        m = pt.transpose(0, 3, 1, 4, 2, 5).reshape(
+            ntx * tlx, nty * tly, ntz * ez)
     C, S = _zbin_dft(grid, geom)
     re = jnp.matmul(m, jnp.asarray(C, dtype), precision=hi)
     im = -jnp.matmul(m, jnp.asarray(S, dtype), precision=hi)
@@ -1192,11 +1220,7 @@ def gather3_ad_zbin(grid: PPPMGrid, uz, x, slots: TileSlots = None,
     if use_pallas:
         from .pallas.pppm_gather import gather3_tiles_pallas
         patches = _zbin_patches(up, geom)
-        slf = jnp.stack([lxs.astype(dtype), lys.astype(dtype),
-                         lzs.astype(dtype), dxs[..., 0], dxs[..., 1],
-                         dxs[..., 2]], axis=1)
-        sl = jnp.concatenate(
-            [slf, jnp.zeros((t_tiles, 2, cap), dtype)], axis=1)
+        sl = _pack_slot_rows(slots, dtype, t_tiles, cap)
         out = gather3_tiles_pallas(patches, sl, grid.coeffs,
                                    ex=ex, ey=ey, ez=ez, cap=cap,
                                    interpret=interpret)

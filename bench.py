@@ -121,6 +121,14 @@ def main():
     result = {"metric": "dilute_steps_per_sec", "value": 0.0,
               "unit": "steps/s", "vs_baseline": 0.0}
 
+    # 100k section FIRST: its (possibly cold) compile is the only part of
+    # the bench that can blow the envelope, and in round 3 it starved after
+    # dilute/il spent their ~6 min (BENCH_r03: "timeout after 1455s").  The
+    # subprocess is bounded so dilute/il (the primary metric!) always keep
+    # ~10 min of the driver's ~30 min envelope.
+    if os.environ.get("BENCH_SKIP_LARGE") != "1":
+        _bench_large_subprocess(result, budget_s=1100)
+
     try:
         eng = _build("dilute", 0)
         dilute_sps = bench_steps_per_sec(eng, nsteps=4000)
@@ -140,12 +148,6 @@ def main():
                 bench_charge_solve_ms(eng2, iters=1000), 3)
         except Exception as e:  # noqa: BLE001 — report partial results
             result["il_twolayer_error"] = repr(e)[:200]
-
-    if os.environ.get("BENCH_SKIP_LARGE") != "1":
-        # give the 100k section whatever remains of a ~30 min overall
-        # envelope (its first uncached compile is ~10 min; cached, seconds)
-        budget = max(300, int(1800 - (time.time() - t_start)))
-        _bench_large_subprocess(result, budget_s=budget)
 
     result["bench_wall_s"] = round(time.time() - t_start, 1)
     import jax

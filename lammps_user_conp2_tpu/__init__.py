@@ -42,3 +42,12 @@ import os as _os
 if _os.environ.get("CONP2_TPU_COMPILE_CACHE"):
     enable_compile_cache()
 del _os
+
+# Hoist large device-array constants (PPPM influence function, A^-1, cell
+# tables) out of the HLO into executable arguments — cuts the 100k-atom
+# program from ~150 MB of literal text to a few MB and the cold compile
+# with it.  Graceful no-op if the jax internals move (utils/hoistconst).
+from .utils import hoistconst as _hoistconst
+
+_hoistconst.enable()
+del _hoistconst

@@ -479,6 +479,14 @@ class Engine:
                     pe=state.energy)
 
     def _make_run(self, nsteps: int, thermo_every: int = 1):
+        if thermo_every == 0:
+            # no thermo at all: a pure chained fori_loop.  Callers that only
+            # want the final state (bench warmup/measure, equilibration)
+            # should never pay the per-step thermo reductions — at 432 atoms
+            # they cost ~10x the step itself — nor the extra compiled scan
+            # carrying them.
+            return jax.jit(lambda st: (jax.lax.fori_loop(
+                0, nsteps, lambda i, s: self.step(s), st), None))
         if thermo_every > 1 and nsteps % thermo_every == 0:
             # thermo only at interval boundaries: outer scan over chunks,
             # inner fori_loop of raw steps.  The per-step thermo reductions

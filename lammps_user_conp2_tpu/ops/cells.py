@@ -124,8 +124,11 @@ def candidate_columns(grid: CellGrid, x):
     n = x.shape[0]
     table, _cell, overflow = bin_atoms(grid, x)
     nb, uniq = _neighbor_cells(grid)
-    cols = table[jnp.asarray(nb)]                # (C, 27, cap)
-    cols = jnp.where(jnp.asarray(uniq)[:, :, None], cols, n)
+    from ..utils.hoistconst import devconst
+    nbd = devconst(grid, "nbcells", lambda: np.asarray(nb))
+    uniqd = devconst(grid, "nbuniq", lambda: np.asarray(uniq))
+    cols = table[nbd]                            # (C, 27, cap)
+    cols = jnp.where(uniqd[:, :, None], cols, n)
     return table, cols.reshape(grid.total, 27 * grid.cap), overflow
 
 
@@ -159,8 +162,9 @@ def pad_slab_tables(grid: CellGrid, xq, pt, padc: int, n: int):
     type 0, sentinel positions) with no unique neighbors, so padded blocks
     contribute exactly nothing."""
     nb, uniq = _neighbor_cells(grid)
-    nb_j = jnp.asarray(nb)
-    uq_j = jnp.asarray(uniq)
+    from ..utils.hoistconst import devconst
+    nb_j = devconst(grid, "nbcells", lambda: np.asarray(nb))
+    uq_j = devconst(grid, "nbuniq", lambda: np.asarray(uniq))
     if padc:
         xq = jnp.pad(xq, ((0, padc), (0, 0), (0, 0)),
                      constant_values=1e6)

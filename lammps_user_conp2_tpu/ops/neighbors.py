@@ -203,10 +203,14 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
     xi = xp[table]                                       # (C, cap, 3)
     cap = table.shape[1]
     m = 27 * cap
-    pcols = jnp.where(jnp.asarray(uniq)[:, :, None],
-                      ptab[jnp.asarray(nb)],
+    # hoisted device constants (utils/hoistconst): ~1.7 MB at the 100k grid
+    from ..utils.hoistconst import devconst
+    nbd = devconst(grid, "nbcells", lambda: np.asarray(nb))
+    uniqd = devconst(grid, "nbuniq", lambda: np.asarray(uniq))
+    pcols = jnp.where(uniqd[:, :, None],
+                      ptab[nbd],
                       jnp.int32(n << _TYPE_BITS)).reshape(-1, m)   # (C, m)
-    xj = xi[jnp.asarray(nb)].reshape(-1, m, 3)           # (C, m, 3)
+    xj = xi[nbd].reshape(-1, m, 3)                       # (C, m, 3)
     miss = jnp.int32((n + 1) << _TYPE_BITS)
     rlistsq = grid.cutoff ** 2
     boxj = jnp.asarray(grid.box, dtype)
@@ -326,7 +330,12 @@ def _nlist_prep(ncfg: NeighborConfig, x, table, type_idx):
     sentinel = jnp.asarray([[1e6, 1e6, 1e6]], x.dtype)
     xp = jnp.concatenate([x, sentinel], axis=0)
     xi = xp[table]                                       # (C, cap, 3)
-    return table, ptab, xi, jnp.asarray(nb), jnp.asarray(uniq)
+    # hoisted device constants: the (C, 27) cell map is ~1.7 MB at the 100k
+    # grid and appears in every program that rebuilds the list
+    from ..utils.hoistconst import devconst
+    nbd = devconst(grid, "nbcells", lambda: np.asarray(nb))
+    uniqd = devconst(grid, "nbuniq", lambda: np.asarray(uniq))
+    return table, ptab, xi, nbd, uniqd
 
 
 def _cell_block_keys(ncfg: NeighborConfig, x, prep, c0, cblk):

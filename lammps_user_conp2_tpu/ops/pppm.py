@@ -324,6 +324,19 @@ def setup_pppm(*, box, box_lo, accuracy_abs, natoms, q2, cutoff, order=5,
 # device-side compute
 # ---------------------------------------------------------------------------
 
+def _dev_greens(grid: PPPMGrid, nzh: int, rdt):
+    """Half-spectrum influence function as a hoisted device constant.
+
+    At production grids this is the largest table in the step program
+    (31 MB at the 100k bench config) and it appears in both the solve and
+    the force path; as an embedded HLO literal it dominated the >20 min
+    round-3 cold compile (utils/hoistconst has the mechanism)."""
+    from ..utils.hoistconst import devconst
+    name = jnp.dtype(rdt).name
+    return devconst(grid, f"greens:{nzh}:{name}",
+                    lambda: np.asarray(grid.greens[..., :nzh], rdt))
+
+
 def _horner_w(dx, cf):
     """rho1d[i] = sum_l coeff[i, l] dx^l (LAMMPS compute_rho1d, Horner).
     dx (...,) -> (..., p)."""
@@ -958,8 +971,14 @@ def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
         m = pt.transpose(0, 3, 1, 4, 2, 5).reshape(
             ntx * tlx, nty * tly, ntz * ez)
     C, S = _zbin_dft(grid, geom)
-    re = jnp.matmul(m, jnp.asarray(C, dtype), precision=hi)
-    im = -jnp.matmul(m, jnp.asarray(S, dtype), precision=hi)
+    from ..utils.hoistconst import devconst
+    dn = jnp.dtype(dtype).name
+    Cd = devconst(grid, ("zbin_C", tuple(geom), dn),
+                  lambda: np.asarray(C, dtype))
+    Sd = devconst(grid, ("zbin_S", tuple(geom), dn),
+                  lambda: np.asarray(S, dtype))
+    re = jnp.matmul(m, Cd, precision=hi)
+    im = -jnp.matmul(m, Sd, precision=hi)
     rhok = _xy_fft2(re, im)
     return jnp.where(overflow, jnp.nan * (1.0 + 1.0j), rhok)
 
@@ -1164,15 +1183,21 @@ def pppm_energy_u_zbin(grid: PPPMGrid, rhok, natoms: int):
     nzh = grid.nz // 2 + 1
     rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
     geom = _tile_geometry(grid, natoms)
-    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    gk = _dev_greens(grid, nzh, rdt)
     wz = _half_weights(grid, rdt)
     e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
     phik = rhok * gk
     vre, vim = _xy_ifft2(phik)
     iC, iS = _zbin_idft(grid, geom)
+    from ..utils.hoistconst import devconst
+    dn = jnp.dtype(rdt).name
+    iCd = devconst(grid, ("zbin_iC", tuple(geom), dn),
+                   lambda: np.asarray(iC, rdt))
+    iSd = devconst(grid, ("zbin_iS", tuple(geom), dn),
+                   lambda: np.asarray(iS, rdt))
     hi = jax.lax.Precision.HIGHEST
-    u = (jnp.matmul(vre, jnp.asarray(iC, rdt), precision=hi)
-         - jnp.matmul(vim, jnp.asarray(iS, rdt), precision=hi))
+    u = (jnp.matmul(vre, iCd, precision=hi)
+         - jnp.matmul(vim, iSd, precision=hi))
     u = u * (grid.nx * grid.ny * grid.nz / grid.volume)
     ntz = geom.ntz
     return e, u.reshape(grid.nx, grid.ny, ntz, u.shape[-1] // ntz)
@@ -1426,8 +1451,8 @@ def u_on_zplanes(grid: PPPMGrid, rhok, zp):
     kz = 0 and the even-nz Nyquist plane, 1 elsewhere; the xy inverse
     transform commutes with the z sum (conj-mirror identity)."""
     nzh = grid.nz // 2 + 1
-    gk = jnp.asarray(grid.greens[..., :nzh], jnp.float32
-                     if rhok.dtype == jnp.complex64 else jnp.float64)
+    gk = _dev_greens(grid, nzh, jnp.float32
+                      if rhok.dtype == jnp.complex64 else jnp.float64)
     phik = rhok * gk
     kz = np.arange(nzh)
     c = np.ones(nzh)
@@ -1465,8 +1490,8 @@ def poisson_u_from_k(grid: PPPMGrid, rhok):
     """Potential mesh from the half-spectrum density (poisson_u with the
     forward transform already done)."""
     nzh = grid.nz // 2 + 1
-    gk = jnp.asarray(grid.greens[..., :nzh], jnp.float32
-                     if rhok.dtype == jnp.complex64 else jnp.float64)
+    gk = _dev_greens(grid, nzh, jnp.float32
+                      if rhok.dtype == jnp.complex64 else jnp.float64)
     return irfft3(grid, rhok * gk) * (
         grid.nx * grid.ny * grid.nz / grid.volume)
 
@@ -1477,7 +1502,7 @@ def pppm_energy_u_from_k(grid: PPPMGrid, rhok):
     cached electrolyte rhok + cheap electrode z-plane rhok)."""
     nzh = grid.nz // 2 + 1
     rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
-    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    gk = _dev_greens(grid, nzh, rdt)
     wz = _half_weights(grid, rdt)
     e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
     u = irfft3(grid, rhok * gk) * (
@@ -1490,7 +1515,7 @@ def pppm_energy_efield_from_k(grid: PPPMGrid, rhok):
     of the rhok-cached force path)."""
     nzh = grid.nz // 2 + 1
     rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
-    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    gk = _dev_greens(grid, nzh, rdt)
     wz = _half_weights(grid, rdt)
     e = 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
     phik = rhok * gk
@@ -1730,7 +1755,7 @@ def poisson_efield(grid: PPPMGrid, rho):
     """E = -grad(phi) meshes via ik differentiation; returns (ex, ey, ez)."""
     nzh = grid.nz // 2 + 1
     rhok = rfft3(grid, rho)
-    gk = jnp.asarray(grid.greens[..., :nzh], rho.dtype)
+    gk = _dev_greens(grid, nzh, rho.dtype)
     phik = rhok * gk
     scale = grid.nx * grid.ny * grid.nz / grid.volume
     out = []
@@ -1748,7 +1773,7 @@ def pppm_energy(grid: PPPMGrid, rho):
     nzh = grid.nz // 2 + 1
     rhok = rfft3(grid, rho)
     rdt = jnp.float32 if rhok.dtype == jnp.complex64 else jnp.float64
-    gk = jnp.asarray(grid.greens[..., :nzh], rdt)
+    gk = _dev_greens(grid, nzh, rdt)
     wz = _half_weights(grid, rdt)
     return 0.5 * jnp.sum(wz * gk * jnp.abs(rhok) ** 2) / grid.volume
 

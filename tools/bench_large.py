@@ -47,9 +47,13 @@ def main():
     jax.block_until_ready(st.x)
     setup_s = time.time() - t0
     print(f"init_state done {setup_s:.0f}s", file=sys.stderr, flush=True)
-    st, _ = eng.run(st, 5, thermo_every=0)
+    # ONE compiled program (the 20-step thermo-free chain): its first call
+    # is both the compile and the warmup — no separate run(5) scan that
+    # would compile the whole step body a second time (round-3 lesson: the
+    # cold 100k compile of three programs blew the bench budget)
+    st, _ = eng.run(st, 20, thermo_every=0)
     jax.block_until_ready(st.x)
-    print(f"warmup run done {time.time() - t0:.0f}s", file=sys.stderr,
+    print(f"compile+warmup done {time.time() - t0:.0f}s", file=sys.stderr,
           flush=True)
     best = float("inf")
     for _ in range(3):

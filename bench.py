@@ -112,6 +112,35 @@ def _bench_large_subprocess(result, budget_s=900):
         result["large_100k_error"] = repr(e)[:200]
 
 
+def _bench_kernel_oracle(result, budget_s=420):
+    """Run every Mosaic kernel against its XLA twin on the real device
+    (tools/kernel_oracle.py) — asserts the interpret-vs-Mosaic bug class
+    can't ship silently.  Subprocess + timeout so an oracle stall can't
+    cost the primary JSON line; shares the persistent compile cache, so
+    after one warm run it takes seconds."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("CONP2_TPU_COMPILE_CACHE",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache"))
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "kernel_oracle.py")],
+            capture_output=True, text=True, timeout=budget_s, env=env)
+        if "kernel_oracle ok" in out.stdout:
+            result["kernel_oracle"] = "ok"
+        else:
+            tail = (out.stdout + out.stderr)[-300:]
+            result["kernel_oracle"] = f"FAIL: {tail}"
+    except subprocess.TimeoutExpired:
+        result["kernel_oracle"] = f"timeout after {budget_s}s"
+    except Exception as e:  # noqa: BLE001 — optional section
+        result["kernel_oracle"] = repr(e)[:200]
+
+
 def main():
     t_start = time.time()
     # persistent compile cache: the bench host is stable, and the 100k
@@ -128,6 +157,15 @@ def main():
     # ~10 min of the driver's ~30 min envelope.
     if os.environ.get("BENCH_SKIP_LARGE") != "1":
         _bench_large_subprocess(result, budget_s=1100)
+
+    if os.environ.get("BENCH_SKIP_ORACLE") != "1":
+        # adaptive budget: never let a cold oracle push the total past the
+        # driver's ~30 min envelope (dilute/il still need ~6 min after us)
+        ob = min(420, int(1380 - (time.time() - t_start)))
+        if ob >= 60:
+            _bench_kernel_oracle(result, budget_s=ob)
+        else:
+            result["kernel_oracle"] = "skipped (budget)"
 
     try:
         eng = _build("dilute", 0)

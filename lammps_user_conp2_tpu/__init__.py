@@ -31,7 +31,16 @@ def enable_compile_cache(path=None):
                 path = os.path.join(
                     os.path.dirname(os.path.abspath(__file__)),
                     os.pardir, ".jax_cache")
-        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        # per-host subdirectory: XLA:CPU AOT entries bake machine features
+        # and a mismatched host warns "could lead to SIGILL"; stale
+        # cross-host TPU entries have produced hard UNIMPLEMENTED errors on
+        # cache READ (observed via tools/kernel_oracle.py).  Same-host
+        # reruns keep the full benefit.
+        import socket
+
+        path = os.path.join(os.path.abspath(path),
+                            socket.gethostname() or "host")
+        jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001 — the cache is an optimization only
         pass

@@ -53,11 +53,13 @@ def nhc_half_step(v, xi, vxi, params: NHCParams, mass, dt, boltz, mvv2e, t_targe
     m = params.tchain
     dof = params.dof
     kt = boltz * t_target
-    # thermostat masses: Q1 = dof kT damp^2, Qk = kT damp^2
+    # thermostat masses: Q1 = dof kT damp^2, Qk = kT damp^2.  dtype follows
+    # the chain state: default-f64 scalars here would silently promote g and
+    # hit the f32 vxi scatters (an error in a future jax)
     q = jnp.concatenate([
         jnp.array([dof * kt * params.damp ** 2]),
         jnp.full((m - 1,), kt * params.damp ** 2),
-    ])
+    ]).astype(vxi.dtype)
     ke2 = group_ke(v, mass, params.group_mask, mvv2e)  # sum m v^2
 
     dt2 = dt / 2.0
@@ -65,7 +67,7 @@ def nhc_half_step(v, xi, vxi, params: NHCParams, mass, dt, boltz, mvv2e, t_targe
     dt8 = dt / 8.0
 
     # update chain velocities from the end inward
-    g = jnp.zeros(m)
+    g = jnp.zeros(m, vxi.dtype)
     g = g.at[0].set((ke2 - dof * kt) / q[0])
     for k in range(1, m):
         g = g.at[k].set((q[k - 1] * vxi[k - 1] ** 2 - kt) / q[k])

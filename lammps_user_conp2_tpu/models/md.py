@@ -281,8 +281,12 @@ class Engine:
                     cutoff=self.md.cutoff, qqr2e=u.qqr2e,
                     ele_idx=jnp.asarray(self.conp.ele_idx))
             f = f + fc
-            qsq_ele = jnp.sum(jnp.where(self.elecheck != 0,
-                                        jnp.asarray(kern.self_diag) * q * q, 0.0))
+            # dtype= : self_diag is host f64 and would silently promote the
+            # whole potential energy to f64 under enable_x64 (scan carries
+            # then type-mismatch against the f32 state)
+            qsq_ele = jnp.sum(jnp.where(
+                self.elecheck != 0,
+                jnp.asarray(kern.self_diag, q.dtype) * q * q, 0.0))
             # ETA: qqr2e*eta*sum q^2/(sqrt2*sqrt(pi)) == qqr2e/2 * sum(self_diag q^2)
             # EHGO: qqr2e*sum u0_i q^2 == qqr2e * sum(self_diag q^2)
             fac = 0.5 if self.conp.cfg.pairmode is PairMode.ETA else 1.0

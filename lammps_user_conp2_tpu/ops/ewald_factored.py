@@ -229,31 +229,42 @@ def potential_on_points_fkv(xe, sr, si, kxy, kz, unitk, ug):
 
 
 def structure_factor_tab(tabs, q):
-    """S(kxy, kz) from precomputed axis tables (4 matmuls, no table build).
+    """S(kxy, kz) from precomputed axis tables (2 matmuls, no table build).
 
     The per-step reuse path: the charge solve's b-vector and the force
     evaluation run at the SAME positions, so the transcendental-heavy phase
     tables are built once per step and shared (the Ewald analogue of the
-    pppm rhok_elyte reuse invariant, pppm_conp.cpp:428-450)."""
+    pppm rhok_elyte reuse invariant, pppm_conp.cpp:428-450).  The four
+    (nxy, N) x (N, nz) products ride TWO matmuls with the real/imag z
+    columns concatenated — identical per-element reductions (the contraction
+    axis is untouched), half the kernel launches; at il sizes the chain is
+    launch-bound, not flop-bound."""
     (pr, pi), (zr, zi) = tabs
+    nz = zr.shape[1]
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-    qzr = q[:, None] * zr
-    qzi = q[:, None] * zi
-    sr = mm(pr.T, qzr) - mm(pi.T, qzi)
-    si = mm(pr.T, qzi) + mm(pi.T, qzr)
+    qz = q[:, None] * jnp.concatenate([zr, zi], axis=1)     # (N, 2nz)
+    a = mm(pr.T, qz)                                        # (nxy, 2nz)
+    b = mm(pi.T, qz)
+    sr = a[:, :nz] - b[:, nz:]
+    si = a[:, nz:] + b[:, :nz]
     return sr, si
 
 
 def potential_on_points_tab(tabs_pts, sr, si, ug):
     """b-vector readout from precomputed POINT tables (rows of the full
-    per-step tables sliced at the electrode indices)."""
+    per-step tables sliced at the electrode indices).  2 matmuls (see
+    structure_factor_tab for the concatenated-columns scheme)."""
     (per, pei), (zer, zei) = tabs_pts
+    nxy = sr.shape[0]
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     ug = jnp.asarray(ug, per.dtype)
     mr = 2.0 * ug * sr
     mi = 2.0 * ug * si
-    tr = mm(zer, mr.T) + mm(zei, mi.T)
-    ti = -mm(zei, mr.T) + mm(zer, mi.T)
+    m = jnp.concatenate([mr.T, mi.T], axis=1)               # (nz, 2nxy)
+    tzr = mm(zer, m)                                        # (Ne, 2nxy)
+    tzi = mm(zei, m)
+    tr = tzr[:, :nxy] + tzi[:, nxy:]
+    ti = tzr[:, nxy:] - tzi[:, :nxy]
     return jnp.sum(per * tr + pei * ti, axis=1)
 
 
@@ -267,33 +278,45 @@ def energy_forces_cached(fk: FactoredKSpace, q, tabs, sr_elyte, si_elyte,
     4 matmuls over Ne rows instead of N."""
     (pr, pi), (zr, zi) = tabs
     dtype = pr.dtype
+    nz = zr.shape[1]
+    nxy = pr.shape[1]
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
     per, pei = pr[ele_idx], pi[ele_idx]
     zer, zei = zr[ele_idx], zi[ele_idx]
     qe = q[ele_idx]
-    qzr = qe[:, None] * zer
-    qzi = qe[:, None] * zei
-    sr = sr_elyte + mm(per.T, qzr) - mm(pei.T, qzi)
-    si = si_elyte + mm(per.T, qzi) + mm(pei.T, qzr)
+    # electrode S update: 2 concatenated matmuls (see structure_factor_tab)
+    qz = qe[:, None] * jnp.concatenate([zer, zei], axis=1)  # (Ne, 2nz)
+    ar = mm(per.T, qz)
+    br = mm(pei.T, qz)
+    sr = sr_elyte + ar[:, :nz] - br[:, nz:]
+    si = si_elyte + ar[:, nz:] + br[:, :nz]
 
     ug = jnp.asarray(fk.ug, dtype)
     e = jnp.sum(ug * (sr * sr + si * si))
     wr = ug * sr
     wi = -ug * si
-    gr = mm(zr, wr.T) - mm(zi, wi.T)    # (N, nxy)
-    gi = mm(zr, wi.T) + mm(zi, wr.T)
     ux, uy, uz = fk.unitk
     kzv = jnp.asarray(fk.kz, dtype) * uz
-    gzr = mm(zr, (wr * kzv).T) - mm(zi, (wi * kzv).T)
-    gzi = mm(zr, (wi * kzv).T) + mm(zi, (wr * kzv).T)
+    # G chain: the eight (N, nz) x (nz, nxy) products ride TWO matmuls with
+    # the four weighted-S variants concatenated along columns — identical
+    # per-element reductions, 4x fewer launches (the il-size chain is
+    # launch-bound)
+    w4 = jnp.concatenate([wr.T, wi.T, (wr * kzv).T, (wi * kzv).T],
+                         axis=1)                             # (nz, 4nxy)
+    A = mm(zr, w4)                                           # (N, 4nxy)
+    B = mm(zi, w4)
+    gr = A[:, :nxy] - B[:, nxy:2 * nxy]
+    gi = A[:, nxy:2 * nxy] + B[:, :nxy]
+    gzr = A[:, 2 * nxy:3 * nxy] - B[:, 3 * nxy:]
+    gzi = A[:, 3 * nxy:] + B[:, 2 * nxy:3 * nxy]
     im_pg = pr * gi + pi * gr
     im_pgz = pr * gzi + pi * gzr
-    kxv = jnp.asarray(fk.kxy[:, 0], dtype) * ux
-    kyv = jnp.asarray(fk.kxy[:, 1], dtype) * uy
-    fx = mm(im_pg, kxv)
-    fy = mm(im_pg, kyv)
+    kmat = jnp.stack([jnp.asarray(fk.kxy[:, 0], dtype) * ux,
+                      jnp.asarray(fk.kxy[:, 1], dtype) * uy],
+                     axis=1)                                 # (nxy, 2)
+    fxy = mm(im_pg, kmat)                                    # (N, 2)
     fz = jnp.sum(im_pgz, axis=1)
-    f = 2.0 * q[:, None] * jnp.stack([fx, fy, fz], axis=1)
+    f = 2.0 * q[:, None] * jnp.concatenate([fxy, fz[:, None]], axis=1)
     return e, f
 
 

@@ -535,9 +535,32 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     in a VMEM-resident Mosaic kernel (ops/pallas/block_pair.py) — in XLA
     the chain's HBM intermediates eat the whole descriptor saving."""
     n = x.shape[0]
-    dtype = x.dtype
     un, rows, binv = nlist.bun, nlist.brows, nlist.binv
-    bcr, btu = nlist.bcr, nlist.btu
+    f_slots, selj, secoul = _block_sweep(
+        ncfg, x, q, un, rows, nlist.bcr, nlist.btu, n,
+        g_ewald=g_ewald, qqr2e=qqr2e, use_pallas=use_pallas,
+        interpret=interpret)
+    f = f_slots[binv]
+    ev = 0.5 * selj
+    ec = 0.5 * secoul
+    df, dev, dec = exclusion_correction(
+        x, q, type_idx, tables, exclusions, box=ncfg.grid.box,
+        periodic=ncfg.grid.periodic, cutsq=ncfg.cutoff ** 2, qqr2e=qqr2e)
+    ov = nlist.overflow
+    f = jnp.where(ov, jnp.nan, f + df)
+    ev = jnp.where(ov, jnp.nan, ev + dev)
+    ec = jnp.where(ov, jnp.nan, ec + dec)
+    return f, ev, ec, ov
+
+
+def _block_sweep(ncfg: NeighborConfig, x, q, un, rows, bcr, btu, n, *,
+                 g_ewald, qqr2e, use_pallas=None, interpret=False):
+    """Core of the block sweep on the GIVEN block rows: returns
+    (f_slots (NB*B, 3) in slot order, sum_elj, sum_ecoul) — the caller
+    applies binv, the full-list 0.5, and the exclusion correction.  Shared
+    by block_pair_forces (all blocks) and block_pair_rows (a device's
+    contiguous block slice in the sharded engine)."""
+    dtype = x.dtype
     sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
     xqp = jnp.concatenate(
         [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
@@ -549,22 +572,10 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
                       and jax.default_backend() == "tpu")
     if use_pallas:
         from .pallas.block_pair import block_pair_pallas
-        f_s, selj, secoul = block_pair_pallas(
+        return block_pair_pallas(
             xqu, xqi, un, rows, bcr, btu, box=ncfg.grid.box,
             periodic=ncfg.grid.periodic, cutoff=ncfg.cutoff,
             g_ewald=g_ewald, qqr2e=qqr2e, npts=n, interpret=interpret)
-        f = f_s[binv]
-        ev = 0.5 * selj
-        ec = 0.5 * secoul
-        df, dev, dec = exclusion_correction(
-            x, q, type_idx, tables, exclusions, box=ncfg.grid.box,
-            periodic=ncfg.grid.periodic, cutsq=ncfg.cutoff ** 2,
-            qqr2e=qqr2e)
-        ov = nlist.overflow
-        f = jnp.where(ov, jnp.nan, f + df)
-        ev = jnp.where(ov, jnp.nan, ev + dev)
-        ec = jnp.where(ov, jnp.nan, ec + dec)
-        return f, ev, ec, ov
     boxj = jnp.asarray(ncfg.grid.box, dtype)
     d = min_image(xqi[:, :, None, :3] - xqu[:, None, :, :3], boxj,
                   ncfg.grid.periodic)
@@ -593,18 +604,45 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
     ecoul = jnp.where(mask, pref * erfc, 0.0)
     fpair = flj + fcoul * r2inv
-    f = jnp.sum(fpair[..., None] * d, axis=2).reshape(-1, 3)[binv]
-    ev = 0.5 * jnp.sum(elj)
-    ec = 0.5 * jnp.sum(ecoul)
+    f_slots = jnp.sum(fpair[..., None] * d, axis=2).reshape(-1, 3)
+    return f_slots, jnp.sum(elj), jnp.sum(ecoul)
 
-    df, dev, dec = exclusion_correction(
-        x, q, type_idx, tables, exclusions, box=ncfg.grid.box,
-        periodic=ncfg.grid.periodic, cutsq=ncfg.cutoff ** 2, qqr2e=qqr2e)
-    ov = nlist.overflow
-    f = jnp.where(ov, jnp.nan, f + df)
-    ev = jnp.where(ov, jnp.nan, ev + dev)
-    ec = jnp.where(ov, jnp.nan, ec + dec)
-    return f, ev, ec, ov
+
+def block_pair_rows(ncfg: NeighborConfig, nlist: NeighborList, x, q, b0,
+                    nb_l, *, g_ewald, qqr2e, use_pallas=None,
+                    interpret=False):
+    """Block sweep over the contiguous block slice [b0, b0 + nb_l) — the
+    sharded engine's per-device share of block_pair_forces (the same pair
+    set and math; km_ewald_split.cpp shares ALL of km_ewald's optimized
+    math, differently distributed).  The caller pads the block axis to a
+    device multiple first (pad_block_list), all_gathers the returned slot
+    forces, applies nlist.binv and the replicated exclusion correction,
+    and psums the energy partials (which carry the full-list 0.5
+    already)."""
+    def sl(a, axis=0):
+        return jax.lax.dynamic_slice_in_dim(a, b0, nb_l, axis=axis)
+
+    f_slots, selj, sec = _block_sweep(
+        ncfg, x, q, sl(nlist.bun), sl(nlist.brows), sl(nlist.bcr, axis=1),
+        sl(nlist.btu), x.shape[0], g_ewald=g_ewald, qqr2e=qqr2e,
+        use_pallas=use_pallas, interpret=interpret)
+    return f_slots, 0.5 * selj, 0.5 * sec
+
+
+def pad_block_list(nlist: NeighborList, n: int, d: int) -> NeighborList:
+    """Pad the block axis to a multiple of d with EMPTY blocks (ids n,
+    zero LJ rows, type 0): padded blocks contribute exactly nothing to the
+    sweep (both the id masks and the sentinel positions kill every pair),
+    so each device can take an equal contiguous slice."""
+    nb_ = nlist.bun.shape[0]
+    padb = (-nb_) % d
+    if padb == 0:
+        return nlist
+    return nlist._replace(
+        bun=jnp.pad(nlist.bun, ((0, padb), (0, 0)), constant_values=n),
+        brows=jnp.pad(nlist.brows, ((0, padb), (0, 0)), constant_values=n),
+        bcr=jnp.pad(nlist.bcr, ((0, 0), (0, padb), (0, 0), (0, 0))),
+        btu=jnp.pad(nlist.btu, ((0, padb), (0, 0))))
 
 
 def ele_rows_from_list(nlist: NeighborList, ele_idx):

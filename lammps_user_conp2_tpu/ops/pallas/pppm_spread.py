@@ -111,6 +111,17 @@ def _mesh_kernel(sc_ref, sw_ref, se_ref, ss_ref, sn_ref, swsr, swnr, sesr,
          acc[:, tly - bw:] + n_full], axis=1)
 
 
+def spread_mesh_pallas_supported(*, tly, nty) -> bool:
+    """Mosaic lowering constraint for the fused mesh kernel's OUTPUT block
+    (1, tlx, tly, ez): the second-to-last block dim must be divisible by 8
+    or equal the full array dim (nty * tly).  Grids whose picked xy tile
+    is not lane-aligned (e.g. a 100-point axis tiled 5x20) cannot lower —
+    callers must fall back to the patch-build path.  Found by
+    tools/kernel_oracle.py on the real device (interpret mode accepts any
+    block shape, the exact round-3 failure class)."""
+    return tly % 8 == 0 or nty == 1
+
+
 def spread_mesh_pallas(sl, cf, *, tlx, tly, ez, bw, ntx, nty, ntz, cap,
                        interpret=False):
     """z-binned mesh (ntz, nx, ny, ez) straight from slot rows: every

@@ -376,7 +376,11 @@ def _stencil_full(grid: PPPMGrid, x):
             (grid.ny, grid.box[1], grid.box_lo[1]),
             (grid.nz, grid.zprd_grid, grid.box_lo[2]))):
         delinv = n / L
-        u = (x[:, ax] - lo) * delinv
+        # float(): box_lo may hold STRONG-typed np.float64 scalars, and
+        # under enable_x64 `f32 - np.float64` silently promotes the whole
+        # weight chain to f64 (then f64 values hit f32 scatters — a
+        # FutureWarning today, an error in a future jax)
+        u = (x[:, ax] - float(lo)) * float(delinv)
         # nearest grid point convention (LAMMPS: shift=0.5 for odd order)
         if p % 2 == 1:
             m = jnp.floor(u + 0.5).astype(jnp.int32)
@@ -407,11 +411,20 @@ DENSE_XY_LIMIT = 8192
 
 
 def _pick_tile(n: int, lo: int = 8, hi: int = 40, target: int = 16) -> int:
-    """Largest-utility divisor of n in [lo, hi] (mesh sizes factor into
-    2/3/5, so one always exists for n >= 64); falls back to n itself."""
+    """Best divisor of n in [lo, hi] (mesh sizes factor into 2/3/5, so one
+    always exists for n >= 64); falls back to n itself.  Lane-aligned
+    (multiple-of-8) divisors always win, then closeness to target, then
+    the larger tile: the fused Mosaic mesh kernel can only lower output tiles
+    whose second-to-last dim is 8-aligned (pppm_spread.py
+    spread_mesh_pallas_supported), and a near-target unaligned pick (e.g.
+    15 on a 120 axis when 24 exists) silently costs the whole kernel."""
     best = None
+
+    def score(t):
+        return (0 if t % 8 == 0 else 1, abs(t - target), -t)
+
     for t in range(lo, min(hi, n) + 1):
-        if n % t == 0 and (best is None or abs(t - target) < abs(best - target)):
+        if n % t == 0 and (best is None or score(t) < score(best)):
             best = t
     return best if best is not None else n
 
@@ -909,7 +922,8 @@ def _zbin_dft(grid: PPPMGrid, geom: TileGeom):
     return _ZBIN_DFT_CACHE[key]
 
 
-def spread_rhok(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
+def spread_rhok(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
+                use_pallas=None):
     """Half-spectrum density rhok = rfft3(spread(...)) with the z
     overlap-add folded into a shifted z-DFT matmul (and, on TPU f32, the
     patch build + xy overlap-add fused into one Mosaic mesh kernel —
@@ -923,7 +937,7 @@ def spread_rhok(grid: PPPMGrid, x, q=None, slots: TileSlots = None):
     rfft3(spread(...)) on the dense path and for float64."""
     if x.dtype != jnp.float32 or _use_dense(grid, x.shape[0]):
         return rfft3(grid, spread(grid, x, q, slots=slots))
-    return _spread_rhok_tiled(grid, x, q, slots)
+    return _spread_rhok_tiled(grid, x, q, slots, use_pallas=use_pallas)
 
 
 def _pack_slot_rows(slots: TileSlots, dtype, t_tiles: int, cap: int):
@@ -948,9 +962,15 @@ def _spread_rhok_tiled(grid: PPPMGrid, x, q=None, slots: TileSlots = None,
     bw = hw + dm
     ex, ey, ez = tlx + 2 * bw, tly + 2 * bw, tlz + 2 * bw
     hi = jax.lax.Precision.HIGHEST
+    from .pallas.pppm_spread import spread_mesh_pallas_supported
+    lowerable = interpret or spread_mesh_pallas_supported(tly=tly, nty=nty)
     if use_pallas is None:
         use_pallas = (dtype == jnp.float32
                       and jax.default_backend() == "tpu")
+    # Mosaic refuses non-lane-aligned output tiles (see the predicate) —
+    # fall back to the patch-build path rather than fail, even when the
+    # caller forced use_pallas (the kernel simply cannot lower there)
+    use_pallas = use_pallas and lowerable
     if use_pallas:
         # one fused kernel: slot rows -> z-binned mesh (no per-tile patch
         # materialization, no XLA overlap-add merges, no 6-D transpose)
@@ -1392,7 +1412,8 @@ def _zplane_wz(grid: PPPMGrid, x, zp_inv):
     n = grid.nz
     dtype = x.dtype
     delinv = n / grid.zprd_grid
-    u = (x[:, 2] - grid.box_lo[2]) * delinv
+    # float(): see _stencil_full — np.float64 box_lo must not promote f32
+    u = (x[:, 2] - float(grid.box_lo[2])) * float(delinv)
     if p % 2 == 1:
         m = jnp.floor(u + 0.5).astype(jnp.int32)
         dx = m.astype(dtype) - u

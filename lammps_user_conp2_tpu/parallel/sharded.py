@@ -59,29 +59,53 @@ class ShardedEngine:
     axis: str
     step_fn: object          # jitted (state, shards) -> state
     shards: tuple            # device-sharded constant pytree
+    tasg_fn: object = None   # jitted x -> stacked per-device TileAssign
+    #                          (None when the sharded mesh binning is not
+    #                          persistent)
+    tasg_table_shape: tuple = None   # expected stacked table shape — lets
+    #                          _prep_state recognize (and keep) an already-
+    #                          sharded assignment on repeated step() calls
 
-    def _strip_block(self, state: MDState) -> MDState:
-        """Drop the optional block-list fields from the neighbor state: the
-        sharded rebuild path (_cell_block_keys -> _decode_list) produces a
-        plain per-atom list, so a block-carrying state from
-        Engine.init_state would mismatch the lax.cond branch structure.
-        The sharded pair path sweeps per-atom row shards (nlist_pair_rows);
-        block compaction is a single-chip gather optimization."""
+    def _prep_state(self, state: MDState) -> MDState:
+        """Normalize an Engine.init_state state for the sharded step:
+
+        * when the engine's list has no block form (ncfg.block == 0) but
+          the state carries block fields, strip them (branch-structure
+          compatibility); with ncfg.block the sharded sweep consumes them
+          directly (block_pair_rows) and the sharded rebuild re-attaches
+          them — the single-chip fast path is kept, differently
+          distributed (km_ewald_split.cpp:551-667 shares all of
+          km_ewald's optimized math);
+        * replace the (single-chip-geometry) mesh-tile assignment with the
+          stacked per-device one, or None when not persistent here."""
         nbr = state.nbr
-        if nbr is not None and getattr(nbr, "bun", None) is not None:
+        keep_block = (self.engine.ncfg is not None
+                      and getattr(self.engine.ncfg, "block", 0))
+        if (nbr is not None and getattr(nbr, "bun", None) is not None
+                and not keep_block):
             state = state._replace(nbr=nbr._replace(
                 bun=None, brows=None, binv=None, bcr=None, btu=None))
+        if self.tasg_fn is not None:
+            t = state.tasg
+            # the overflow rank distinguishes a single-chip assignment
+            # (scalar) from the stacked per-device one ((d,)) even when
+            # d == 1 makes the table shapes collide
+            if (t is None or tuple(t.table.shape) != self.tasg_table_shape
+                    or jnp.ndim(t.overflow) != 1):
+                state = state._replace(tasg=self.tasg_fn(state.x))
+        elif state.tasg is not None:
+            state = state._replace(tasg=None)
         return state
 
     def step(self, state: MDState) -> MDState:
-        return self.step_fn(self._strip_block(state), *self.shards)
+        return self.step_fn(self._prep_state(state), *self.shards)
 
     def run(self, state: MDState, nsteps: int, *, thermo_every: int = 0):
         """Scan nsteps; with thermo_every > 0 also returns the thermo rows
         (same schema as Engine.thermo) subsampled every thermo_every steps."""
         shards = self.shards
         eng = self.engine
-        state = self._strip_block(state)
+        state = self._prep_state(state)
 
         @jax.jit
         def go(st):
@@ -183,6 +207,54 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
     # ------------------------------------------------------------------
     npad_rows = exi.shape[0] - n       # row padding so N' = d * nrow
 
+    # Mosaic kernels gate on the MESH's platform, not jax.default_backend():
+    # after the axon TPU backend initializes once in a process, the default
+    # stays "tpu" even when a later jax_platforms=cpu switch builds a CPU
+    # mesh (the dryrun path) — the auto-gates would then emit Pallas calls
+    # onto CPU devices ("Only interpret mode is supported on CPU backend")
+    mesh_tpu = mesh.devices.flat[0].platform == "tpu"
+    pal = bool(mesh_tpu and dtype == np.float32)
+
+    # ---- shard-local PPPM tile geometry + persistent assignment -------
+    # Each device bins only its nrow atom rows, so the per-tile slot
+    # capacity can be sized from the actual per-shard occupancy instead of
+    # the whole-system tile_cap (which with_tile_cap baked for N atoms —
+    # using it per shard would cost every device the FULL single-chip
+    # spread/gather matmul flops).  Index-sliced rows are NOT spatially
+    # uniform (electrode planes are contiguous index runs), so measure the
+    # max occupancy over the actual shards at x0 (+25% headroom; the
+    # tiled ops NaN-poison on overflow — fail loud, like everywhere else).
+    grid_g = engine.pppm_grid
+    grid_l = grid_g
+    mesh_persist_l = False
+    if grid_g is not None:
+        from ..ops import pppm as pppm_ops
+        # gate on the GLOBAL system's dense/tiled choice (not the shard's
+        # nrow): single-chip and sharded then always run the same
+        # discretization family, and the per-shard cap sizing below keeps
+        # the tiled matmuls shard-sized
+        if not pppm_ops._use_dense(grid_g, n):
+            x0p = _pad_to(np.asarray(sys.x0, dtype), d)
+            if npad_rows:
+                x0p[n:] = x0p[n - 1]       # edge-pad: stay inside the box
+            occ = max(pppm_ops.tile_occupancy(
+                dataclasses.replace(grid_g, tile_cap=None),
+                x0p[i * nrow:(i + 1) * nrow]) for i in range(d))
+            cap_l = int(math.ceil(max(occ, 8) * 1.25 / 8.0) * 8)
+            cap_l = min(cap_l, grid_g.tile_cap or cap_l, nrow + 1)
+            grid_l = dataclasses.replace(grid_g, tile_cap=cap_l)
+            # share the hoisted device-constant cache (greens etc.) so the
+            # shard grid doesn't duplicate the 31 MB influence function
+            cache = getattr(grid_g, "_devcache", None)
+            if cache is None:
+                cache = {}
+                object.__setattr__(grid_g, "_devcache", cache)
+            object.__setattr__(grid_l, "_devcache", cache)
+            # persistent per-device tile assignment under the Verlet skin
+            # trigger — the same skin/2 <= dm*cell gate as build_engine
+            mesh_persist_l = bool(engine.mesh_persist
+                                  and engine.ncfg is not None)
+
     # cell-list statics (sharded large-N pair path): each device sweeps a
     # contiguous slice of cell blocks; forces scatter to each cell's own
     # slots, so one psum((N,3)) reassembles the full array — the TPU
@@ -198,6 +270,33 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
 
     def sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr=None):
         """Per-device pair sweep -> replicated (f (N,3), evdwl, ecoul)."""
+        if (engine.ncfg is not None and cell_grid is None and nbr is not None
+                and getattr(nbr, "bun", None) is not None):
+            # block-compacted sweep, block axis sharded: each device runs
+            # the single-chip fast kernel (Mosaic on TPU f32, the XLA
+            # chain elsewhere) on its contiguous block slice; slot forces
+            # all_gather back and binv unscatters them — the same pair set
+            # and math as block_pair_forces (roundoff-level identical)
+            from ..ops import cells as cells_ops
+            from ..ops import neighbors as nbr_ops
+            nbp = nbr_ops.pad_block_list(nbr, n, d)
+            nb_tot = nbp.bun.shape[0]
+            nb_l = nb_tot // d
+            b0 = jax.lax.axis_index(axis) * nb_l
+            f_slots, ev_l, ec_l = nbr_ops.block_pair_rows(
+                engine.ncfg, nbp, x, q, b0, nb_l,
+                g_ewald=ksp.g_ewald, qqr2e=qqr2e, use_pallas=pal)
+            f_all = jax.lax.all_gather(f_slots, axis, axis=0, tiled=True)
+            f = f_all[nbr.binv]
+            ev = jax.lax.psum(ev_l, axis)
+            ec = jax.lax.psum(ec_l, axis)
+            df, dev, dec = cells_ops.exclusion_correction(
+                x, q, type_idx, engine.tables, engine.exclusions,
+                box=box, periodic=periodic, cutsq=md.cutoff ** 2,
+                qqr2e=qqr2e)
+            f = jnp.where(nbr.overflow, jnp.nan, f + df)
+            ev = jnp.where(nbr.overflow, jnp.nan, ev + dev)
+            return f, ev, ec + dec
         if engine.ncfg is not None and cell_grid is None and nbr is not None:
             # Verlet-list rows sharded over devices: each chip sweeps its
             # N/D rows of the (N, K) list, forces all_gather (the ghost-free
@@ -276,63 +375,92 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         ec = jax.lax.psum(ec, axis)
         return f, ev, ec
 
+    def _my_rows(x, q, i0):
+        """(xi_l, qi_l): this device's padded atom-row slice.  Edge-pad
+        positions: zero-filled pad atoms sit OUTSIDE the box when box_lo
+        is positive and would trip the z-span binning's fail-loud
+        out-of-box check (their q=0 keeps them physically inert)."""
+        xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)), mode="edge")
+        qp_ = jnp.pad(q, (0, npad_rows))
+        return (jax.lax.dynamic_slice_in_dim(xp_, i0, nrow),
+                jax.lax.dynamic_slice_in_dim(qp_, i0, nrow))
+
+    def _my_slots(xi_l, qi_l, tasg_l):
+        """TileSlots of my rows: payload refresh under the persistent
+        assignment when available, else the full packed-key sort."""
+        from ..ops import pppm as pppm_ops
+        if tasg_l is not None:
+            return pppm_ops.refresh_tile_slots(grid_l, tasg_l, xi_l, qi_l)
+        return pppm_ops.tile_slots(grid_l, xi_l, qi_l)
+
     def sharded_forces(x, q, scalar_out, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                       i0, eidx_l, evalid_l, kcache=None, nbr=None):
+                       i0, eidx_l, evalid_l, kcache=None, nbr=None,
+                       tasg_l=None):
         """Per-device partial force computation; returns replicated (f, pe)."""
         f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr)
 
         if engine.pppm_grid is not None:
-            # mesh k-space: spread sharded over atom rows (psum the mesh),
-            # FFTs replicated, force gather sharded over atom rows.  When the
-            # solve ran this step, its electrolyte mesh AND its per-device
-            # tile binning are reused; only the Ne electrode charges are
-            # re-spread (pppm_conp.cpp:428-450).
+            # mesh k-space: spread sharded over atom rows with the SAME
+            # fast paths as the single-chip engine (fused z-binned spread,
+            # zbin ad gather — km_ewald_split.cpp:551-667 shares all of
+            # km_ewald's optimized math), psum in k-space (linearity),
+            # Poisson replicated.  When the solve ran this step, its
+            # electrolyte rhok AND its per-device tile binning are reused;
+            # only the Ne electrode charges are re-spread
+            # (pppm_conp.cpp:428-450).
             from ..ops import pppm as pppm_ops
-            grid_p = engine.pppm_grid
-            # edge-pad positions: zero-filled pad atoms sit OUTSIDE the box
-            # when box_lo is positive and would trip the z-span binning's
-            # fail-loud out-of-box check (their q=0 keeps them physically
-            # inert either way)
-            xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)), mode="edge")
-            qp_ = jnp.pad(q, (0, npad_rows))
-            xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
-            qi_l = jax.lax.dynamic_slice_in_dim(qp_, i0, nrow)
+            xi_l, qi_l = _my_rows(x, q, i0)
             rhok_elyte, slots_l = (kcache if kcache is not None
                                    else (None, None))
-            tiled = not pppm_ops._use_dense(grid_p, nrow)
+            tiled = not pppm_ops._use_dense(grid_g, n)
             # the ad/ik choice must match what a SINGLE device would pick
             # for the global system (shard-invariance: ad and ik forces
             # differ by discretization, not rounding)
-            tiled_global = not pppm_ops._use_dense(grid_p, n)
+            tiled_global = not pppm_ops._use_dense(grid_g, n)
             if rhok_elyte is not None and conp is not None:
                 # electrode density added in k-space (models/md.py
                 # compute_forces): no full forward FFT in the force path
                 eix = jnp.asarray(conp.ele_idx)
                 if conp.ele_zplanes is not None:
                     rho_ep = pppm_ops.spread_zplanes(
-                        grid_p, x[eix], q[eix], conp.ele_zpinv)
+                        grid_g, x[eix], q[eix], conp.ele_zpinv)
                     rhok = rhok_elyte + pppm_ops.rhok_from_zplanes(
-                        grid_p, rho_ep, conp.ele_zplanes)
+                        grid_g, rho_ep, conp.ele_zplanes)
                 else:
                     rhok = rhok_elyte + pppm_ops.rfft3(
-                        grid_p, pppm_ops.spread(grid_p, x[eix], q[eix]))
+                        grid_g, pppm_ops.spread(grid_g, x[eix], q[eix]))
+            elif tiled and x.dtype == jnp.float32:
+                # fused z-binned spread of my rows, psum'd in k-space
+                if slots_l is None:
+                    slots_l = _my_slots(xi_l, qi_l, tasg_l)
+                rhok = jax.lax.psum(
+                    pppm_ops.spread_rhok(grid_l, xi_l, qi_l, slots=slots_l,
+                                         use_pallas=pal),
+                    axis)
             else:
                 if tiled and slots_l is None:
-                    slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
-                rhok = pppm_ops.rfft3(grid_p, jax.lax.psum(
-                    pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l),
+                    slots_l = _my_slots(xi_l, qi_l, tasg_l)
+                rhok = pppm_ops.rfft3(grid_g, jax.lax.psum(
+                    pppm_ops.spread(grid_l, xi_l, qi_l, slots=slots_l),
                     axis))
             if md.pppm_diff == "ad" or (
                     md.pppm_diff == "auto" and tiled_global):
-                # ad differentiation (MDConfig.pppm_diff): one inverse FFT
-                # + a one-mesh gather over my atom rows
-                ek, umesh = pppm_ops.pppm_energy_u_from_k(grid_p, rhok)
-                f_rows = qi_l[:, None] * pppm_ops.gather3_ad(
-                    grid_p, umesh, xi_l, slots=slots_l)
+                # ad differentiation (MDConfig.pppm_diff): one inverse
+                # transform + a one-mesh gather over my atom rows
+                if tiled and x.dtype == jnp.float32:
+                    # z-binned inverse straight onto my patch rows (the
+                    # single-chip fast path at each device's shard)
+                    ek, uz = pppm_ops.pppm_energy_u_zbin(grid_l, rhok, nrow)
+                    f_rows = qi_l[:, None] * pppm_ops.gather3_ad_zbin(
+                        grid_l, uz, xi_l, slots=slots_l, use_pallas=pal)
+                else:
+                    ek, umesh = pppm_ops.pppm_energy_u_from_k(grid_g, rhok)
+                    f_rows = qi_l[:, None] * pppm_ops.gather3_ad(
+                        grid_l, umesh, xi_l, slots=slots_l)
             else:
-                ek, efield = pppm_ops.pppm_energy_efield_from_k(grid_p, rhok)
+                ek, efield = pppm_ops.pppm_energy_efield_from_k(grid_g, rhok)
                 f_rows = qi_l[:, None] * pppm_ops.gather3(
-                    grid_p, efield, xi_l, slots=slots_l)
+                    grid_l, efield, xi_l, slots=slots_l)
             ek = qqr2e * ek
             f = f + qqr2e * jax.lax.all_gather(f_rows, axis, axis=0,
                                                tiled=True)[:n]
@@ -513,29 +641,31 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         q_new = q.at[jnp.asarray(ele_idx)].set(q_ele.astype(q.dtype))
         return q_new, scalar
 
-    def sharded_elyte_kcache(x, q_elyte):
+    def sharded_elyte_kcache(x, q_elyte, tasg_l=None):
         """(rhok_elyte replicated, per-device TileSlots of MY atom rows) —
         the sharded analogue of ConpSolver.elyte_kcache.  Used by the solve
         AND by skip steps (nevery > 1) so the force path never redoes the
-        electrolyte spread + forward FFT."""
+        electrolyte spread + forward transform.  On the tiled f32 path each
+        device runs the fused z-binned spread of its rows and the partial
+        rhok's psum (spread and DFT are linear)."""
         from ..ops import pppm as pppm_ops
-        grid_p = conp.pppm_grid
         i0 = jax.lax.axis_index(axis) * nrow
-        # edge-pad: see sharded_forces — pad atoms must stay in-box for
-        # the z-span binning's fail-loud check
-        xp_ = jnp.pad(x, ((0, npad_rows), (0, 0)), mode="edge")
-        qep = jnp.pad(q_elyte, (0, npad_rows))
-        xi_l = jax.lax.dynamic_slice_in_dim(xp_, i0, nrow)
-        qi_l = jax.lax.dynamic_slice_in_dim(qep, i0, nrow)
-        slots_l = None
-        if not pppm_ops._use_dense(grid_p, nrow):
-            slots_l = pppm_ops.tile_slots(grid_p, xi_l, qi_l)
+        xi_l, qi_l = _my_rows(x, q_elyte, i0)
+        if not pppm_ops._use_dense(grid_g, n):
+            slots_l = _my_slots(xi_l, qi_l, tasg_l)
+            if x.dtype == jnp.float32:
+                rhok = jax.lax.psum(pppm_ops.spread_rhok(
+                    grid_l, xi_l, qi_l, slots=slots_l, use_pallas=pal),
+                    axis)
+                return (rhok, slots_l)
+        else:
+            slots_l = None
         rho_elyte = jax.lax.psum(
-            pppm_ops.spread(grid_p, xi_l, qi_l, slots=slots_l), axis)
-        return (pppm_ops.rfft3(grid_p, rho_elyte), slots_l)  # rhok replicated
+            pppm_ops.spread(grid_l, xi_l, qi_l, slots=slots_l), axis)
+        return (pppm_ops.rfft3(grid_g, rho_elyte), slots_l)  # rhok replicated
 
     def sharded_solve(x, q, step, kv_l, ug_l, asolve_l, eidx_l, evalid_l, e0,
-                      nbr=None, scalar_prev=None):
+                      nbr=None, scalar_prev=None, tasg_l=None):
         """Row/k-sharded charge solve.
 
         Returns replicated (q_new, scalar, kcache) — kcache is
@@ -547,23 +677,23 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         kcache = None
 
         if conp.pppm_grid is not None:
-            # mesh b-vector: spread MY atom rows -> psum the mesh (the TPU
-            # analogue of GridComm halo reduction, pppm_conp.cpp:113-124);
-            # FFT Poisson replicated (mesh is small; XLA may shard it
-            # internally); electrode stencil gather over MY electrode rows.
+            # mesh b-vector: spread MY atom rows -> psum in k-space (the
+            # TPU analogue of GridComm halo reduction,
+            # pppm_conp.cpp:113-124); Poisson replicated (mesh is small;
+            # XLA may shard it internally); electrode readout over MY
+            # electrode rows.
             from ..ops import pppm as pppm_ops
-            grid_p = conp.pppm_grid
-            kcache = sharded_elyte_kcache(x, q_elyte)
+            kcache = sharded_elyte_kcache(x, q_elyte, tasg_l)
             rhok_elyte, slots_l = kcache
             if conp.ele_zplanes is not None:
                 # z-plane fast readout (models/conp.py b_vector_full)
-                up = pppm_ops.u_on_zplanes(grid_p, rhok_elyte,
+                up = pppm_ops.u_on_zplanes(grid_g, rhok_elyte,
                                            conp.ele_zplanes)
-                b_l = -pppm_ops.gather_zplanes(grid_p, up, x[eidx_l],
+                b_l = -pppm_ops.gather_zplanes(grid_g, up, x[eidx_l],
                                                conp.ele_zpinv)
             else:
-                u_mesh = pppm_ops.poisson_u_from_k(grid_p, rhok_elyte)
-                b_l = -pppm_ops.gather(grid_p, u_mesh, x[eidx_l])
+                u_mesh = pppm_ops.poisson_u_from_k(grid_g, rhok_elyte)
+                b_l = -pppm_ops.gather(grid_g, u_mesh, x[eidx_l])
             b_l = jnp.where(evalid_l, b_l, 0.0)
             b = jax.lax.all_gather(b_l, axis, axis=0, tiled=True)[:ne]
         else:
@@ -629,6 +759,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         if engine.zmirror is not None:
             x = engine.zmirror.apply(x, state.step + 1)
 
+        # local (per-device) mesh-tile assignment: overflow arrives as the
+        # (1,)-shaped stacked slice — unwrap to a scalar for the pppm ops
+        tasg_l = None
+        if mesh_persist_l and state.tasg is not None:
+            tasg_l = state.tasg._replace(overflow=state.tasg.overflow[0])
+
         nbr = state.nbr
         if engine.ncfg is not None and cell_grid is None:
             # Verlet-skin reneighbor check; the binning sort + decode are
@@ -637,15 +773,19 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             # block of cells and the per-atom rows merge with an
             # elementwise pmin (rows a device doesn't own stay at the miss
             # sentinel; tail blocks may overlap via dynamic_slice clamping,
-            # which is harmless — duplicates compute identical rows)
+            # which is harmless — duplicates compute identical rows).  The
+            # per-device tile assignment shares the trigger (the skin bound
+            # that keeps the list exact keeps every atom inside its tile's
+            # drift margin — same gate as build_engine).
             from ..ops.cells import bin_atoms
-            from ..ops.neighbors import (_cell_block_keys, _decode_list,
+            from ..ops.neighbors import (_attach_block_list,
+                                         _cell_block_keys, _decode_list,
                                          _nlist_prep, _scatter_rows,
                                          needs_rebuild)
 
             def rebuild_sharded(xx):
                 ncfg_n = engine.ncfg
-                table, _cell, ovf0 = bin_atoms(ncfg_n.grid, xx)
+                table, cell_ids, ovf0 = bin_atoms(ncfg_n.grid, xx)
                 prep = _nlist_prep(ncfg_n, xx, table, type_idx)
                 c_cells = table.shape[0]
                 cblk_n = -(-c_cells // d)
@@ -657,13 +797,25 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 sk = jax.lax.pmin(sk_l, axis)
                 ovf = ovf0 | (jax.lax.pmax(
                     ovf_b.astype(jnp.int32), axis) > 0)
-                return _decode_list(ncfg_n, xx, sk, ovf, type_idx,
-                                    engine.tables)
+                nl = _decode_list(ncfg_n, xx, sk, ovf, type_idx,
+                                  engine.tables)
+                if ncfg_n.block:
+                    # re-attach the block (cluster) form so the per-device
+                    # block sweep keeps running after a reneighbor event
+                    # (replicated two-sort compaction at rebuild cadence)
+                    nl = _attach_block_list(ncfg_n, xx, nl, cell_ids,
+                                            type_idx, engine.tables)
+                ta = tasg_l
+                if tasg_l is not None:
+                    from ..ops import pppm as pppm_ops
+                    xi_l, _ = _my_rows(xx, jnp.zeros((n,), xx.dtype), i0)
+                    ta = pppm_ops.tile_assign(grid_l, xi_l)
+                return nl, ta
 
-            nbr = jax.lax.cond(
+            nbr, tasg_l = jax.lax.cond(
                 needs_rebuild(engine.ncfg, nbr, x),
                 rebuild_sharded,
-                lambda xx: nbr,
+                lambda xx: (nbr, tasg_l),
                 x)
             # sticky overflow flag (see Engine.step): keeps the poisoning
             # cause identifiable after a post-NaN rebuild
@@ -675,7 +827,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             nevery = conp.cfg.nevery
             solve = lambda: sharded_solve(x, q, state.step + 1, kv_l, ug_l,
                                           asolve_l, eidx_l, evalid_l, e0, nbr,
-                                          scalar_prev=state.scalar_out)
+                                          scalar_prev=state.scalar_out,
+                                          tasg_l=tasg_l)
             if nevery == 1:
                 q, scalar, kcache = solve()
             else:
@@ -686,30 +839,64 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                     if conp.pppm_grid is not None:
                         q_elyte = jnp.where(jnp.asarray(conp.elyte_mask),
                                             q, 0.0)
-                        kc = sharded_elyte_kcache(x, q_elyte)
+                        kc = sharded_elyte_kcache(x, q_elyte, tasg_l)
                     return q, scalar, kc
                 q, scalar, kcache = jax.lax.cond(
                     (state.step + 1) % nevery == 0, solve, skip)
 
         f, pe = sharded_forces(x, q, scalar, kv_l, ug_l, exi_l, exv_l, rvalid_l,
-                               i0, eidx_l, evalid_l, kcache, nbr)
+                               i0, eidx_l, evalid_l, kcache, nbr,
+                               tasg_l=tasg_l)
         v = itg.kick(v, f)
         if engine.cons is not None:
             from ..models.shake import rattle_velocities
             v = rattle_velocities(engine.cons, x, v, box=box, periodic=periodic)
         v, xi, vxi = itg.thermostat_half(v, xi, vxi, state.step)
-        return MDState(x=x, v=v, q=q, f=f, step=state.step + 1, tasg=state.tasg,
+        tasg_out = state.tasg
+        if tasg_l is not None:
+            tasg_out = tasg_l._replace(overflow=tasg_l.overflow[None])
+        return MDState(x=x, v=v, q=q, f=f, step=state.step + 1, tasg=tasg_out,
                        nhc_xi=xi, nhc_vxi=vxi, scalar_out=scalar, energy=pe,
                        nbr=nbr)
 
+    # ---- shard_map specs: the state is replicated EXCEPT the per-device
+    # mesh-tile assignment, whose stacked leaves ride the device axis
+    from ..ops.pppm import TileAssign as _TileAssign
+    if mesh_persist_l:
+        tasg_spec = _TileAssign(slot=P(axis), table=P(axis),
+                                overflow=P(axis), x_ref=P(axis))
+    else:
+        tasg_spec = P()
+    state_spec = MDState(
+        x=P(), v=P(), q=P(), f=P(), step=P(), nhc_xi=P(), nhc_vxi=P(),
+        scalar_out=P(), energy=P(), nbr=P(), tasg=tasg_spec)
+
     shard_step = jax.shard_map(
         step_inner, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P(axis, None), P(axis, None),
-                  P(axis), P(axis, None), P(axis), P(axis)),
-        out_specs=P(),
+        in_specs=(state_spec, P(axis, None), P(axis), P(axis, None),
+                  P(axis, None), P(axis), P(axis, None), P(axis), P(axis)),
+        out_specs=state_spec,
         check_vma=False,
     )
     step_fn = jax.jit(shard_step)
 
+    tasg_fn = None
+    tasg_table_shape = None
+    if mesh_persist_l:
+        from ..ops import pppm as pppm_ops
+
+        def _build_tasg(xg):
+            i0b = jax.lax.axis_index(axis) * nrow
+            xi_l, _ = _my_rows(xg, jnp.zeros((n,), xg.dtype), i0b)
+            a = pppm_ops.tile_assign(grid_l, xi_l)
+            return a._replace(overflow=a.overflow[None])
+
+        tasg_fn = jax.jit(jax.shard_map(
+            _build_tasg, mesh=mesh, in_specs=P(), out_specs=tasg_spec,
+            check_vma=False))
+        geom_l = pppm_ops._tile_geometry(grid_l, nrow)
+        tasg_table_shape = (d * geom_l.t_tiles, geom_l.cap)
+
     return ShardedEngine(engine=engine, mesh=mesh, axis=axis,
-                         step_fn=step_fn, shards=shards)
+                         step_fn=step_fn, shards=shards,
+                         tasg_fn=tasg_fn, tasg_table_shape=tasg_table_shape)

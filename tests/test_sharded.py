@@ -190,6 +190,74 @@ def test_sharded_trajectory_with_reneighbor():
     assert np.isfinite(float(s8.energy))
 
 
+@pytest.mark.parametrize("d", [2, 4])
+def test_sharded_invariance_shard_counts(d):
+    """d-device == 1-device for the production CG_MATFREE x PPPM x nlist
+    combo on an odd-padding system (5289 atoms, N % d != 0 for every d, so
+    _pad_to/npad_rows/tail-block clamping all engage).  d=8 is covered by
+    the rest of the file; the reference explicitly tests 1/2/4 ranks
+    (/root/reference/tests/zmirror/input:13-15)."""
+    import dataclasses
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+    system, md, cfg = workloads.synthetic(n_elyte=5001, nele_side=12,
+                                          lz=80.0, lxy=56.0)
+    assert system.natoms % d != 0
+    cfgx = dataclasses.replace(cfg, solver=Solver.CG_MATFREE,
+                               kspace=KSpaceStyle.PPPM)
+    mdx = dataclasses.replace(md, pair_path="nlist",
+                              kspace_style=KSpaceStyle.PPPM,
+                              use_pallas_pair=False)
+    conp = setup_conp(system, mdx, cfgx)
+    eng = build_engine(system, mdx, conp)
+    mesh = Mesh(np.array(jax.devices()[:d]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    st = eng.init_state()
+    s1 = jax.jit(eng.step)(st)
+    sd = sheng.step(st)
+    np.testing.assert_allclose(np.asarray(sd.q), np.asarray(s1.q),
+                               atol=1e-9, err_msg=f"d={d}")
+    np.testing.assert_allclose(np.asarray(sd.f), np.asarray(s1.f),
+                               atol=1e-6, rtol=1e-8, err_msg=f"d={d}")
+    assert np.isfinite(float(sd.energy))
+
+
+def test_sharded_tiled_mesh_block_fast_paths():
+    """The sharded engine on a TILED PPPM mesh with the block list and the
+    persistent per-device tile assignment — the round-3 fast paths,
+    distributed (VERDICT r3 #4).  8.5k atoms force the tiled mesh
+    (_use_dense False), pair_path='block' keeps the block fields through
+    the sharded sweep, float32 engages the z-binned spread/gather branch
+    (kernels auto-disable off-TPU; the XLA twins run here), and two run()
+    steps traverse the persistent-assignment refresh."""
+    import dataclasses
+    from lammps_user_conp2_tpu.ops import pppm as pppm_ops
+    from lammps_user_conp2_tpu.utils.config import KSpaceStyle, Solver
+    system, md, cfg = workloads.synthetic(n_elyte=8192, nele_side=12,
+                                          lz=100.0, lxy=96.0)
+    cfgx = dataclasses.replace(cfg, solver=Solver.INV,
+                               kspace=KSpaceStyle.PPPM)
+    mdx = dataclasses.replace(md, pair_path="block",
+                              kspace_style=KSpaceStyle.PPPM)
+    conp = setup_conp(system, mdx, cfgx, solve_dtype=jnp.float32)
+    eng = build_engine(system, mdx, conp, dtype=jnp.float32)
+    assert not pppm_ops._use_dense(eng.pppm_grid, system.natoms)
+    assert eng.ncfg is not None and eng.ncfg.block
+    mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
+    sheng = build_sharded_engine(eng, mesh)
+    assert sheng.tasg_fn is not None, "persistent sharded binning inactive"
+    st = eng.init_state()
+    s1 = jax.jit(eng.step)(jax.jit(eng.step)(st))
+    s8 = sheng.run(st, 2)
+    assert s8.tasg is not None
+    assert tuple(s8.tasg.table.shape) == sheng.tasg_table_shape
+    sc = np.abs(np.asarray(s1.f)).max()
+    np.testing.assert_allclose(np.asarray(s8.q), np.asarray(s1.q),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s8.f), np.asarray(s1.f),
+                               atol=3e-5 * sc)
+    assert np.isfinite(float(s8.energy))
+
+
 def test_sharded_matfree_synthetic_largeish():
     """CG_MATFREE sharded on a bigger synthetic capacitor (the production-
     scale configuration: matfree solve + cell pair path under shard_map)."""
@@ -200,8 +268,8 @@ def test_sharded_matfree_synthetic_largeish():
     cfgx = dataclasses.replace(cfg, solver=Solver.CG_MATFREE)
     mesh = Mesh(np.array(jax.devices()[:8]), ("s",))
     for pair_path in ("cell", "nlist", "block"):
-        # "block": single-chip sweeps the block-compacted list, the sharded
-        # engine strips the block fields and sweeps per-atom rows — this
+        # "block": both engines sweep the block-compacted list (the sharded
+        # engine slices the block axis per device, block_pair_rows) — this
         # also pins block-vs-nlist physics agreement through a full step
         mdx = dataclasses.replace(md, pair_path=pair_path,
                                   use_pallas_pair=False)

@@ -111,6 +111,79 @@ def main():
     print(f"pppm spread (slots)    : {chain_ms(f_spread, x):7.2f} ms",
           flush=True)
 
+    # ---- the FINAL production-path phases (fused spread, zbin Poisson +
+    # gather, z-plane b readout, solver matvec) — the phases the r03
+    # breakdown never measured ("unmeasured = unoptimized")
+    def f_spread_rhok(xx):
+        rk = pppm_ops.spread_rhok(grid, xx, q, slots=slots0)
+        return xx + eps * jnp.real(rk[0, 0, 0])
+    print(f"spread_rhok (fused)    : {chain_ms(f_spread_rhok, x):7.2f} ms",
+          flush=True)
+
+    rhok0 = jax.jit(lambda a: pppm_ops.spread_rhok(grid, a, q,
+                                                   slots=slots0))(x)
+    def f_zbin_u(r):
+        ek, uzb = pppm_ops.pppm_energy_u_zbin(grid, r, x.shape[0])
+        return r + eps * (ek + uzb[0, 0, 0, 0])
+    print(f"energy_u_zbin (poisson): {chain_ms(f_zbin_u, rhok0):7.2f} ms",
+          flush=True)
+
+    _, uz0 = jax.jit(lambda r: pppm_ops.pppm_energy_u_zbin(
+        grid, r, x.shape[0]))(rhok0)
+    def f_gz(xx):
+        e3 = pppm_ops.gather3_ad_zbin(grid, uz0, xx, slots=slots0)
+        return xx + eps * e3
+    print(f"gather3_ad_zbin        : {chain_ms(f_gz, x):7.2f} ms",
+          flush=True)
+
+    if conp.ele_zplanes is not None:
+        eix_d = jnp.asarray(conp.ele_idx)
+        def f_bread(xx):
+            up = pppm_ops.u_on_zplanes(grid, rhok0, conp.ele_zplanes)
+            bb = pppm_ops.gather_zplanes(grid, up, xx[eix_d],
+                                         conp.ele_zpinv)
+            return xx + eps * jnp.sum(bb)
+        print(f"b zplane readout       : {chain_ms(f_bread, x):7.2f} ms",
+              flush=True)
+
+    if hasattr(conp.ctx, "ainv") and conp.ctx.ainv is not None \
+            and conp.ctx.ainv.shape[0] > 1:
+        b0 = jnp.ones((conp.ctx.ainv.shape[0],), jnp.float32)
+        def f_mv(bb):
+            el = jnp.matmul(conp.ctx.ainv, bb,
+                            precision=jax.lax.Precision.HIGHEST)
+            return bb + eps * el
+        print(f"INV matvec             : {chain_ms(f_mv, b0):7.2f} ms",
+              flush=True)
+
+    from lammps_user_conp2_tpu.ops.neighbors import (
+        b_realspace_from_list, conp_correction_from_list)
+    eix_d = jnp.asarray(conp.ele_idx)
+    def f_brows(xx):
+        br = b_realspace_from_list(
+            eng.ncfg, nbr, xx, q, eix_d, conp.elyte_mask,
+            jnp.asarray(conp.type_idx), conp.kernels.potential,
+            g_ewald=eng.ksp_force.g_ewald, cut_coulsq=conp.cut_coulsq)
+        return xx + eps * jnp.sum(br)
+    print(f"b real rows (list)     : {chain_ms(f_brows, x):7.2f} ms",
+          flush=True)
+
+    def f_corr(xx):
+        fc, ec = conp_correction_from_list(
+            eng.ncfg, nbr, xx, q, eix_d, conp.elyte_mask, eng.type_idx,
+            conp.kernels.force, conp.kernels.potential,
+            cutoff=eng.md.cutoff, qqr2e=u.qqr2e)
+        return xx + eps * (fc + ec)
+    print(f"conp correction (list) : {chain_ms(f_corr, x):7.2f} ms",
+          flush=True)
+
+    def f_refresh0(xx):
+        s = pppm_ops.refresh_tile_slots(grid, st.tasg, xx, q) \
+            if st.tasg is not None else pppm_ops.tile_slots(grid, xx, q)
+        return xx + eps * (jnp.sum(s.qs) + jnp.sum(s.dxs))
+    print(f"slot refresh (step)    : {chain_ms(f_refresh0, x):7.2f} ms",
+          flush=True)
+
     eix = jnp.asarray(conp.ele_idx)
     xe, qe = jax.jit(lambda a, b: (a[eix], b[eix]))(x, q)
     def f_spread_ele(xx):

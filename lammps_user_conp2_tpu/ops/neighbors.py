@@ -238,8 +238,12 @@ def build_neighbor_list(ncfg: NeighborConfig, x, tables: PairTables,
         (xr.reshape(-1, chunk, 3), cellr.reshape(-1, chunk),
          rowid.reshape(-1, chunk)))
     sk = sks.reshape(-1, k)[:n]
+    # block mode: the sweep reads bcr/btu, never the per-atom LJ planes —
+    # skip building them ((4, N, K) is ~90 MB at the 100k config, and every
+    # carried byte is copied through the per-step reneighbor lax.cond:
+    # measured ~13 ms/step of pure cond overhead with them in)
     nlist = _decode_list(ncfg, x, sk, overflow | jnp.any(ovfs),
-                         type_idx, tables)
+                         type_idx, tables, build_lj=not ncfg.block)
     if ncfg.block:
         nlist = _attach_block_list(ncfg, x, nlist, cell, type_idx, tables)
     return nlist
@@ -392,14 +396,22 @@ def _scatter_rows(prep, skey, c0, cblk, *, n, k):
         table_b.reshape(-1)].set(skey)[:n]
 
 
-def _decode_list(ncfg, x, sk, overflow, type_idx, tables) -> NeighborList:
-    """(n, k) packed keys -> NeighborList (ids, LJ coefficient planes)."""
+def _decode_list(ncfg, x, sk, overflow, type_idx, tables,
+                 build_lj=True) -> NeighborList:
+    """(n, k) packed keys -> NeighborList (ids, LJ coefficient planes).
+
+    ``build_lj=False`` skips the (4, N, K) coefficient planes entirely —
+    the block sweep never reads them (it carries bcr/btu instead), and at
+    100k atoms they are ~90 MB of rebuild work + per-step cond-copy
+    traffic."""
     n = x.shape[0]
     k = ncfg.k_max
     dtype = x.dtype
     miss = jnp.int32((n + 1) << _TYPE_BITS)
     hit = sk < miss
     idx = jnp.where(hit, sk >> _TYPE_BITS, n)
+    if not build_lj:
+        return NeighborList(idx=idx, x_ref=x, lj=None, overflow=overflow)
     tj = sk & _TYPE_MASK                                 # 0 on misses
     # LJ pair coefficients without gathers: per-type masked accumulation
     # (nt is a small static; types are static between rebuilds)

@@ -798,7 +798,8 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 ovf = ovf0 | (jax.lax.pmax(
                     ovf_b.astype(jnp.int32), axis) > 0)
                 nl = _decode_list(ncfg_n, xx, sk, ovf, type_idx,
-                                  engine.tables)
+                                  engine.tables,
+                                  build_lj=not ncfg_n.block)
                 if ncfg_n.block:
                     # re-attach the block (cluster) form so the per-device
                     # block sweep keeps running after a reneighbor event

@@ -124,7 +124,14 @@ def test_block_forces_match_nlist():
     nl = build_neighbor_list(ncfg, x, tables, ti)
     assert not bool(nl.overflow)
     assert nl.bun is not None
-    f1, ev1, ec1, _ = nlist_pair_forces(ncfg, nl, x, q, ti, tables, excl,
+    assert nl.lj is None        # block lists drop the (4, N, K) LJ planes
+    # the per-atom sweep needs the LJ planes — rebuild the same list in its
+    # non-block form (identical (N, K) pair set; block fields are additive)
+    import dataclasses
+    nl_p = build_neighbor_list(dataclasses.replace(ncfg, block=0, u_max=0),
+                               x, tables, ti)
+    np.testing.assert_array_equal(np.asarray(nl_p.idx), np.asarray(nl.idx))
+    f1, ev1, ec1, _ = nlist_pair_forces(ncfg, nl_p, x, q, ti, tables, excl,
                                         g_ewald=G, qqr2e=u.qqr2e)
     f2, ev2, ec2, _ = block_pair_forces(ncfg, nl, x, q, ti, tables, excl,
                                         g_ewald=G, qqr2e=u.qqr2e)

@@ -112,11 +112,18 @@ def test_drift_beyond_margin_fails_loud(slab_setup):
     grid, x0, q = slab_setup
     asg = jax.jit(lambda a: P.tile_assign(grid, a))(jnp.asarray(x0))
     geom = P._tile_geometry(grid, len(x0))
-    cellx = grid.box[0] / grid.nx
     x_bad = np.array(x0)
-    # teleport one atom several tiles away in x
-    x_bad[0, 0] = (x_bad[0, 0] + (geom.tlx + 3 * geom.dm + 2) * cellx) \
-        % grid.box[0]
+    # teleport one atom several tiles away along an axis with nt > 1 —
+    # an axis covered by a SINGLE periodic tile wraps every position into
+    # range, so no drift is detectable (or harmful) there.  The lane-
+    # aligned _pick_tile can legitimately choose tlx == nx (ntx == 1), so
+    # pick the axis dynamically.
+    axes = [(geom.ntx, 0, geom.tlx, grid.box[0] / grid.nx, grid.box[0]),
+            (geom.nty, 1, geom.tly, grid.box[1] / grid.ny, grid.box[1]),
+            (geom.ntz, 2, geom.tlz, grid.zprd_grid / grid.nz, grid.box[2])]
+    nt, ax, tl, cell, width = max(axes)
+    assert nt > 1, "fixture grid needs a multi-tile axis"
+    x_bad[0, ax] = (x_bad[0, ax] + (tl + 3 * geom.dm + 2) * cell) % width
     slots = jax.jit(lambda a, b: P.refresh_tile_slots(
         grid, asg, a, b))(jnp.asarray(x_bad), q)
     assert bool(slots.overflow)

@@ -106,11 +106,28 @@ class Engine:
         #                      CONP Gaussian correction into its sweep
         if self.ncfg is not None and nbr is not None:
             from ..ops.neighbors import block_pair_forces, nlist_pair_forces
-            sweep = block_pair_forces if self.ncfg.block else nlist_pair_forces
-            f, evdwl, ecoul, overflow = sweep(
-                self.ncfg, nbr, x, q, self.type_idx, self.tables,
-                self.exclusions, g_ewald=self.ksp_force.g_ewald,
-                qqr2e=u.qqr2e)
+            if (self.ncfg.block and self.conp is not None
+                    and _tpu_f32(x.dtype)):
+                # fold the CONP Gaussian correction into the block Mosaic
+                # sweep (same geometry/charges already in VMEM; the chain
+                # is gated to the few grid steps whose blocks can hold an
+                # (ele, elyte) pair) — replaces the separate O(Ne*K) row
+                # correction below (~2 ms at 100k)
+                kern = self.conp.kernels
+                fuse = ((self.elecheck != 0).astype(x.dtype),
+                        jnp.asarray(self.conp.elyte_mask, x.dtype),
+                        kern.eta_ij, kern.fo_ij, self.type_idx)
+                f, evdwl, ecoul, fused_ecorr, overflow = block_pair_forces(
+                    self.ncfg, nbr, x, q, self.type_idx, self.tables,
+                    self.exclusions, g_ewald=self.ksp_force.g_ewald,
+                    qqr2e=u.qqr2e, conp_fuse=fuse)
+            else:
+                sweep = (block_pair_forces if self.ncfg.block
+                         else nlist_pair_forces)
+                f, evdwl, ecoul, overflow = sweep(
+                    self.ncfg, nbr, x, q, self.type_idx, self.tables,
+                    self.exclusions, g_ewald=self.ksp_force.g_ewald,
+                    qqr2e=u.qqr2e)
             evdwl = jnp.where(overflow, jnp.nan, evdwl)
             ecoul = jnp.where(overflow, jnp.nan, ecoul)
         elif self.cell_grid is not None:

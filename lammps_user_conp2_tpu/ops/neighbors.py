@@ -531,7 +531,8 @@ def nlist_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
 
 def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
                       type_idx, tables: PairTables, exclusions, *,
-                      g_ewald, qqr2e, use_pallas=None, interpret=False):
+                      g_ewald, qqr2e, use_pallas=None, interpret=False,
+                      conp_fuse=None):
     """LJ + real-space Coulomb from the BLOCK form of the list — same
     returns (and the same pair set, hence roundoff-level identical physics)
     as nlist_pair_forces.  The hot gather is (NB, U) union rows instead of
@@ -548,10 +549,14 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     the chain's HBM intermediates eat the whole descriptor saving."""
     n = x.shape[0]
     un, rows, binv = nlist.bun, nlist.brows, nlist.binv
-    f_slots, selj, secoul = _block_sweep(
+    out = _block_sweep(
         ncfg, x, q, un, rows, nlist.bcr, nlist.btu, n,
         g_ewald=g_ewald, qqr2e=qqr2e, use_pallas=use_pallas,
-        interpret=interpret)
+        interpret=interpret, conp_fuse=conp_fuse)
+    if conp_fuse is not None:
+        f_slots, selj, secoul, secorr = out
+    else:
+        f_slots, selj, secoul = out
     f = f_slots[binv]
     ev = 0.5 * selj
     ec = 0.5 * secoul
@@ -562,23 +567,59 @@ def block_pair_forces(ncfg: NeighborConfig, nlist: NeighborList, x, q,
     f = jnp.where(ov, jnp.nan, f + df)
     ev = jnp.where(ov, jnp.nan, ev + dev)
     ec = jnp.where(ov, jnp.nan, ec + dec)
+    if conp_fuse is not None:
+        # full-list double counting: each (ele, elyte) pair appeared in
+        # both atoms' rows
+        ecorr = jnp.where(ov, jnp.nan, 0.5 * secorr)
+        return f, ev, ec, ecorr, ov
     return f, ev, ec, ov
 
 
 def _block_sweep(ncfg: NeighborConfig, x, q, un, rows, bcr, btu, n, *,
-                 g_ewald, qqr2e, use_pallas=None, interpret=False):
+                 g_ewald, qqr2e, use_pallas=None, interpret=False,
+                 conp_fuse=None):
     """Core of the block sweep on the GIVEN block rows: returns
-    (f_slots (NB*B, 3) in slot order, sum_elj, sum_ecoul) — the caller
-    applies binv, the full-list 0.5, and the exclusion correction.  Shared
-    by block_pair_forces (all blocks) and block_pair_rows (a device's
-    contiguous block slice in the sharded engine)."""
+    (f_slots (NB*B, 3) in slot order, sum_elj, sum_ecoul[, sum_ecorr]) —
+    the caller applies binv, the full-list 0.5, and the exclusion
+    correction.  Shared by block_pair_forces (all blocks) and
+    block_pair_rows (a device's contiguous block slice in the sharded
+    engine).
+
+    ``conp_fuse``: optional (ele_f (N,), ely_f (N,), eta_tab, fo_tab) —
+    fold the CONP Gaussian correction (fix_conp.cpp:1368-1444) into the
+    same sweep: the slot forces come back correction-inclusive plus a 4th
+    raw double-counted energy sum.  On the Mosaic path the second chain is
+    gated per grid step (cell-sorted electrodes concentrate in few
+    blocks); the XLA fallback pays it on every slot — it exists for
+    interpret-mode parity, production XLA configs keep the separate
+    O(Ne*K) row correction."""
     dtype = x.dtype
-    sentinel = jnp.asarray([[1e6, 1e6, 1e6, 0.0]], dtype)
+    fuse = conp_fuse is not None
+    cols = [x, q[:, None].astype(dtype)]
+    sent = [1e6, 1e6, 1e6, 0.0]
+    nt1 = bcr.shape[-1]
+    if fuse:
+        ele_f, ely_f, eta_tab, fo_tab, type_idx = conp_fuse
+        # ONE packed flag channel: +1 electrode / -1 electrolyte / 0
+        # neither — a correction pair is exactly a negative flag product
+        cols.append((jnp.asarray(ele_f, dtype)
+                     - jnp.asarray(ely_f, dtype))[:, None])
+        sent += [0.0]
     xqp = jnp.concatenate(
-        [jnp.concatenate([x, q[:, None].astype(dtype)], axis=1), sentinel],
-        axis=0)
-    xqu = xqp[un]                                        # (NB, U, 4) THE gather
-    xqi = xqp[rows]                                      # (NB, B, 4)
+        [jnp.concatenate(cols, axis=1),
+         jnp.asarray([sent], dtype)], axis=0)
+    xqu = xqp[un]                                        # (NB, U, C) THE gather
+    xqi = xqp[rows]                                      # (NB, B, C)
+    if fuse:
+        # append the block atoms' eta/fo type rows to the coefficient
+        # planes (same per-row layout as the LJ planes; pad atoms get the
+        # type-0 row, masked out by the flag channels anyway)
+        tp1 = jnp.pad(jnp.asarray(type_idx), (0, 1)).astype(jnp.int32)
+        tr_rows = tp1[rows]                              # (NB, B)
+        er = jnp.asarray(eta_tab, dtype)[tr_rows]        # (NB, B, nt1)
+        fr = jnp.asarray(fo_tab, dtype)[tr_rows]
+        bcr = jnp.concatenate([bcr.astype(dtype), er[None], fr[None]],
+                              axis=0)
     if use_pallas is None:
         use_pallas = (dtype == jnp.float32
                       and jax.default_backend() == "tpu")
@@ -599,11 +640,10 @@ def _block_sweep(ncfg: NeighborConfig, x, q, un, rows, bcr, btu, n, *,
     r2inv = 1.0 / rsq_safe
     r6inv = r2inv * r2inv * r2inv
     # expand the pre-typed LJ planes on the fly: 4*nt masked FMAs
-    nt1 = bcr.shape[-1]
     blj = jnp.zeros((4,) + rsq.shape, dtype)
     for t in range(nt1):
         mask_t = (btu == t).astype(dtype)[None, :, None, :]
-        blj = blj + mask_t * bcr[:, :, :, t][:, :, :, None]
+        blj = blj + mask_t * bcr[:4, :, :, t][:, :, :, None]
     l1, l2, l3, l4 = blj
     flj = jnp.where(mask, r6inv * (l1 * r6inv - l2) * r2inv, 0.0)
     elj = jnp.where(mask, r6inv * (l3 * r6inv - l4), 0.0)
@@ -616,8 +656,39 @@ def _block_sweep(ncfg: NeighborConfig, x, q, un, rows, bcr, btu, n, *,
     fcoul = jnp.where(mask, pref * (erfc + EWALD_F * grij * expm2), 0.0)
     ecoul = jnp.where(mask, pref * erfc, 0.0)
     fpair = flj + fcoul * r2inv
-    f_slots = jnp.sum(fpair[..., None] * d, axis=2).reshape(-1, 3)
-    return f_slots, jnp.sum(elj), jnp.sum(ecoul)
+    if not fuse:
+        f_slots = jnp.sum(fpair[..., None] * d, axis=2).reshape(-1, 3)
+        return f_slots, jnp.sum(elj), jnp.sum(ecoul)
+    # XLA twin of the fused correction chain (pair_kernel.py fused path
+    # math; ERFC_MAX-gated exactly like the Mosaic kernel)
+    from .erfc import ERFC_MAX
+    etap = jnp.zeros(rsq.shape, dtype)
+    fop = jnp.zeros(rsq.shape, dtype)
+    for t in range(nt1):
+        mask_t = (btu == t).astype(dtype)[:, None, :]
+        etap = etap + mask_t * bcr[4, :, :, t][:, :, None]
+        fop = fop + mask_t * bcr[5, :, :, t][:, :, None]
+    cm = mask & ((xqi[:, :, None, 4] * xqu[:, None, :, 4]) < 0.0)
+    e2 = etap * etap * rsq_safe
+    ghalf = jnp.exp(-0.5 * e2)
+    em2 = ghalf * ghalf
+    safe = jnp.maximum(e2, 1e-30)
+    rs = jax.lax.rsqrt(safe)
+    ar = safe * rs
+    t2 = 1.0 / (1.0 + EWALD_P * ar)
+    erfcr = (t2 * (A1 + t2 * (A2 + t2 * (A3 + t2 * (A4 + t2 * A5))))
+             * em2 * rs)
+    inmax = e2 < ERFC_MAX ** 2
+    erfcr = jnp.where(inmax, erfcr, 0.0)
+    gexp = fop * ghalf
+    ekc = gexp - erfcr * etap
+    ferfcr = jnp.where(inmax, erfcr + EWALD_F * em2, 0.0)
+    fkc = e2 * gexp - ferfcr * etap
+    cpref = qqr2e * xqi[:, :, None, 3] * xqu[:, None, :, 3]
+    ecp = jnp.where(cm, cpref * ekc, 0.0)
+    fcp = jnp.where(cm, cpref * fkc, 0.0) * r2inv
+    f_slots = jnp.sum((fpair + fcp)[..., None] * d, axis=2).reshape(-1, 3)
+    return f_slots, jnp.sum(elj), jnp.sum(ecoul), jnp.sum(ecp)
 
 
 def block_pair_rows(ncfg: NeighborConfig, nlist: NeighborList, x, q, b0,

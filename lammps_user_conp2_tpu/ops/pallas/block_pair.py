@@ -37,8 +37,12 @@ A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
                       -1.453152027, 1.061405429)
 
 
-def _kernel(xu_ref, xi_ref, un_ref, rows_ref, cr_ref, tu_ref, out_ref, *,
-            box, periodic, cutsq, g_ewald, qqr2e, npts, gb, bsz, usz, nt1):
+_ERFC_MAX_SQ = 31.36  # erfc(x) underflows f32 beyond x ~ 5.6 (ops/erfc.py)
+
+
+def _kernel(xu_ref, xi_ref, un_ref, rows_ref, cr_ref, tu_ref, cf_ref,
+            out_ref, *, box, periodic, cutsq, g_ewald, qqr2e, npts, gb,
+            bsz, usz, nt1, fuse_corr):
     # Component/plane axes sit BEFORE the tiled (sublane, lane) pair and are
     # indexed statically on the ref: a middle-axis index on a loaded value
     # lowers to an unsupported >2-D gather in Mosaic.
@@ -89,11 +93,63 @@ def _kernel(xu_ref, xi_ref, un_ref, rows_ref, cr_ref, tu_ref, out_ref, *,
                       zero)
     ecoul = jnp.where(mask, pref * erfc, zero)
     fpair = flj + fcoul * r2inv
+    # base sweep write is UNCONDITIONAL and identical to the unfused
+    # kernel — restructuring it under pl.when measurably slowed the hot
+    # path (14.7 vs 12.3 ms at 100k); the fused correction ADDS into the
+    # same output block on the gated steps only
     outs = [jnp.sum(fpair * dc, axis=2).reshape(1, gb * bsz) for dc in d]
     outs.append(jnp.sum(elj, axis=2).reshape(1, gb * bsz))
     outs.append(jnp.sum(ecoul, axis=2).reshape(1, gb * bsz))
     outs.append(jnp.zeros((3, gb * bsz), f32))
     out_ref[0] = jnp.concatenate(outs, axis=0)          # (8, G*B)
+    if not fuse_corr:
+        return
+
+    # ---- fused CONP Gaussian correction (fix_conp.cpp:1368-1444 as a
+    # second masked chain on the SAME (G, B, U) slots; the math mirrors
+    # ops/pallas/pair_kernel.py's fused path, which is pinned against the
+    # XLA twins).  In the full block list every (ele, elyte) pair appears
+    # in both atoms' rows, so forces are row-local and the energy carries
+    # the full-list 0.5 at the caller.  The chain is gated per grid step
+    # (cf_ref) — cell-sorted electrode planes concentrate in few blocks,
+    # so ~99% of steps skip it entirely.  The ele/ely flags ride ONE
+    # packed channel (+1 electrode / -1 electrolyte / 0 neither): a
+    # correction pair is exactly a NEGATIVE flag product.
+    @pl.when(cf_ref[pl.program_id(0)] != 0)
+    def _():
+        # per-pair eta/fo from the row atoms' type rows x union-type mask
+        etap = jnp.zeros((gb, bsz, usz), f32)
+        fop = jnp.zeros((gb, bsz, usz), f32)
+        for t in range(nt1):
+            mt = (tu[:, None, :] == t).astype(f32)
+            etap = etap + cr_ref[0, 4, t][:, :, None] * mt
+            fop = fop + cr_ref[0, 5, t][:, :, None] * mt
+        cm = mask & ((xi_ref[0, 4][:, :, None]
+                      * xu_ref[0, 4][:, None, :]) < zero)
+        e2 = etap * etap * rsq_safe
+        ghalf = jnp.exp(f32(-0.5) * e2)
+        em2 = ghalf * ghalf               # exp(-e2): one transcendental
+        safe = jnp.maximum(e2, f32(1e-30))
+        rs = jax.lax.rsqrt(safe)
+        ar = safe * rs                    # sqrt(e2)
+        t2 = f32(1.0) / (f32(1.0) + f32(EWALD_P) * ar)
+        erfcr = (t2 * (f32(A1) + t2 * (f32(A2) + t2 * (
+            f32(A3) + t2 * (f32(A4) + t2 * f32(A5))))) * em2 * rs)
+        inmax = e2 < f32(_ERFC_MAX_SQ)
+        erfcr = jnp.where(inmax, erfcr, zero)
+        gexp = fop * ghalf
+        ekc = gexp - erfcr * etap
+        ferfcr = jnp.where(inmax, erfcr + f32(EWALD_F) * em2, zero)
+        fkc = e2 * gexp - ferfcr * etap
+        cpref = (f32(qqr2e) * xi_ref[0, 3][:, :, None]
+                 * xu_ref[0, 3][:, None, :])
+        ecp = jnp.where(cm, cpref * ekc, zero)
+        fcp = jnp.where(cm, cpref * fkc, zero) * r2inv
+        adds = [jnp.sum(fcp * dc, axis=2).reshape(1, gb * bsz) for dc in d]
+        adds.append(jnp.zeros((2, gb * bsz), f32))
+        adds.append(jnp.sum(ecp, axis=2).reshape(1, gb * bsz))
+        adds.append(jnp.zeros((2, gb * bsz), f32))
+        out_ref[0] = out_ref[0] + jnp.concatenate(adds, axis=0)
 
 
 def block_pair_pallas(xqu, xqi, un, rows, bcr, btu, *, box, periodic,
@@ -102,17 +158,24 @@ def block_pair_pallas(xqu, xqi, un, rows, bcr, btu, *, box, periodic,
     """Per-atom (cell-sorted order) forces and energy partials from the
     block-union list.
 
-    xqu: (NB, U, 4) gathered union rows [x, y, z, q]
-    xqi: (NB, B, 4) block atom rows
+    xqu: (NB, U, C) gathered union rows [x, y, z, q (, flag)]
+    xqi: (NB, B, C) block atom rows — C=5 fuses the CONP Gaussian
+         correction into the sweep (the extra channel packs the
+         electrode/electrolyte flag: +1 ele / -1 ely / 0 neither)
     un/rows: (NB, U)/(NB, B) int32 atom ids (n = pad sentinel)
-    bcr: (4, NB, B, nt+1) LJ coefficient rows per block atom and type
+    bcr: (P, NB, B, nt+1) coefficient rows per block atom and type —
+         P=4 LJ planes, or P=6 with the eta/fo rows appended (fused mode)
     btu: (NB, U) int32 union neighbor types
-    Returns (f (NB*B, 3), elj_sum, ecoul_sum) in block-row order; caller
-    applies binv, the 0.5 energy factors and exclusion corrections.
+    Returns (f (NB*B, 3), elj_sum, ecoul_sum[, ecorr_sum]) in block-row
+    order; caller applies binv, the 0.5 energy factors and exclusion
+    corrections (ecorr_sum only in fused mode, raw double-counted sum).
     """
-    nb, usz, _ = xqu.shape
+    nb, usz, nch = xqu.shape
     bsz = xqi.shape[1]
+    nplanes = bcr.shape[0]
     nt1 = bcr.shape[-1]
+    fuse_corr = nch == 5
+    assert nplanes == (6 if fuse_corr else 4)
     gb = gblocks
     nbp = -(-nb // gb) * gb
     pad = nbp - nb
@@ -121,45 +184,67 @@ def block_pair_pallas(xqu, xqi, un, rows, bcr, btu, *, box, periodic,
         un = jnp.concatenate([un, n_i32], axis=0)
         rows = jnp.concatenate(
             [rows, jnp.full((pad, bsz), npts, rows.dtype)], axis=0)
-        xqu = jnp.concatenate(
-            [xqu, jnp.full((pad, usz, 4), 1e6, xqu.dtype)], axis=0)
-        xqi = jnp.concatenate(
-            [xqi, jnp.full((pad, bsz, 4), 1e6, xqi.dtype)], axis=0)
+        # pad rows: sentinel positions/charges; FLAG channels must pad 0
+        # (a 1e6 flag would enable the correction mask on pad slots)
+        padu = jnp.full((pad, usz, nch), 1e6, xqu.dtype)
+        padi = jnp.full((pad, bsz, nch), 1e6, xqi.dtype)
+        if fuse_corr:
+            padu = padu.at[:, :, 4:].set(0.0)
+            padi = padi.at[:, :, 4:].set(0.0)
+        xqu = jnp.concatenate([xqu, padu], axis=0)
+        xqi = jnp.concatenate([xqi, padi], axis=0)
         bcr = jnp.concatenate(
-            [bcr, jnp.zeros((4, pad, bsz, nt1), bcr.dtype)], axis=1)
+            [bcr, jnp.zeros((nplanes, pad, bsz, nt1), bcr.dtype)], axis=1)
         btu = jnp.concatenate(
             [btu, jnp.zeros((pad, usz), btu.dtype)], axis=0)
     nsteps = nbp // gb
-    xu_t = (xqu.transpose(0, 2, 1).reshape(nsteps, gb, 4, usz)
-            .transpose(0, 2, 1, 3))                      # (T, 4, G, U)
-    xi_t = (xqi.transpose(0, 2, 1).reshape(nsteps, gb, 4, bsz)
-            .transpose(0, 2, 1, 3))                      # (T, 4, G, B)
+    xu_t = (xqu.transpose(0, 2, 1).reshape(nsteps, gb, nch, usz)
+            .transpose(0, 2, 1, 3))                      # (T, C, G, U)
+    xi_t = (xqi.transpose(0, 2, 1).reshape(nsteps, gb, nch, bsz)
+            .transpose(0, 2, 1, 3))                      # (T, C, G, B)
     un_r = un.reshape(nsteps, gb, usz)
     rows_r = rows.reshape(nsteps, gb, bsz)
-    cr_r = (bcr.transpose(0, 3, 1, 2)                    # (4, nt, NB, B)
-            .reshape(4, nt1, nsteps, gb, bsz).transpose(2, 0, 1, 3, 4))
+    cr_r = (bcr.transpose(0, 3, 1, 2)                    # (P, nt, NB, B)
+            .reshape(nplanes, nt1, nsteps, gb, bsz).transpose(2, 0, 1, 3, 4))
     tu_r = btu.reshape(nsteps, gb, usz)
+    if fuse_corr:
+        # per-grid-step correction gate: only steps whose blocks can hold
+        # an (electrode, elyte) pair run the second chain (~1% of steps at
+        # production electrode fractions under cell-sorted ordering)
+        be = jnp.any(xqi[:, :, 4] > 0, axis=1).reshape(nsteps, gb)
+        by = jnp.any(xqi[:, :, 4] < 0, axis=1).reshape(nsteps, gb)
+        ue = jnp.any(xqu[:, :, 4] > 0, axis=1).reshape(nsteps, gb)
+        uy = jnp.any(xqu[:, :, 4] < 0, axis=1).reshape(nsteps, gb)
+        cf = jnp.any((be & uy) | (by & ue), axis=1).astype(jnp.int32)
+    else:
+        cf = jnp.zeros((nsteps,), jnp.int32)
 
     kern = functools.partial(
         _kernel, box=tuple(float(b) for b in box), periodic=periodic,
         cutsq=float(cutoff) ** 2, g_ewald=float(g_ewald),
-        qqr2e=float(qqr2e), npts=npts, gb=gb, bsz=bsz, usz=usz, nt1=nt1)
+        qqr2e=float(qqr2e), npts=npts, gb=gb, bsz=bsz, usz=usz, nt1=nt1,
+        fuse_corr=fuse_corr)
     out = pl.pallas_call(
         kern,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, 4, gb, usz), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, nch, gb, usz), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, gb, bsz), lambda t: (t, 0, 0, 0),
+            pl.BlockSpec((1, nch, gb, bsz), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gb, usz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gb, bsz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, nt1, gb, bsz), lambda t: (t, 0, 0, 0, 0),
+            pl.BlockSpec((1, nplanes, nt1, gb, bsz),
+                         lambda t: (t, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gb, usz), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            # whole (T,) vector in SMEM (rank-1 SMEM blocks must cover
+            # the array); the kernel indexes it by program_id
+            pl.BlockSpec((nsteps,), lambda t: (0,),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, gb * bsz), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -169,8 +254,10 @@ def block_pair_pallas(xqu, xqi, un, rows, bcr, btu, *, box, periodic,
             bytes_accessed=xqu.size * 4 + bcr.size * 4 + btu.size * 4,
             transcendentals=nbp * bsz * usz),
         interpret=interpret,
-    )(xu_t, xi_t, un_r, rows_r, cr_r, tu_r)
+    )(xu_t, xi_t, un_r, rows_r, cr_r, tu_r, cf)
     f = out[:, :3, :].transpose(0, 2, 1).reshape(nbp * bsz, 3)[:nb * bsz]
     elj = jnp.sum(out[:, 3, :])
     ecoul = jnp.sum(out[:, 4, :])
+    if fuse_corr:
+        return f, elj, ecoul, jnp.sum(out[:, 5, :])
     return f, elj, ecoul

@@ -220,3 +220,50 @@ def test_block_pallas_matches_xla():
                                np.asarray(f1) / scale, atol=5e-6)
     np.testing.assert_allclose(float(ev2), float(ev1), rtol=2e-5)
     np.testing.assert_allclose(float(ec2), float(ec1), rtol=2e-5)
+
+
+def test_block_fused_conp_correction_matches_separate():
+    """Fused CONP correction in the block sweep (XLA twin of the Mosaic
+    chain) == unfused sweep + the separate O(Ne*K) row correction."""
+    import dataclasses
+    from lammps_user_conp2_tpu.models.conp import setup_conp
+    from lammps_user_conp2_tpu.ops.neighbors import (
+        block_pair_forces, conp_correction_from_list)
+    from lammps_user_conp2_tpu.utils.config import Solver
+
+    system, md, cfg = workloads.synthetic(n_elyte=512, nele_side=5,
+                                          lz=36.0, lxy=20.0)
+    cfgx = dataclasses.replace(cfg, solver=Solver.INV)
+    conp = setup_conp(system, md, cfgx, solve_dtype=jnp.float32)
+    u = system.units()
+    x = jnp.asarray(system.x0, jnp.float32)
+    q = jnp.asarray(system.q0, jnp.float32) + 0.01
+    ti = jnp.asarray(system.type)
+    tables = make_pair_tables(system.lj_eps, system.lj_sigma, system.type,
+                              jnp.float32)
+    excl = tuple(jnp.asarray(a) for a in exclusion_lists(system))
+    ncfg = make_neighbor_config(system.box, tuple(system.box_lo), md.cutoff,
+                                system.natoms, periodic=system.periodic,
+                                block=8)
+    nl = build_neighbor_list(ncfg, x, tables, ti)
+    assert not bool(nl.overflow)
+    kern = conp.kernels
+    ele_f = jnp.asarray(np.asarray(system.elecheck) != 0, jnp.float32)
+    ely_f = jnp.asarray(conp.elyte_mask, jnp.float32)
+    fuse = (ele_f, ely_f, kern.eta_ij, kern.fo_ij, ti)
+    g = 0.35
+    ff, evf, ecf, ecorr_f, _ = block_pair_forces(
+        ncfg, nl, x, q, ti, tables, excl, g_ewald=g, qqr2e=u.qqr2e,
+        conp_fuse=fuse)
+    f0, ev0, ec0, _ = block_pair_forces(
+        ncfg, nl, x, q, ti, tables, excl, g_ewald=g, qqr2e=u.qqr2e)
+    fc, ecorr_s = conp_correction_from_list(
+        ncfg, nl, x, q, jnp.asarray(conp.ele_idx), conp.elyte_mask, ti,
+        kern.force, kern.potential, cutoff=md.cutoff, qqr2e=u.qqr2e)
+    sc = float(jnp.abs(f0 + fc).max())
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(f0 + fc),
+                               atol=3e-6 * sc)
+    np.testing.assert_allclose(float(ecorr_f), float(ecorr_s),
+                               rtol=3e-5, atol=1e-6)
+    np.testing.assert_allclose(float(evf), float(ev0), rtol=1e-6)
+    np.testing.assert_allclose(float(ecf), float(ec0), rtol=1e-6)

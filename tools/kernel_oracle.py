@@ -147,6 +147,21 @@ def main():
         g_ewald=eng.ksp_force.g_ewald, qqr2e=u.qqr2e, use_pallas=False)[:3])
     check("block_pair", lambda: bp(x), lambda: bx(x), 2e-5)
 
+    # fused CONP correction variant: Mosaic gated chain vs the XLA twin
+    kernf = conp.kernels
+    fuse_b = ((eng.elecheck != 0).astype(jnp.float32),
+              jnp.asarray(conp.elyte_mask, jnp.float32),
+              kernf.eta_ij, kernf.fo_ij, eng.type_idx)
+    bpf = jax.jit(lambda xx: block_pair_forces(
+        eng.ncfg, nbr, xx, q, eng.type_idx, eng.tables, eng.exclusions,
+        g_ewald=eng.ksp_force.g_ewald, qqr2e=u.qqr2e, use_pallas=True,
+        conp_fuse=fuse_b, **kw)[:4])
+    bxf = jax.jit(lambda xx: block_pair_forces(
+        eng.ncfg, nbr, xx, q, eng.type_idx, eng.tables, eng.exclusions,
+        g_ewald=eng.ksp_force.g_ewald, qqr2e=u.qqr2e, use_pallas=False,
+        conp_fuse=fuse_b)[:4])
+    check("block_fused", lambda: bpf(x), lambda: bxf(x), 2e-5)
+
     # ---- tile-pair kernel vs O(N^2) dense reference (smaller system)
     from lammps_user_conp2_tpu.ops.pairs import dense_pair_forces
     from lammps_user_conp2_tpu.ops.pallas.pair_kernel import (

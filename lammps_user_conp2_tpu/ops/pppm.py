@@ -728,8 +728,13 @@ def refresh_tile_slots(grid: PPPMGrid, asg: TileAssign, x, q) -> TileSlots:
         q.astype(dtype),
         lx.astype(dtype), ly.astype(dtype), lz.astype(dtype),
         dxx.astype(dtype), dxy.astype(dtype), dxz.astype(dtype)], axis=1)
-    ps = jnp.zeros((t_tiles * cap, 7), dtype).at[asg.slot].set(
-        packed).reshape(t_tiles, cap, 7)
+    # slot tables via a GATHER through the assignment's slot->atom table
+    # (empty slots read the zero pad row) instead of an atom->slot
+    # scatter: the TPU scatter lowering measured ~15 ns/row at 100k where
+    # the row gather sits at the ~2.2 ns/descriptor floor (1.98 -> ~0.7
+    # ms/step); numerically identical — same rows land in the same slots
+    packed = jnp.concatenate([packed, jnp.zeros((1, 7), dtype)], axis=0)
+    ps = packed[asg.table.reshape(-1)].reshape(t_tiles, cap, 7)
     qs = ps[:, :, 0]
     lxs = ps[:, :, 1].astype(jnp.int32)
     lys = ps[:, :, 2].astype(jnp.int32)

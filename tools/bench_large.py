@@ -55,8 +55,11 @@ def main():
     jax.block_until_ready(st.x)
     print(f"compile+warmup done {time.time() - t0:.0f}s", file=sys.stderr,
           flush=True)
+    # best-of-5: single trials on the tunnel can be stall-inflated 50x
+    # (CLAUDE.md) and the hour-to-hour spread is ~+-1.5 ms at this size;
+    # extra trials cost ~0.7 s each against a ~2 min section
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         st, _ = eng.run(st, 20, thermo_every=0)
         jax.block_until_ready(st.x)

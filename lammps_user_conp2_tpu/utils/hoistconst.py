@@ -30,6 +30,15 @@ lowering crashes on them (``'TypedNdArray' object has no attribute
 and ONLY tables explicitly converted through :func:`devconst` are hoisted —
 surgical, and gracefully degrading: if :func:`enable` fails (future jax
 versions), ``devconst`` arrays simply embed as before.
+
+SIZE THRESHOLD (round 5): hoisting is further restricted to arrays of at
+least ``CONP2_TPU_HOIST_MIN_BYTES`` (default 1 MiB).  Hoisted args are
+opaque runtime inputs, so XLA cannot constant-fold them; on the 432-atom
+dilute program, hoisting its dozens of tiny closed-over tables cost 36%
+throughput (A/B'd round 5: 5150 vs 7980 steps/s median with hoisting off)
+— that was the round-4 "dilute regression".  Small tables embed as
+before (folded, fused); only the multi-MB PPPM/Ewald tables that caused
+the 150 MB HLO and the >24-min round-3 compile are hoisted.
 """
 
 from __future__ import annotations
@@ -40,6 +49,10 @@ import os
 import numpy as np
 
 _state = {"enabled": None}
+
+#: arrays smaller than this stay embedded HLO literals (XLA can fold them);
+#: only bigger ones become hoisted executable args.  See module docstring.
+MIN_HOIST_BYTES = int(os.environ.get("CONP2_TPU_HOIST_MIN_BYTES", 1 << 20))
 
 
 def enable() -> bool:
@@ -55,25 +68,32 @@ def enable() -> bool:
         from jax._src.array import ArrayImpl
         from jax._src.interpreters import mlir
 
+        # The fragile step FIRST (snapshotted dataclass defaults — most
+        # likely to break on a future jax): if it raises, jax is untouched.
+        names = [f.name for f in dataclasses.fields(mlir.LoweringParameters)]
+        idx = names.index("hoist_constants_as_args")
+        dflt = list(mlir.LoweringParameters.__init__.__defaults__)
+        dflt[idx] = True
+        mlir.LoweringParameters.__init__.__defaults__ = tuple(dflt)
+
         jax.config.update("jax_use_simplified_jaxpr_constants", True)
         jcore.literalable_types.add(ArrayImpl)
 
         orig = jcore.is_literalable
 
         def _is_literalable(x):
-            # numpy (and any other non-jax.Array) non-scalars keep the old
-            # embedded-constant path — see module docstring
-            if np.shape(x) and not isinstance(x, ArrayImpl):
-                return False
+            if np.shape(x):
+                # numpy (and any other non-jax.Array) non-scalars keep the
+                # old embedded-constant path — see module docstring
+                if not isinstance(x, ArrayImpl):
+                    return False
+                # small jax.Arrays embed too: hoisted args are opaque to
+                # XLA's constant folder, which cost dilute 36% in round 4
+                if x.nbytes < MIN_HOIST_BYTES:
+                    return False
             return orig(x)
 
         jcore.is_literalable = _is_literalable
-
-        names = [f.name for f in dataclasses.fields(mlir.LoweringParameters)]
-        idx = names.index("hoist_constants_as_args")
-        dflt = list(mlir.LoweringParameters.__init__.__defaults__)
-        dflt[idx] = True
-        mlir.LoweringParameters.__init__.__defaults__ = tuple(dflt)
         _state["enabled"] = True
     except Exception:  # noqa: BLE001 — an optimization only; never fatal
         _state["enabled"] = False

@@ -47,23 +47,27 @@ def main():
     jax.block_until_ready(st.x)
     setup_s = time.time() - t0
     print(f"init_state done {setup_s:.0f}s", file=sys.stderr, flush=True)
-    # ONE compiled program (the 20-step thermo-free chain): its first call
+    # ONE compiled program (the 100-step thermo-free chain): its first call
     # is both the compile and the warmup — no separate run(5) scan that
     # would compile the whole step body a second time (round-3 lesson: the
-    # cold 100k compile of three programs blew the bench budget)
-    st, _ = eng.run(st, 20, thermo_every=0)
+    # cold 100k compile of three programs blew the bench budget).
+    # 100 steps per chain (round-4 verdict): the neighbor rebuild fires on
+    # a ~20-step cadence, so 20-step chains let best-of select rebuild-free
+    # windows; a 100-step chain integrates ~5 rebuild events every trial,
+    # and the ~35 ms fixed tunnel overhead per call drops to 0.35 ms/step.
+    nchain = 100
+    st, _ = eng.run(st, nchain, thermo_every=0)
     jax.block_until_ready(st.x)
     print(f"compile+warmup done {time.time() - t0:.0f}s", file=sys.stderr,
           flush=True)
-    # best-of-5: single trials on the tunnel can be stall-inflated 50x
-    # (CLAUDE.md) and the hour-to-hour spread is ~+-1.5 ms at this size;
-    # extra trials cost ~0.7 s each against a ~2 min section
+    # best-of-3: single trials on the tunnel can be stall-inflated 50x
+    # (CLAUDE.md); a stall only ever slows a trial, so min() discards it
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        st, _ = eng.run(st, 20, thermo_every=0)
+        st, _ = eng.run(st, nchain, thermo_every=0)
         jax.block_until_ready(st.x)
-        best = min(best, (time.perf_counter() - t0) / 20 * 1e3)
+        best = min(best, (time.perf_counter() - t0) / nchain * 1e3)
     assert np.isfinite(float(st.energy)), "non-finite energy"
     print(f"natoms={system.natoms} setup_s={setup_s:.1f} "
           f"step_ms={best:.1f} steps_per_sec={1000.0 / best:.2f}")

@@ -123,7 +123,7 @@ def cmd_rerun(args):
     system, eng = _build(args)
     from .utils import dump as dumpio
     frames = dumpio.read_dump(args.traj)
-    out = dumpio.rerun_charges(eng.conp, frames, system.q0)
+    out = dumpio.rerun_charges(eng.conp, frames, system.q0, tags=system.tag)
     print("Step c_qleft c_qright f_e")
     for (step, tags, cols), (_, qn, fe) in zip(frames, out):
         ql = qn[system.ele_left_mask].sum()

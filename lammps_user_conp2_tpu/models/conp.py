@@ -71,6 +71,29 @@ class ConpSolver:
     def ne(self) -> int:
         return len(self.ele_idx)
 
+    @property
+    def ele_contig(self) -> bool:
+        """True when the electrodes occupy rows [0, Ne) — the layout
+        models.system.electrodes_first produces.  Every per-step electrode
+        gather/scatter then lowers as a static slice (free under XLA
+        fusion) instead of a ~30-60 us TPU gather; the helpers below pick
+        the path at trace time."""
+        e = np.asarray(self.ele_idx)
+        return len(e) > 0 and int(e[0]) == 0 and int(e[-1]) == len(e) - 1
+
+    def _ele_rows(self, arr):
+        """arr[ele_idx] as a static slice when the layout allows."""
+        if self.ele_contig:
+            return arr[:self.ne]
+        return arr[jnp.asarray(self.ele_idx)]
+
+    def _set_ele(self, q, vals):
+        """q with the electrode rows replaced (slice-concat when contiguous
+        — a TPU scatter otherwise)."""
+        if self.ele_contig:
+            return jnp.concatenate([vals.astype(q.dtype), q[self.ne:]])
+        return q.at[jnp.asarray(self.ele_idx)].set(vals.astype(q.dtype))
+
     # ----------------------------------------------------------------- b
     def b_vector(self, x, q):
         b, _ = self.b_vector_full(x, q)
@@ -137,7 +160,7 @@ class ConpSolver:
         dt = self.solve_dtype
         x = x.astype(dt)
         q = q.astype(dt)
-        xe = x[self.ele_idx]
+        xe = self._ele_rows(x)
         elyte = jnp.asarray(self.elyte_mask)
         q_elyte = jnp.where(elyte, q, 0.0)
 
@@ -175,9 +198,9 @@ class ConpSolver:
                 # returned for the force-path reuse invariant
                 kcache = self.elyte_kcache(x, q)
                 tabs, sr, si, zsort = kcache
-                eix = jnp.asarray(self.ele_idx)
                 (pr, pi), (zr, zi) = tabs
-                tabs_e = ((pr[eix], pi[eix]), (zr[eix], zi[eix]))
+                tabs_e = ((self._ele_rows(pr), self._ele_rows(pi)),
+                          (self._ele_rows(zr), self._ele_rows(zi)))
                 b = -ewf.potential_on_points_tab(tabs_e, sr, si,
                                                  self.fksp.ug)
             else:
@@ -302,7 +325,7 @@ class ConpSolver:
             scalar = potdiff
 
         q_ele = eleallq + potdiff * ctx.elesetq + ctx.eleinitq
-        q_new = q.at[self.ele_idx].set(q_ele.astype(q.dtype))
+        q_new = self._set_ele(q, q_ele)
         return q_new, scalar, kcache
 
     def _cg_warm_start(self, q, step, scalar_prev, dt):
@@ -328,7 +351,7 @@ class ConpSolver:
         else:
             return None
         ctx = self.ctx
-        x0 = (q.astype(dt)[self.ele_idx] - ctx.eleinitq
+        x0 = (self._ele_rows(q.astype(dt)) - ctx.eleinitq
               - potdiff_prev * ctx.elesetq)
         x0 = x0 - jnp.mean(x0)
         # overflow recovery heals from NaN-poisoned charges (md.py

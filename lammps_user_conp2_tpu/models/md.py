@@ -198,15 +198,16 @@ class Engine:
                 # tiny 2-D FFTs + a small z-DFT matmul, so the force path
                 # pays no full forward FFT at all (the electrolyte rhok is
                 # cached from the charge solve)
-                eix = jnp.asarray(self.conp.ele_idx)
+                xe = self.conp._ele_rows(x)
+                qe = self.conp._ele_rows(q)
                 if self.conp.ele_zplanes is not None:
                     rho_ep = pppm_ops.spread_zplanes(
-                        grid, x[eix], q[eix], self.conp.ele_zpinv)
+                        grid, xe, qe, self.conp.ele_zpinv)
                     rhok = rhok_elyte + pppm_ops.rhok_from_zplanes(
                         grid, rho_ep, self.conp.ele_zplanes)
                 else:
                     rhok = rhok_elyte + pppm_ops.rfft3(
-                        grid, pppm_ops.spread(grid, x[eix], q[eix]))
+                        grid, pppm_ops.spread(grid, xe, qe))
             else:
                 if tiled and slots is None:
                     slots = (pppm_ops.refresh_tile_slots(grid, tasg, x, q)
@@ -239,7 +240,8 @@ class Engine:
                 tabs, sre, sie, _ = ew_cache
                 ek, fk = ewf.energy_forces_cached(
                     self.fksp, q, tabs, sre, sie,
-                    jnp.asarray(self.conp.ele_idx))
+                    jnp.asarray(self.conp.ele_idx),
+                    contig=self.conp.ele_contig)
             else:
                 ek, fk = ewf.energy_forces_f(self.fksp, x, q)
             ek = ek * u.qqr2e

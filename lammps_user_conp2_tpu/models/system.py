@@ -184,6 +184,51 @@ def build_system(
     )
 
 
+def reorder_atoms(system: System, perm: np.ndarray) -> System:
+    """Return a System with atoms permuted by ``perm`` (new row k = old row
+    perm[k]).  Topology indices are remapped; tags travel with their atoms,
+    so tag-keyed I/O (dumps, rerun, zmirror pairing) is unaffected.  All
+    physics is invariant under atom order — this exists purely to give the
+    device arrays a TPU-friendly layout (see electrodes_first)."""
+    perm = np.asarray(perm)
+    n = len(perm)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    bonds = system.bonds.copy()
+    if len(bonds):
+        bonds[:, 1:] = inv[bonds[:, 1:]]
+    angles = system.angles.copy()
+    if len(angles):
+        angles[:, 1:] = inv[angles[:, 1:]]
+    return dataclasses.replace(
+        system,
+        tag=system.tag[perm], mol=system.mol[perm], type=system.type[perm],
+        mass=system.mass[perm], q0=system.q0[perm], x0=system.x0[perm],
+        v0=system.v0[perm], bonds=bonds, angles=angles,
+        groups={k: np.asarray(v)[perm] for k, v in system.groups.items()},
+        ele_left_mask=system.ele_left_mask[perm],
+        ele_right_mask=system.ele_right_mask[perm],
+        mobile_mask=system.mobile_mask[perm],
+    )
+
+
+def electrodes_first(system: System) -> System:
+    """Stable-reorder atoms so the electrode group occupies rows [0, Ne).
+
+    Why: every per-step electrode access (b-vector table rows, the A^-1
+    matvec charge write, PPPM electrode re-spread) is a gather/scatter over
+    ``ele_idx``.  TPU gathers of a few hundred rows cost ~30-60 us each and
+    the step performs several; with the electrodes contiguous at the front
+    they all become static slices, which XLA fuses for free.  The reference
+    has the same idea in its ele2eleall/eleall2ele cross-maps
+    (fix_conp.h:164-188) — ours is computed once, not per reneighbor."""
+    ele = np.asarray(system.ele_mask)
+    ne = int(ele.sum())
+    if ne == 0 or bool(ele[:ne].all()):
+        return system
+    return reorder_atoms(system, np.argsort(~ele, kind="stable"))
+
+
 def exclusion_lists(system: System):
     """Compact special-bond exclusions: (excl_idx, excl_val) of shape (N, m).
 

@@ -269,21 +269,29 @@ def potential_on_points_tab(tabs_pts, sr, si, ug):
 
 
 def energy_forces_cached(fk: FactoredKSpace, q, tabs, sr_elyte, si_elyte,
-                         ele_idx):
+                         ele_idx, contig=False):
     """(energy, forces) with the per-step caches from the charge solve:
     ``tabs`` are the full-atom axis tables and (sr_elyte, si_elyte) the
     electrolyte structure factor, both computed at the same positions.
     Only the ELECTRODE rows contribute new structure factor (the solve
     changed only electrode charges), so S_all = S_elyte + S_ele costs
-    4 matmuls over Ne rows instead of N."""
+    4 matmuls over Ne rows instead of N.  ``contig``: electrodes occupy
+    rows [0, Ne) (models.system.electrodes_first layout) — the five row
+    gathers become static slices."""
     (pr, pi), (zr, zi) = tabs
     dtype = pr.dtype
     nz = zr.shape[1]
     nxy = pr.shape[1]
     mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-    per, pei = pr[ele_idx], pi[ele_idx]
-    zer, zei = zr[ele_idx], zi[ele_idx]
-    qe = q[ele_idx]
+    if contig:
+        ne = ele_idx.shape[0]
+        per, pei = pr[:ne], pi[:ne]
+        zer, zei = zr[:ne], zi[:ne]
+        qe = q[:ne]
+    else:
+        per, pei = pr[ele_idx], pi[ele_idx]
+        zer, zei = zr[ele_idx], zi[ele_idx]
+        qe = q[ele_idx]
     # electrode S update: 2 concatenated matmuls (see structure_factor_tab)
     qz = qe[:, None] * jnp.concatenate([zer, zei], axis=1)  # (Ne, 2nz)
     ar = mm(per.T, qz)

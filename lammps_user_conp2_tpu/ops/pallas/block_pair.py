@@ -30,14 +30,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..erfc import EWALD_F
+from ..erfc import ERFC_MAX, EWALD_F
 
 EWALD_P = 0.3275911
 A1, A2, A3, A4, A5 = (0.254829592, -0.284496736, 1.421413741,
                       -1.453152027, 1.061405429)
 
 
-_ERFC_MAX_SQ = 31.36  # erfc(x) underflows f32 beyond x ~ 5.6 (ops/erfc.py)
+# shared with the XLA twin in ops/neighbors.py so the oracle comparison is
+# exact (ADVICE r4: a local 5.6^2 here diverged from the twin's 5.8^2 for
+# eta*r in [5.6, 5.8))
+_ERFC_MAX_SQ = ERFC_MAX * ERFC_MAX
 
 
 def _kernel(xu_ref, xi_ref, un_ref, rows_ref, cr_ref, tu_ref, cf_ref,

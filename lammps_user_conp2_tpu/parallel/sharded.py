@@ -296,7 +296,9 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 qqr2e=qqr2e)
             f = jnp.where(nbr.overflow, jnp.nan, f + df)
             ev = jnp.where(nbr.overflow, jnp.nan, ev + dev)
-            return f, ev, ec + dec
+            # poison ec too — consistent fail-loud with single-chip
+            # block_pair_forces (ADVICE r4)
+            return f, ev, jnp.where(nbr.overflow, jnp.nan, ec + dec)
         if engine.ncfg is not None and cell_grid is None and nbr is not None:
             # Verlet-list rows sharded over devices: each chip sweeps its
             # N/D rows of the (N, K) list, forces all_gather (the ghost-free

@@ -54,18 +54,28 @@ def read_dump(path: str):
     return frames
 
 
-def rerun_charges(solver, frames, q0):
+def rerun_charges(solver, frames, q0, tags=None):
     """Recompute electrode charges for dumped frames (the reference's
     `rerun ... dump x y z` trials).  Returns list of (step, qleft-resolved q).
-    """
+
+    ``tags``: the System's tag array.  read_dump sorts each frame by tag
+    id, but the solver expects SYSTEM row order — which differs whenever
+    the system was atom-reordered (models.system.electrodes_first).  When
+    given, each frame's rows are mapped tag-order -> system order; the
+    returned q arrays are in system order too."""
     import jax.numpy as jnp
     out = []
     q = jnp.asarray(q0)
-    for (step, tags, cols) in frames:
+    for (step, ftags, cols) in frames:
         xcols = [c for c in ("x", "xu") if c in cols][0]
         ycols = [c for c in ("y", "yu") if c in cols][0]
         zcols = [c for c in ("z", "zu") if c in cols][0]
-        x = jnp.asarray(np.stack([cols[xcols], cols[ycols], cols[zcols]], axis=1))
-        qn, scalar = solver.solve(x, q, step)
+        x = np.stack([cols[xcols], cols[ycols], cols[zcols]], axis=1)
+        if tags is not None:
+            # ftags is ascending (read_dump sorts); position of each system
+            # tag in the frame:
+            pos = np.searchsorted(ftags, np.asarray(tags))
+            x = x[pos]
+        qn, scalar = solver.solve(jnp.asarray(x), q, step)
         out.append((step, np.asarray(qn), float(scalar)))
     return out

@@ -17,7 +17,7 @@ from typing import Optional
 
 import numpy as np
 
-from .models.system import System, build_system
+from .models.system import System, build_system, electrodes_first
 from .utils import data_io
 from .utils.config import (ConpConfig, FFMode, KSpaceStyle, MDConfig, Mode,
                            ShakeConfig, ThermostatConfig)
@@ -149,6 +149,7 @@ def dilute(n: int = 0, *, data_path: Optional[str] = None):
         data, units="real", periodic=periodic, mix="geometric",
         pair_coeff_overrides=_DILUTE_PAIR_COEFFS,
         ele_left=[molleft], ele_right=[molright], groups=groups)
+    system = electrodes_first(system)
 
     ff = {0: FFMode.NORMAL, 1: FFMode.NORMAL, 2: FFMode.FFIELD,
           3: FFMode.NOSLAB, 4: FFMode.NOSLAB, 5: FFMode.FFIELD}[n]
@@ -183,6 +184,7 @@ def il_onelayer(n: int = 0, *, data_path: Optional[str] = None):
     system = build_system(
         data, units="real", periodic=periodic, mix="arithmetic",
         ele_left=[molleft], ele_right=[molright], groups=groups)
+    system = electrodes_first(system)
 
     v = 2.0
     ff = FFMode.NORMAL
@@ -240,6 +242,7 @@ def cond(n: int = 0, *, data_path: Optional[str] = None, suite: str = "cond"):
     system = build_system(
         data, units="real", periodic=periodic, mix="arithmetic",
         ele_left=[molleft], ele_right=[molright], groups=groups)
+    system = electrodes_first(system)
 
     v = 2.0
     qtarget = 50.0 if suite == "cond2" else 0.35
@@ -286,6 +289,7 @@ def zmirror(n: int = 0, *, data_path: Optional[str] = None):
         data, units="real", periodic=(True, True, True), mix="arithmetic",
         ele_left=[molleft, molleft + molmax],
         ele_right=[molright, molright + molmax], groups=groups)
+    system = electrodes_first(system)
 
     v = 2.0
     use_zm = n in (2, 3)
@@ -325,6 +329,7 @@ def il_twolayer(n: int = 0, *, data_path: Optional[str] = None):
     system = build_system(
         data, units="real", periodic=periodic, mix="arithmetic",
         ele_left=[molleft], ele_right=[molright], groups=groups)
+    system = electrodes_first(system)
 
     v = 2.0
     ff = {0: FFMode.NORMAL, 1: FFMode.NORMAL, 2: FFMode.FFIELD,

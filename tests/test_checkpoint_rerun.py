@@ -64,8 +64,11 @@ def test_rerun_reproduces_trajectory_charges(tmp_path):
                                   np.asarray(st.x), np.asarray(st.q))
     frames = dump.read_dump(path)
     assert len(frames) == 3
-    out = dump.rerun_charges(solver, frames, system.q0)
+    out = dump.rerun_charges(solver, frames, system.q0, tags=system.tag)
     for (step, tags, cols), (_, qn, _) in zip(frames, out):
+        # frame columns are tag-sorted (read_dump); qn is in SYSTEM order,
+        # which differs under the electrodes-first reorder — map via tags
+        pos = np.searchsorted(tags, np.asarray(system.tag))
         np.testing.assert_allclose(qn[system.ele_mask],
-                                   cols["q"][system.ele_mask],
+                                   cols["q"][pos][system.ele_mask],
                                    atol=2e-7)  # dump format: 8 significant digits

@@ -50,7 +50,7 @@ def test_rerun_probe_potential_consistency(tmp_path):
     # --- 2. rerun: regenerate charges from dumped positions --------------
     frames = dumpio.read_dump(str(traj))
     assert len(frames) == 2
-    out = dumpio.rerun_charges(solver, frames, system.q0)
+    out = dumpio.rerun_charges(solver, frames, system.q0, tags=system.tag)
     _, q_re, fe_re = out[-1]
     # dump format carries 8 significant digits; charges are O(1e-2) e
     np.testing.assert_allclose(np.asarray(q_re)[system.ele_mask],

@@ -67,8 +67,12 @@ def check(name, got_fn, ref_fn, tol):
     the remaining checks."""
     try:
         got, ref = got_fn(), ref_fn()
+        gl, rl = jax.tree.leaves(got), jax.tree.leaves(ref)
+        # zip() would silently truncate if a kernel dropped an output
+        # (ADVICE r4) — unequal leaf counts are themselves a failure
+        assert len(gl) == len(rl), f"leaf count {len(gl)} != {len(rl)}"
         r, fin = 0.0, True
-        for g, rf in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        for g, rf in zip(gl, rl):
             d, s, f = _cmp(g, rf)
             r = max(r, float(d) / max(float(s), 1e-30))
             fin = fin and bool(f)

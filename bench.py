@@ -141,6 +141,37 @@ def _bench_kernel_oracle(result, budget_s=420):
         result["kernel_oracle"] = repr(e)[:200]
 
 
+def _bench_sharded_subprocess(result, budget_s=480):
+    """d=1 sharded-engine overhead on the real chip (tools/bench_sharded.py,
+    33k-atom config) — the only multi-chip perf statement a 1-chip
+    environment permits; bounds the shard_map/collective overhead the CPU
+    dryrun cannot see.  Subprocess + timeout; shares the compile cache."""
+    import re
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("CONP2_TPU_COMPILE_CACHE",
+                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".jax_cache"))
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "bench_sharded.py"), "synthetic33k", "200"],
+            capture_output=True, text=True, timeout=budget_s, env=env)
+        m = re.search(r"sharded_d1_ms=([\d.]+) overhead_pct=([-\d.]+)",
+                      out.stdout)
+        if m:
+            result["sharded_d1_step_ms"] = float(m.group(1))
+            result["sharded_d1_overhead_pct"] = float(m.group(2))
+        else:
+            result["sharded_d1_error"] = (out.stdout + out.stderr)[-200:]
+    except subprocess.TimeoutExpired:
+        result["sharded_d1_error"] = f"timeout after {budget_s}s"
+    except Exception as e:  # noqa: BLE001 — optional section
+        result["sharded_d1_error"] = repr(e)[:200]
+
+
 def main():
     t_start = time.time()
     # persistent compile cache: the bench host is stable, and the 100k
@@ -161,11 +192,18 @@ def main():
     if os.environ.get("BENCH_SKIP_ORACLE") != "1":
         # adaptive budget: never let a cold oracle push the total past the
         # driver's ~30 min envelope (dilute/il still need ~6 min after us)
-        ob = min(420, int(1380 - (time.time() - t_start)))
+        ob = min(600, int(1380 - (time.time() - t_start)))
         if ob >= 60:
             _bench_kernel_oracle(result, budget_s=ob)
         else:
             result["kernel_oracle"] = "skipped (budget)"
+
+    if os.environ.get("BENCH_SKIP_SHARDED") != "1":
+        sb = min(480, int(1560 - (time.time() - t_start)))
+        if sb >= 120:
+            _bench_sharded_subprocess(result, budget_s=sb)
+        else:
+            result["sharded_d1_error"] = "skipped (budget)"
 
     try:
         eng = _build("dilute", 0)

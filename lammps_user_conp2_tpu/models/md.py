@@ -737,8 +737,8 @@ def build_engine(system: System, md: MDConfig, conp: Optional[ConpSolver] = None
     # saving), but the Mosaic kernel that runs the masked (NB, B, U) chain
     # in VMEM keeps it: 10.0 vs 13.9 ms (tools/exp_block_pallas.py).  auto
     # therefore takes the block form exactly where that kernel runs (TPU,
-    # f32, big N); the sharded engine strips the block fields and keeps
-    # consuming the underlying per-atom rows (sharded.py _strip_block).
+    # f32, big N); the sharded engine consumes the same block fields,
+    # block-axis-sharded per device (sharded.py block_pair_rows).
     want_block = (md.pair_path == "block" or
                   (md.pair_path == "auto" and big_n
                    and _jax.default_backend() == "tpu"

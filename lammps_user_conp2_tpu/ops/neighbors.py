@@ -693,7 +693,7 @@ def _block_sweep(ncfg: NeighborConfig, x, q, un, rows, bcr, btu, n, *,
 
 def block_pair_rows(ncfg: NeighborConfig, nlist: NeighborList, x, q, b0,
                     nb_l, *, g_ewald, qqr2e, use_pallas=None,
-                    interpret=False):
+                    interpret=False, conp_fuse=None):
     """Block sweep over the contiguous block slice [b0, b0 + nb_l) — the
     sharded engine's per-device share of block_pair_forces (the same pair
     set and math; km_ewald_split.cpp shares ALL of km_ewald's optimized
@@ -701,14 +701,23 @@ def block_pair_rows(ncfg: NeighborConfig, nlist: NeighborList, x, q, b0,
     device multiple first (pad_block_list), all_gathers the returned slot
     forces, applies nlist.binv and the replicated exclusion correction,
     and psums the energy partials (which carry the full-list 0.5
-    already)."""
+    already).
+
+    ``conp_fuse``: as in block_pair_forces — the CONP Gaussian correction
+    rides the same sweep (correction forces land in the slot forces; a
+    fourth per-device 0.5*secorr partial is returned for the caller to
+    psum)."""
     def sl(a, axis=0):
         return jax.lax.dynamic_slice_in_dim(a, b0, nb_l, axis=axis)
 
-    f_slots, selj, sec = _block_sweep(
+    out = _block_sweep(
         ncfg, x, q, sl(nlist.bun), sl(nlist.brows), sl(nlist.bcr, axis=1),
         sl(nlist.btu), x.shape[0], g_ewald=g_ewald, qqr2e=qqr2e,
-        use_pallas=use_pallas, interpret=interpret)
+        use_pallas=use_pallas, interpret=interpret, conp_fuse=conp_fuse)
+    if conp_fuse is not None:
+        f_slots, selj, sec, secorr = out
+        return f_slots, 0.5 * selj, 0.5 * sec, 0.5 * secorr
+    f_slots, selj, sec = out
     return f_slots, 0.5 * selj, 0.5 * sec
 
 

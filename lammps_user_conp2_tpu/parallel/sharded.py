@@ -269,7 +269,11 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         _padc = _nblk_loc * d * _cell_block - _C   # pad cells to d multiple
 
     def sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr=None):
-        """Per-device pair sweep -> replicated (f (N,3), evdwl, ecoul)."""
+        """Per-device pair sweep -> replicated (f (N,3), evdwl, ecoul,
+        ecorr-or-None).  ecorr is set when the CONP Gaussian correction
+        rode the block sweep (fused path) — forces then already include
+        it and the later correction section must only add the self
+        energy."""
         if (engine.ncfg is not None and cell_grid is None and nbr is not None
                 and getattr(nbr, "bun", None) is not None):
             # block-compacted sweep, block axis sharded: each device runs
@@ -283,9 +287,26 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             nb_tot = nbp.bun.shape[0]
             nb_l = nb_tot // d
             b0 = jax.lax.axis_index(axis) * nb_l
-            f_slots, ev_l, ec_l = nbr_ops.block_pair_rows(
+            fuse = None
+            if conp is not None:
+                # fold the CONP Gaussian correction into the same sweep,
+                # exactly like single-chip compute_forces (models/md.py):
+                # the split module shares ALL of the single-chip optimized
+                # math, differently distributed (km_ewald_split.cpp:551-667)
+                kern_f = conp.kernels
+                fuse = ((elecheck != 0).astype(x.dtype),
+                        jnp.asarray(conp.elyte_mask, x.dtype),
+                        kern_f.eta_ij, kern_f.fo_ij, type_idx)
+            out = nbr_ops.block_pair_rows(
                 engine.ncfg, nbp, x, q, b0, nb_l,
-                g_ewald=ksp.g_ewald, qqr2e=qqr2e, use_pallas=pal)
+                g_ewald=ksp.g_ewald, qqr2e=qqr2e, use_pallas=pal,
+                conp_fuse=fuse)
+            if fuse is not None:
+                f_slots, ev_l, ec_l, ecorr_l = out
+                ecorr = jax.lax.psum(ecorr_l, axis)
+            else:
+                f_slots, ev_l, ec_l = out
+                ecorr = None
             f_all = jax.lax.all_gather(f_slots, axis, axis=0, tiled=True)
             f = f_all[nbr.binv]
             ev = jax.lax.psum(ev_l, axis)
@@ -296,9 +317,12 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 qqr2e=qqr2e)
             f = jnp.where(nbr.overflow, jnp.nan, f + df)
             ev = jnp.where(nbr.overflow, jnp.nan, ev + dev)
+            if ecorr is not None:
+                ecorr = jnp.where(nbr.overflow, jnp.nan, ecorr)
             # poison ec too — consistent fail-loud with single-chip
             # block_pair_forces (ADVICE r4)
-            return f, ev, jnp.where(nbr.overflow, jnp.nan, ec + dec)
+            return (f, ev, jnp.where(nbr.overflow, jnp.nan, ec + dec),
+                    ecorr)
         if engine.ncfg is not None and cell_grid is None and nbr is not None:
             # Verlet-list rows sharded over devices: each chip sweeps its
             # N/D rows of the (N, K) list, forces all_gather (the ghost-free
@@ -324,7 +348,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                 x, q, type_idx, engine.tables, engine.exclusions,
                 box=box, periodic=periodic, cutsq=md.cutoff ** 2, qqr2e=qqr2e)
             f = jnp.where(nbr.overflow, jnp.nan, f + df)
-            return f, ev + dev, ec + dec
+            return f, ev + dev, ec + dec, None
         if cell_grid is not None:
             from ..ops import cells as cells_ops
             # replicated slot tables (one (C*cap)-row gather each); each
@@ -359,7 +383,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             f = f + df
             # fail loud on cell overflow, as the single-device path does
             ev = jnp.where(overflow, jnp.nan, ev + dev)
-            return f, ev, ec + dec
+            return f, ev, ec + dec, None
         # dense: pair rows (my atoms vs all); slice from padded arrays so the
         # last device's block never clamps onto wrong atoms (pads are masked)
         xp = jnp.pad(x, ((0, npad_rows), (0, 0)))
@@ -375,7 +399,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
         f = jax.lax.all_gather(f_rows, axis, axis=0, tiled=True)[:n]
         ev = jax.lax.psum(ev, axis)
         ec = jax.lax.psum(ec, axis)
-        return f, ev, ec
+        return f, ev, ec, None
 
     def _my_rows(x, q, i0):
         """(xi_l, qi_l): this device's padded atom-row slice.  Edge-pad
@@ -399,7 +423,7 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
                        i0, eidx_l, evalid_l, kcache=None, nbr=None,
                        tasg_l=None):
         """Per-device partial force computation; returns replicated (f, pe)."""
-        f, ev, ec = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr)
+        f, ev, ec, ecorr_fused = sharded_pairs(x, q, exi_l, exv_l, rvalid_l, i0, nbr)
 
         if engine.pppm_grid is not None:
             # mesh k-space: spread sharded over atom rows with the SAME
@@ -494,8 +518,18 @@ def build_sharded_engine(engine: Engine, mesh: Mesh, *, axis: str = "s") -> Shar
             f = f + qqr2e * fs
             pe = pe + qqr2e * es
 
-        if conp is not None and engine.ncfg is not None and cell_grid is None \
-                and nbr is not None:
+        if ecorr_fused is not None:
+            # the block sweep already folded the correction forces into f
+            # and psum'd the energy partial — only the Gaussian self energy
+            # remains (single-chip compute_forces does the same split)
+            kern = conp.kernels
+            pe = pe + ecorr_fused
+            qsq_ele = jnp.sum(jnp.where(elecheck != 0,
+                                        jnp.asarray(kern.self_diag, x.dtype) * q * q, 0.0))
+            fac = 0.5 if conp.cfg.pairmode is PairMode.ETA else 1.0
+            pe = pe + qqr2e * fac * qsq_ele
+        elif conp is not None and engine.ncfg is not None \
+                and cell_grid is None and nbr is not None:
             # Gaussian correction from MY electrode rows of the Verlet list —
             # O(Ne*K/D); the multi-chip path inherits the single-chip
             # asymptotics (blist_coul_cal_post_force is one neighbor sweep,

@@ -254,6 +254,66 @@ def main():
     finally:
         shake_mod._use_pallas = orig_gate
 
+    # ---- PRODUCTION geometry (VERDICT r4 task 5): the 25k pass above
+    # caught a shape-dependent lowering bug in round 4 ("block shape
+    # divisible by 8") — a lowering failure specific to the bench_large
+    # shapes ((144, 144, 729) grid, 98k atoms) could still pass it, so the
+    # four mesh/block kernels re-run at the real bench geometry.  Mosaic
+    # use is asserted, not assumed: use_pallas=True errors rather than
+    # falling back, and the mesh-spread geometry gate is asserted.
+    if os.environ.get("ORACLE_SKIP_PRODUCTION") != "1":
+        print("production geometry pass:", flush=True)
+        sysP, mdP, _ = workloads.synthetic(
+            n_elyte=98304, nele_side=23, lz=240.0, lxy=120.0)
+        mdP = dataclasses.replace(mdP, pair_path="block",
+                                  kspace_style=KSpaceStyle.PPPM)
+        engP = build_engine(sysP, mdP, None, dtype=jnp.float32)
+        gridP = engP.pppm_grid
+        xP = jnp.asarray(sysP.x0, jnp.float32)
+        qP = jnp.asarray(sysP.q0, jnp.float32)
+        # charges: the synthetic electrodes start at q=0 which would zero
+        # the electrode contributions — give every atom a deterministic
+        # nonzero charge so the kernels' full index paths are exercised
+        qP = qP + 0.01 * jnp.cos(jnp.arange(sysP.natoms) * 0.61)
+        from lammps_user_conp2_tpu.ops.neighbors import build_neighbor_list
+        nbrP = jax.jit(lambda xx: build_neighbor_list(
+            engP.ncfg, xx, engP.tables, engP.type_idx))(xP)
+        geomP = pppm_ops._tile_geometry(gridP, sysP.natoms)
+        assert spread_mesh_pallas_supported(tly=geomP.tly, nty=geomP.nty), \
+            "production geometry must exercise the fused mesh kernel"
+        print(f"  natoms={sysP.natoms} grid={gridP.shape}", flush=True)
+        slotsP = jax.jit(lambda xx, qq: pppm_ops.tile_slots(
+            gridP, xx, qq))(xP, qP)
+        check("P:spread_rhok",
+              lambda: jax.jit(lambda xx, qq: pppm_ops._spread_rhok_tiled(
+                  gridP, xx, qq, use_pallas=True, **kw))(xP, qP),
+              lambda: jax.jit(lambda xx, qq: pppm_ops._spread_rhok_tiled(
+                  gridP, xx, qq, use_pallas=False))(xP, qP), 2e-5)
+        check("P:spread_tiled",
+              lambda: jax.jit(lambda xx, qq: pppm_ops.spread_tiled(
+                  gridP, xx, qq, use_pallas=True, **kw))(xP, qP),
+              lambda: jax.jit(lambda xx, qq: pppm_ops.spread_tiled(
+                  gridP, xx, qq, use_pallas=False))(xP, qP), 2e-5)
+        rhokP = jax.jit(lambda xx, qq: pppm_ops._spread_rhok_tiled(
+            gridP, xx, qq, use_pallas=False))(xP, qP)
+        _, uzP = jax.jit(lambda rk: pppm_ops.pppm_energy_u_zbin(
+            gridP, rk, xP.shape[0]))(rhokP)
+        check("P:gather_zbin",
+              lambda: jax.jit(lambda uu, xx: pppm_ops.gather3_ad_zbin(
+                  gridP, uu, xx, slots=slotsP, use_pallas=True, **kw))(uzP, xP),
+              lambda: jax.jit(lambda uu, xx: pppm_ops.gather3_ad_zbin(
+                  gridP, uu, xx, slots=slotsP, use_pallas=False))(uzP, xP),
+              2e-5)
+        check("P:block_pair",
+              lambda: jax.jit(lambda xx: block_pair_forces(
+                  engP.ncfg, nbrP, xx, qP, engP.type_idx, engP.tables,
+                  engP.exclusions, g_ewald=engP.ksp_force.g_ewald,
+                  qqr2e=u.qqr2e, use_pallas=True, **kw)[:3])(xP),
+              lambda: jax.jit(lambda xx: block_pair_forces(
+                  engP.ncfg, nbrP, xx, qP, engP.type_idx, engP.tables,
+                  engP.exclusions, g_ewald=engP.ksp_force.g_ewald,
+                  qqr2e=u.qqr2e, use_pallas=False)[:3])(xP), 2e-5)
+
     print(f"wall {time.time()-t0:.0f}s", flush=True)
     if FAILED:
         print(f"kernel_oracle FAIL: {','.join(FAILED)}")

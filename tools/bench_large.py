@@ -8,8 +8,10 @@ CG path), Verlet neighbor lists with skin.  First run compiles for
 ~10 min at this size; the persistent compile cache (.jax_cache) makes
 reruns fast.
 
-Usage: python tools/bench_large.py [natoms_elyte] [nele_side] [solver] [pair]
-(pair: nlist | block | tile — default nlist; block measured parity at 100k)
+Usage: python tools/bench_large.py [natoms_elyte] [nele_side] [solver] [pair] [lz]
+(pair: nlist | block | tile — default auto; block measured parity at 100k.
+lz: box height, default 240 — the 250k stretch config is
+`bench_large.py 245760 23 inv auto 600`, same density, 2.5x the cell)
 """
 import os
 import sys
@@ -33,9 +35,10 @@ def main():
     nele_side = int(sys.argv[2]) if len(sys.argv) > 2 else 23
     solver = Solver[(sys.argv[3] if len(sys.argv) > 3 else "inv").upper()]
     pair = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    lz = float(sys.argv[5]) if len(sys.argv) > 5 else 240.0
     t0 = time.time()
     system, md, cfg = workloads.synthetic(
-        n_elyte=n_elyte, nele_side=nele_side, lz=240.0, lxy=120.0)
+        n_elyte=n_elyte, nele_side=nele_side, lz=lz, lxy=120.0)
     cfg = dataclasses.replace(cfg, solver=solver, kspace=KSpaceStyle.PPPM)
     md = dataclasses.replace(md, pair_path=pair,
                              kspace_style=KSpaceStyle.PPPM)

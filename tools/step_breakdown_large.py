@@ -79,7 +79,10 @@ def main():
 
     def f_rebuild(xx):
         nb = build_neighbor_list(eng.ncfg, xx, eng.tables, eng.type_idx)
-        return xx + eps * jnp.sum(nb.lj)
+        # block lists carry no LJ planes since r4 — chain on whichever
+        # field the built list actually has
+        dep = nb.lj if nb.lj is not None else nb.idx.astype(xx.dtype)
+        return xx + eps * jnp.sum(dep)
     reb = chain_ms(f_rebuild, x, iters=20)
     print(f"nlist rebuild          : {reb:7.2f} ms  (amortized over "
           f"~20-step skin interval: {reb / 20:.2f} ms/step)", flush=True)

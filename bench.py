@@ -112,15 +112,11 @@ def _bench_large_subprocess(result, budget_s=900):
         result["large_100k_error"] = repr(e)[:200]
 
 
-def _bench_kernel_oracle(result, budget_s=420):
-    """Run every Mosaic kernel against its XLA twin on the real device
-    (tools/kernel_oracle.py) — asserts the interpret-vs-Mosaic bug class
-    can't ship silently.  Subprocess + timeout so an oracle stall can't
-    cost the primary JSON line; shares the persistent compile cache, so
-    after one warm run it takes seconds."""
+def _oracle_pass(budget_s, extra_env):
+    """One kernel-oracle subprocess; returns 'ok' or a failure string."""
     import subprocess
 
-    env = dict(os.environ)
+    env = dict(os.environ, **extra_env)
     env.setdefault("CONP2_TPU_COMPILE_CACHE",
                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".jax_cache"))
@@ -131,14 +127,12 @@ def _bench_kernel_oracle(result, budget_s=420):
                           "tools", "kernel_oracle.py")],
             capture_output=True, text=True, timeout=budget_s, env=env)
         if "kernel_oracle ok" in out.stdout:
-            result["kernel_oracle"] = "ok"
-        else:
-            tail = (out.stdout + out.stderr)[-300:]
-            result["kernel_oracle"] = f"FAIL: {tail}"
+            return "ok"
+        return f"FAIL: {(out.stdout + out.stderr)[-300:]}"
     except subprocess.TimeoutExpired:
-        result["kernel_oracle"] = f"timeout after {budget_s}s"
+        return f"timeout after {budget_s}s"
     except Exception as e:  # noqa: BLE001 — optional section
-        result["kernel_oracle"] = repr(e)[:200]
+        return repr(e)[:200]
 
 
 def _bench_sharded_subprocess(result, budget_s=480):
@@ -189,21 +183,18 @@ def main():
     if os.environ.get("BENCH_SKIP_LARGE") != "1":
         _bench_large_subprocess(result, budget_s=1100)
 
+    # oracle in TWO passes with asymmetric degradation: a slow tunnel
+    # hour (observed: bench wall 1121 -> 2112 s with identical code) must
+    # cost the production-geometry pass before it costs the base one, and
+    # neither before the primary metrics below.
+    oracle_base = None
     if os.environ.get("BENCH_SKIP_ORACLE") != "1":
-        # adaptive budget: never let a cold oracle push the total past the
-        # driver's ~30 min envelope (dilute/il still need ~6 min after us)
-        ob = min(600, int(1380 - (time.time() - t_start)))
+        ob = min(420, int(1500 - (time.time() - t_start)))
         if ob >= 60:
-            _bench_kernel_oracle(result, budget_s=ob)
+            oracle_base = _oracle_pass(ob, {"ORACLE_SKIP_PRODUCTION": "1"})
         else:
-            result["kernel_oracle"] = "skipped (budget)"
-
-    if os.environ.get("BENCH_SKIP_SHARDED") != "1":
-        sb = min(480, int(1560 - (time.time() - t_start)))
-        if sb >= 120:
-            _bench_sharded_subprocess(result, budget_s=sb)
-        else:
-            result["sharded_d1_error"] = "skipped (budget)"
+            oracle_base = "skipped (budget)"
+        result["kernel_oracle"] = oracle_base
 
     try:
         eng = _build("dilute", 0)
@@ -216,14 +207,31 @@ def main():
     if os.environ.get("BENCH_SKIP_IL") != "1":
         try:
             eng2 = _build("il_twolayer", 0)
-            # nsteps=2000: at ~1.6 ms/step the ~35 ms fixed tunnel overhead
-            # per call is ~1% of the chain (2% at 1000)
+            # nsteps=4000: at ~1.2 ms/step the ~35 ms fixed tunnel overhead
+            # per call is ~0.7% of the chain (1.5% at 2000)
             result["il_twolayer_steps_per_sec"] = round(
-                bench_steps_per_sec(eng2, nsteps=2000, repeats=4), 3)
+                bench_steps_per_sec(eng2, nsteps=4000, repeats=4), 3)
             result["il_twolayer_charge_solve_ms"] = round(
                 bench_charge_solve_ms(eng2, iters=1000), 3)
         except Exception as e:  # noqa: BLE001 — report partial results
             result["il_twolayer_error"] = repr(e)[:200]
+
+    if oracle_base == "ok":
+        pb = min(600, int(2100 - (time.time() - t_start)))
+        if pb >= 120:
+            prod = _oracle_pass(pb, {"ORACLE_SKIP_BASE": "1"})
+            result["kernel_oracle"] = (
+                "ok" if prod == "ok"
+                else f"ok (base); production: {prod}")
+        else:
+            result["kernel_oracle"] = "ok (base); production skipped (budget)"
+
+    if os.environ.get("BENCH_SKIP_SHARDED") != "1":
+        sb = min(480, int(2400 - (time.time() - t_start)))
+        if sb >= 120:
+            _bench_sharded_subprocess(result, budget_s=sb)
+        else:
+            result["sharded_d1_error"] = "skipped (budget)"
 
     result["bench_wall_s"] = round(time.time() - t_start, 1)
     import jax
